@@ -1,0 +1,468 @@
+"""Redis-wire-compatible HyperLogLog kernel, vectorized with numpy.
+
+Re-implements — from scratch, Spark/numpy-first — the exact semantics of the
+reference data structure (`/root/reference/core/src/main/java/com/mayreh/
+pfutil/HllByteBuffer.java`) and its two estimators:
+
+* buffer layout: 16-byte header (``HYLL`` magic, encoding byte, 3 unused,
+  little-endian u64 cardinality cache whose MSB is the "invalid" flag),
+  then 16384 6-bit registers packed LSB-first (dense, 12304 bytes total)
+  or Redis run-length opcodes (sparse).  (HllByteBuffer.java:8-47,83-173)
+* hashing: MurmurHash64A seed 0xadc83b19; register index = low 14 bits;
+  register value = "patLen", the 1-based position of the first 1-bit —
+  v4 scans the raw hash from bit 14 with a sentinel at bit 63
+  (v4/HllhdrV4.java:52-65); v5 scans ``hash >> 14`` with a sentinel at bit
+  50 (v5/HllhdrV5.java:47-60).
+* estimate: v4 = LogLog-Beta (v4/HllhdrV4.java:127-157); v5 = Ertl
+  tau/sigma histogram estimator, arXiv:1702.01284 (v5/HllhdrV5.java:131-157).
+  Constants are copied digit-for-digit and the floating-point operation
+  ORDER is preserved (sequential register-order accumulation via cumsum,
+  left-associative multiplies, Math.round == floor(x+0.5)) so estimates are
+  bit-identical to the reference / Redis.
+* merge: register-wise max (HllByteBuffer.java:341-398) == np.maximum.
+
+In-flight representation is a ``(16384,)`` (or ``(n, 16384)`` batched)
+uint8 register vector; serialization goes through :func:`encode` /
+:func:`decode`.  Like the reference ("the representation always be promoted
+to dense", HllByteBuffer.java:177-180) we never *edit* sparse buffers in
+place — but our encoder CAN emit general sparse (ZERO/XZERO/VAL runs) when
+the state is small and all registers <= 32, which shrinks shuffle bytes for
+long-tail groups while remaining loadable by real Redis.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .murmur import HLL_SEED, murmur64a
+
+HLL_P = 14
+HLL_REGISTERS = 1 << HLL_P  # 16384
+HLL_BITS = 6
+HLL_REGISTER_MAX = (1 << HLL_BITS) - 1  # 63
+HLL_Q = 64 - HLL_P  # 50
+HEADER_LEN = 16
+HLL_DENSE_SIZE = HEADER_LEN + (HLL_REGISTERS * HLL_BITS + 7) // 8  # 12304
+
+MAGIC = b"HYLL"
+ENC_DENSE = 0
+ENC_SPARSE = 1
+
+# 0.5 / ln(2), exactly as v5/HllhdrV5.java:17
+HLL_ALPHA_INF = 0.721347520444481703680
+
+_CACHE_INVALID_BIT = 1 << 7  # MSB of header byte 15 (HllByteBuffer.java:119-123)
+
+
+# ---------------------------------------------------------------------------
+# hashing → (register index, patLen)
+# ---------------------------------------------------------------------------
+
+def _trailing_zeros(w: np.ndarray) -> np.ndarray:
+    """Trailing-zero count of nonzero uint64 values <= 2^52 (exact via frexp)."""
+    lsb = w & (~w + np.uint64(1))
+    # frexp(2^k) == (0.5, k+1); exact for k <= 52 (values here are <= 2^50)
+    return (np.frexp(lsb.astype(np.float64))[1] - 1).astype(np.int64)
+
+
+def patlen_v4(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(index, patLen) per v4: sentinel at bit 63, scan from bit 14.
+
+    Parity: v4/HllhdrV4.java:52-65 (count = 1 + #zero bits from bit 14).
+    """
+    idx = (hashes & np.uint64(HLL_REGISTERS - 1)).astype(np.int64)
+    w = (hashes | np.uint64(1 << 63)) >> np.uint64(HLL_P)
+    count = _trailing_zeros(w) + 1  # max 50
+    return idx, count.astype(np.uint8)
+
+
+def patlen_v5(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(index, patLen) per v5: hash >> 14, sentinel at bit HLL_Q=50.
+
+    Parity: v5/HllhdrV5.java:47-60 (max patLen = HLL_Q + 1 = 51).
+    """
+    idx = (hashes & np.uint64(HLL_REGISTERS - 1)).astype(np.int64)
+    w = (hashes >> np.uint64(HLL_P)) | (np.uint64(1) << np.uint64(HLL_Q))
+    count = _trailing_zeros(w) + 1  # max 51
+    return idx, count.astype(np.uint8)
+
+
+def hash_and_patlen(datas, version: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    h = murmur64a(datas, HLL_SEED)
+    return patlen_v4(h) if version == 4 else patlen_v5(h)
+
+
+# ---------------------------------------------------------------------------
+# register-vector operations (the PFADD / PFMERGE kernels)
+# ---------------------------------------------------------------------------
+
+def empty_registers(n: int | None = None) -> np.ndarray:
+    """UDAF zero element (reference: fresh all-zero sparse buffer,
+    HllByteBuffer.java:27-47)."""
+    if n is None:
+        return np.zeros(HLL_REGISTERS, dtype=np.uint8)
+    return np.zeros((n, HLL_REGISTERS), dtype=np.uint8)
+
+
+def update_registers(regs: np.ndarray, idx: np.ndarray, patlen: np.ndarray) -> None:
+    """Batch PFADD: register[i] = max(register[i], patlen) — the conditional
+    "set only if greater" of denseSetIfNeeded (HllByteBuffer.java:275-282)
+    IS max semantics. In-place on a (16384,) vector."""
+    np.maximum.at(regs, idx, patlen)
+
+
+def update_registers_grouped(
+    regs: np.ndarray, group_codes: np.ndarray, idx: np.ndarray, patlen: np.ndarray
+) -> None:
+    """Batch PFADD across groups: regs is (n_groups, 16384); one scatter-max."""
+    np.maximum.at(regs, (group_codes, idx), patlen)
+
+
+def merge_registers(stack: np.ndarray) -> np.ndarray:
+    """PFMERGE: register-wise max over (k, 16384) stacked states
+    (HllByteBuffer.java:341-398, single-pass N-way)."""
+    return np.maximum.reduce(stack, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# estimators (bit-exact parity with the reference)
+# ---------------------------------------------------------------------------
+
+def _estimate_v4_from_parts(ez: float, E: float) -> int:
+    """LogLog-Beta arithmetic, v4/HllhdrV4.java:144-156 — constants and
+    float op order verbatim; Math.round == floor(x+0.5)."""
+    m = float(HLL_REGISTERS)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    zl = math.log(ez + 1)
+    beta = (
+        -0.370393911 * ez
+        + 0.070471823 * zl
+        + 0.17393686 * math.pow(zl, 2)
+        + 0.16339839 * math.pow(zl, 3)
+        + -0.09237745 * math.pow(zl, 4)
+        + 0.03738027 * math.pow(zl, 5)
+        + -0.005384159 * math.pow(zl, 6)
+        + 0.00042419 * math.pow(zl, 7)
+    )
+    result = alpha * m * (m - ez) * (1 / (E + beta))
+    return int(math.floor(result + 0.5))
+
+
+def _dense_sum_batch(regs2d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(ez, E) per row with Java's exact sequential accumulation order:
+    denseSum (v4/HllhdrV4.java:67-80) adds pow2(-reg) register by register;
+    cumsum reproduces strict left-to-right float64 addition (adding 0.0 for
+    zero registers is an exact no-op), then E += ez."""
+    ez = (regs2d == 0).sum(axis=1).astype(np.int64)
+    terms = np.where(regs2d > 0, np.ldexp(1.0, -regs2d.astype(np.int64)), 0.0)
+    E = np.cumsum(terms, axis=1)[:, -1] + ez
+    return ez, E
+
+
+def estimate_v4(regs: np.ndarray) -> int:
+    regs2d = regs.reshape(1, -1)
+    ez, E = _dense_sum_batch(regs2d)
+    return _estimate_v4_from_parts(float(ez[0]), float(E[0]))
+
+
+def estimate_v4_batch(regs2d: np.ndarray) -> np.ndarray:
+    ez, E = _dense_sum_batch(regs2d)
+    return np.fromiter(
+        (_estimate_v4_from_parts(float(z), float(e)) for z, e in zip(ez, E)),
+        count=len(ez),
+        dtype=np.int64,
+    )
+
+
+def _tau(x: float) -> float:
+    """v5/HllhdrV5.java:62-78 — iterate to exact float convergence."""
+    if x == 0.0 or x == 1.0:
+        return 0.0
+    y = 1.0
+    z = 1 - x
+    while True:
+        x = math.sqrt(x)
+        z_prime = z
+        y *= 0.5
+        z -= math.pow(1 - x, 2) * y
+        if z_prime == z:
+            return z / 3
+
+
+def _sigma(x: float) -> float:
+    """v5/HllhdrV5.java:80-96 — geometric-doubling series; sigma(1) = +inf."""
+    if x == 1.0:
+        return math.inf
+    y = 1.0
+    z = x
+    while True:
+        x = x * x
+        z_prime = z
+        z += x * y
+        y += y
+        if z_prime == z:
+            return z
+
+
+def _estimate_v5_from_histo(histo: np.ndarray) -> int:
+    """Ertl estimator fold, v5/HllhdrV5.java:131-157 (constants and float op
+    order verbatim, alpha_inf*m*m/z left-associative, round = floor(x+0.5))."""
+    m = float(HLL_REGISTERS)
+    z = m * _tau((m - float(histo[HLL_Q + 1])) / m)
+    for i in range(HLL_Q, 0, -1):
+        z += float(histo[i])
+        z *= 0.5
+    z += m * _sigma(float(histo[0]) / m)
+    if z == math.inf:
+        return 0
+    E = HLL_ALPHA_INF * m * m / z
+    return int(math.floor(E + 0.5))
+
+
+def reg_histo(regs: np.ndarray) -> np.ndarray:
+    """Register-value histogram, 64 buckets (v5/HllhdrV5.java:98-102)."""
+    return np.bincount(regs, minlength=64)
+
+
+def estimate_v5(regs: np.ndarray) -> int:
+    return _estimate_v5_from_histo(reg_histo(regs))
+
+
+def estimate_v5_batch(regs2d: np.ndarray) -> np.ndarray:
+    n = regs2d.shape[0]
+    # bincount per row without a row loop: offset each row into its own range
+    offsets = (np.arange(n, dtype=np.int64) * 64)[:, None]
+    flat = (regs2d.astype(np.int64) + offsets).ravel()
+    histos = np.bincount(flat, minlength=n * 64).reshape(n, 64)
+    return np.fromiter(
+        (_estimate_v5_from_histo(h) for h in histos), count=n, dtype=np.int64
+    )
+
+
+def estimate(regs: np.ndarray, version: int = 4) -> int:
+    return estimate_v4(regs) if version == 4 else estimate_v5(regs)
+
+
+def estimate_batch(regs2d: np.ndarray, version: int = 4) -> np.ndarray:
+    return estimate_v4_batch(regs2d) if version == 4 else estimate_v5_batch(regs2d)
+
+
+# ---------------------------------------------------------------------------
+# dense 6-bit packing (HllByteBuffer.java:242-273, LSB-first bit layout)
+# ---------------------------------------------------------------------------
+
+def unpack_dense(payload: np.ndarray) -> np.ndarray:
+    """(n, 12288) uint8 packed bytes -> (n, 16384) uint8 registers."""
+    if payload.ndim == 1:
+        payload = payload.reshape(1, -1)
+    n = payload.shape[0]
+    bits = np.unpackbits(payload, axis=1, bitorder="little")  # (n, 98304)
+    bits6 = bits.reshape(n * HLL_REGISTERS, HLL_BITS)
+    bits8 = np.zeros((n * HLL_REGISTERS, 8), dtype=np.uint8)
+    bits8[:, :HLL_BITS] = bits6
+    return np.packbits(bits8, axis=1, bitorder="little").reshape(n, HLL_REGISTERS)
+
+
+def pack_dense(regs2d: np.ndarray) -> np.ndarray:
+    """(n, 16384) uint8 registers -> (n, 12288) uint8 packed payload."""
+    if regs2d.ndim == 1:
+        regs2d = regs2d.reshape(1, -1)
+    n = regs2d.shape[0]
+    bits8 = np.unpackbits(regs2d.reshape(n * HLL_REGISTERS, 1), axis=1, bitorder="little")
+    bits6 = bits8[:, :HLL_BITS].reshape(n, HLL_REGISTERS * HLL_BITS)
+    return np.packbits(bits6, axis=1, bitorder="little")
+
+
+# ---------------------------------------------------------------------------
+# sparse codec (Redis opcodes: ZERO 00xxxxxx / XZERO 01xxxxxx yyyyyyyy /
+# VAL 1vvvvvll — HllByteBuffer.java:209-238)
+# ---------------------------------------------------------------------------
+
+def decode_sparse(buf: bytes | np.ndarray) -> np.ndarray:
+    """Sparse payload walk -> (16384,) registers. Mirrors
+    promoteSparseToDense (HllByteBuffer.java:290-332) incl. the hard
+    integrity check that exactly 16384 registers are covered."""
+    b = np.frombuffer(bytes(buf), dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    regs = np.zeros(HLL_REGISTERS, dtype=np.uint8)
+    p, idx = HEADER_LEN, 0
+    n = len(b)
+    while p < n:
+        op = int(b[p])
+        top = op & 0xC0
+        if top == 0x00:  # ZERO: run of 1..64 zero registers
+            idx += (op & 0x3F) + 1
+            p += 1
+        elif top == 0x40:  # XZERO: run of 1..16384 zero registers
+            idx += (((op & 0x3F) << 8) | int(b[p + 1])) + 1
+            p += 2
+        else:  # VAL: run of 1..4 registers of value 1..32
+            runlen = (op & 0x3) + 1
+            val = ((op >> 2) & 0x1F) + 1
+            if idx + runlen > HLL_REGISTERS:
+                raise ValueError("sparse VAL run overflows register space")
+            regs[idx : idx + runlen] = val
+            idx += runlen
+            p += 1
+    if idx != HLL_REGISTERS:
+        raise ValueError("failed to promote to dense")  # HllByteBuffer.java:327-329
+    return regs
+
+
+# Our sparse ENCODER is a superset of the reference's write path (which only
+# ever writes the empty buffer, HllByteBuffer.java:27-47): it emits general
+# ZERO/XZERO/VAL runs — still decodable by real Redis and by decode_sparse —
+# whenever all register values are <= 32 and the encoding is smaller than
+# dense. This is the shuffle-size optimization for long-tail groups.
+
+def encode_sparse_payload(regs: np.ndarray) -> bytes | None:
+    """Registers -> sparse opcode bytes, or None if not representable
+    (any value > 32) or not smaller than the dense payload."""
+    nz = np.flatnonzero(regs)
+    if len(nz) == 0:
+        return _empty_sparse_payload()
+    vals = regs[nz].astype(np.int64)
+    if vals.max() > 32:
+        return None
+    # worst case ~3 bytes per nonzero + 2 per gap; bail early if clearly big
+    if len(nz) * 3 + 4 >= HLL_DENSE_SIZE - HEADER_LEN:
+        return None
+    out = bytearray()
+    pos = 0
+    # split nonzero positions into maximal runs of consecutive equal values
+    splits = np.flatnonzero((np.diff(nz) != 1) | (np.diff(vals) != 0)) + 1
+    run_starts = np.concatenate(([0], splits))
+    run_ends = np.concatenate((splits, [len(nz)]))
+    for s, e in zip(run_starts.tolist(), run_ends.tolist()):
+        start_reg = int(nz[s])
+        run_len = int(e - s)
+        val = int(vals[s])
+        gap = start_reg - pos
+        _emit_zero_runs(out, gap)
+        # VAL opcode covers runs of 1..4; chunk longer runs
+        while run_len > 0:
+            chunk = min(run_len, 4)
+            out.append(0x80 | ((val - 1) << 2) | (chunk - 1))
+            run_len -= chunk
+        pos = start_reg + (e - s)
+    _emit_zero_runs(out, HLL_REGISTERS - pos)
+    if len(out) >= HLL_DENSE_SIZE - HEADER_LEN:
+        return None
+    return bytes(out)
+
+
+def _emit_zero_runs(out: bytearray, gap: int) -> None:
+    while gap > 0:
+        if gap > 64:
+            chunk = min(gap, 16384)
+            l = chunk - 1
+            out.append(0x40 | (l >> 8))
+            out.append(l & 0xFF)
+        else:
+            chunk = gap
+            out.append(chunk - 1)
+        gap -= chunk
+
+
+def _empty_sparse_payload() -> bytes:
+    # XZERO run(s) covering all 16384 registers (HllByteBuffer.java:27-47)
+    out = bytearray()
+    _emit_zero_runs(out, HLL_REGISTERS)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# wire-format encode / decode (header per HllByteBuffer.java:20,119-173)
+# ---------------------------------------------------------------------------
+
+def _header(encoding: int, cache: int | None) -> bytearray:
+    h = bytearray(HEADER_LEN)
+    h[0:4] = MAGIC
+    h[4] = encoding
+    if cache is None:
+        h[15] |= _CACHE_INVALID_BIT  # invalid-cache flag (invalidateCache)
+    else:
+        c = int(cache)
+        for i in range(8):
+            h[8 + i] = (c >> (8 * i)) & 0xFF
+    return h
+
+
+def encode(
+    regs: np.ndarray,
+    cache: int | None = None,
+    allow_sparse: bool = True,
+    force_dense: bool = False,
+) -> bytes:
+    """Registers -> wire bytes (``HYLL`` header + payload).
+
+    ``cache=None`` sets the invalid-cache flag; an integer stamps the
+    cardinality cache (what pfCount does after computing,
+    v4/HllV4.java:31-43 — required for byte-identical dump round-trips,
+    v4/HllV4Test.java:46-55).
+    """
+    regs = np.ascontiguousarray(regs, dtype=np.uint8)
+    if not force_dense and allow_sparse:
+        payload = encode_sparse_payload(regs)
+        if payload is not None:
+            return bytes(_header(ENC_SPARSE, cache)) + payload
+    return bytes(_header(ENC_DENSE, cache)) + pack_dense(regs).tobytes()
+
+
+def encode_empty(cache: int | None = 0) -> bytes:
+    """The reference's fresh 18-byte sparse buffer (header all zero =>
+    cache 0 and VALID, so a fresh pfCount returns 0 from cache)."""
+    return bytes(_header(ENC_SPARSE, cache)) + _empty_sparse_payload()
+
+
+def is_valid_hll(buf: bytes) -> bool:
+    """Mirrors isValidHll (HllByteBuffer.java:83-114)."""
+    if len(buf) < HEADER_LEN:
+        return False
+    if buf[0:4] != MAGIC:
+        return False
+    enc = buf[4]
+    if enc not in (ENC_DENSE, ENC_SPARSE):
+        return False
+    if enc == ENC_DENSE and len(buf) != HLL_DENSE_SIZE:
+        return False
+    return True
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """Wire bytes -> (16384,) uint8 registers; raises on invalid input
+    (like HllV4.java:14-20)."""
+    if not is_valid_hll(buf):
+        raise ValueError("Invalid HLL representation")
+    if buf[4] == ENC_DENSE:
+        payload = np.frombuffer(buf, dtype=np.uint8, offset=HEADER_LEN)
+        return unpack_dense(payload)[0]
+    return decode_sparse(buf)
+
+
+def get_cache(buf: bytes) -> tuple[int, bool]:
+    """(cached cardinality, is_valid) — HllByteBuffer.java:149-173."""
+    c = int.from_bytes(buf[8:16], "little")
+    valid = (buf[15] & _CACHE_INVALID_BIT) == 0
+    return c & ~(0xFF << 56) | ((buf[15] & 0x7F) << 56), valid
+
+
+def pf_count_bytes(buf: bytes, version: int = 4, use_cache: bool = True) -> int:
+    """PFCOUNT over wire bytes (cache fast path like v4/HllV4.java:31-43)."""
+    if use_cache:
+        cached, valid = get_cache(buf)
+        if valid:
+            return cached
+    return estimate(decode(buf), version)
+
+
+def dump(regs: np.ndarray, version: int = 4) -> bytes:
+    """Reference-compatible dumpRepr: all-zero state -> the 18-byte fresh
+    sparse buffer; otherwise dense with the cardinality cache stamped
+    (byte-parity with Redis "cached" dumps, v4/HllV4Test.java:46-55)."""
+    regs = np.ascontiguousarray(regs, dtype=np.uint8)
+    if not regs.any():
+        return encode_empty(cache=0)
+    return encode(regs, cache=estimate(regs, version), force_dense=True)
+
