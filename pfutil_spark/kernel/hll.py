@@ -441,6 +441,31 @@ def decode(buf: bytes) -> np.ndarray:
     return decode_sparse(buf)
 
 
+def decode_many(bufs: list[bytes]) -> np.ndarray:
+    """Decode a batch of wire buffers -> (n, 16384) uint8.
+
+    Dense buffers are unpacked in ONE vectorized unpackbits call; the
+    remaining per-buffer work is per-sketch (per group x partition), never
+    per-row."""
+    n = len(bufs)
+    out = np.zeros((n, HLL_REGISTERS), dtype=np.uint8)
+    dense_pos: list[int] = []
+    dense_payloads: list[bytes] = []
+    for i, b in enumerate(bufs):
+        if not is_valid_hll(b):
+            raise ValueError("Invalid HLL representation")
+        if b[4] == ENC_DENSE:
+            dense_pos.append(i)
+            dense_payloads.append(b[HEADER_LEN:])
+        else:
+            out[i] = decode_sparse(b)
+    if dense_pos:
+        payload = np.frombuffer(b"".join(dense_payloads), dtype=np.uint8)
+        payload = payload.reshape(len(dense_pos), HLL_DENSE_SIZE - HEADER_LEN)
+        out[np.asarray(dense_pos)] = unpack_dense(payload)
+    return out
+
+
 def get_cache(buf: bytes) -> tuple[int, bool]:
     """(cached cardinality, is_valid) — HllByteBuffer.java:149-173."""
     c = int.from_bytes(buf[8:16], "little")
