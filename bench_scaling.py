@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Scaling-evidence protocol (BASELINE.md): the north_rule's two-cluster-
+size criterion (N vs 4N executors, throughput scaling efficiency >= 0.8)
+evidenced in this sandbox by running the SAME flagship job on the SAME
+deterministic input at local[8] and local[32] in separate JVMs.
+
+Usage:
+    python bench_scaling.py --cores 8      # one measured run, prints JSON
+    python bench_scaling.py                # orchestrates 8 + 32, writes
+                                           # BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ROWS = int(os.environ.get("PFUTIL_SCALING_ROWS", "8000000"))
+REPS = int(os.environ.get("PFUTIL_SCALING_REPS", "5"))
+TABLE = os.environ.get("PFUTIL_SCALING_TABLE", f"/tmp/pfutil_scaling_src_{ROWS}")
+
+
+def _spark(cores: int, label: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"pfutil-scaling-{label}")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # many splits so the 8-core and 32-core runs both fill their slots
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .getOrCreate()
+    )
+
+
+def prepare_table() -> None:
+    """Materialize the deterministic sourcecode table to parquet ONCE
+    (untimed prep shared by both parallelism levels — the realistic
+    deployment shape: the engine reads an existing parquet/Iceberg table)."""
+    if os.path.exists(os.path.join(TABLE, "_SUCCESS")):
+        return
+    from pfutil_spark.sources import sourcecode_table
+
+    spark = _spark(32, "prep")
+    spark.sparkContext.setLogLevel("ERROR")
+    sourcecode_table(spark, ROWS, partitions=64).write.mode("overwrite").parquet(TABLE)
+    spark.stop()
+
+
+def run_one(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from pfutil_spark.operators import pf_count_col, pf_merge, pf_partial
+
+    spark = _spark(cores, str(cores))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # identical input at every parallelism: the SAME parquet files
+    def src():
+        return spark.read.parquet(TABLE).select(
+            "lang", F.sha2(F.col("content"), 256).alias("content_sha")
+        )
+
+    def flagship():
+        partials = pf_partial(src(), "content_sha", by=("lang",), version=4)
+        per_lang = pf_merge(partials, by=("lang",), salt_buckets=4).localCheckpoint()
+        glob = pf_merge(per_lang.select("sketch")).withColumn("lang", F.lit("*"))
+        return (
+            per_lang.unionByName(glob.select("lang", "sketch"))
+            .select("lang", pf_count_col("sketch", 4).alias("estimate"))
+            .collect()
+        )
+
+    flagship()  # untimed warmups (worker fork + numpy/arena faults)
+    rows = flagship()
+    estimates = {r["lang"]: r["estimate"] for r in rows}
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        flagship()
+        times.append(time.time() - t0)
+    best = min(times)
+    spark.stop()
+    return {
+        "cores": cores,
+        "rows": ROWS,
+        "sec": round(best, 3),
+        "all_runs_sec": [round(t, 3) for t in times],
+        "rows_per_sec": round(ROWS / best),
+        "global_estimate": estimates["*"],
+    }
+
+
+def kernel_single_core() -> dict:
+    """Single-core pure-numpy pfAdd-path throughput — sanity anchor vs the
+    reference's published 13.1M ops/s single-thread Java pfAdd."""
+    import hashlib
+
+    import numpy as np
+
+    from pfutil_spark.kernel import hll
+
+    n = 1_000_000
+    datas = [hashlib.sha256(str(i).encode()).hexdigest().encode() for i in range(n)]
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        idx, pl = hll.hash_and_patlen(datas, 4)
+        regs = hll.empty_registers()
+        hll.update_registers(regs, idx, pl)
+        best = min(best, time.time() - t0)
+    return {"rows": n, "sec": round(best, 3), "rows_per_sec": round(n / best)}
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--cores":
+        print(json.dumps(run_one(int(sys.argv[2]))))
+        return
+
+    prepare_table()
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores", str(cores)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    kern = kernel_single_core()
+    thr8, thr32 = results[8]["rows_per_sec"], results[32]["rows_per_sec"]
+    eff = (thr32 / thr8) / 4
+    same = results[8]["global_estimate"] == results[32]["global_estimate"]
+    summary = {
+        "metric": "flagship scaling local[8] vs local[32]",
+        "rows": ROWS,
+        "local8_rows_per_sec": thr8,
+        "local32_rows_per_sec": thr32,
+        "scaling_efficiency": round(eff, 3),
+        "estimates_identical_across_parallelism": same,
+        "kernel_single_core_rows_per_sec": kern["rows_per_sec"],
+        "detail": results,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(_report_md(summary))
+    print(json.dumps(summary))
+
+
+def _report_md(s: dict) -> str:
+    d8, d32 = s["detail"][8], s["detail"][32]
+    return f"""# BENCH/BASELINE — scaling evidence (sandbox protocol)
+
+Per BASELINE.md: the north_rule's "scaling efficiency >= 0.8 between N and
+4N executors" criterion, evidenced by the same flagship job (distinct
+content-sha256 per lang + global PFMERGE, {s['rows']:,} synthetic rows,
+deterministic input identical at both levels) at two local parallelism
+levels in separate JVMs. Timed after one untimed warmup pass (steady
+state, JMH-style); best of {REPS}.
+
+| run | cores | wall (s) | rows/s | all runs (s) |
+|---|---|---|---|---|
+| A (N) | 8 | {d8['sec']} | {d8['rows_per_sec']:,} | {d8['all_runs_sec']} |
+| B (4N) | 32 | {d32['sec']} | {d32['rows_per_sec']:,} | {d32['all_runs_sec']} |
+
+**Scaling efficiency = (thr_B / thr_A) / 4 = {s['scaling_efficiency']}**
+(target >= 0.8)
+
+Merge associativity across parallelism: global HLL estimate identical at
+both levels: **{s['estimates_identical_across_parallelism']}**
+(estimate = {d8['global_estimate']:,}).
+
+Single-core pure-numpy kernel (hash sha256-hex + patLen + register
+max-update, 1M rows, steady state): **{s['kernel_single_core_rows_per_sec']:,} rows/s**
+vs the reference's published single-thread Java pfAdd 13,140,895 ops/s
+(JMH, i7-7600U; see BASELINE.md). Note: this sandbox's first-touch page
+faults run ~100MB/s, which taxes allocation-heavy vectorized kernels;
+steady-state numbers above are after arena warmup.
+"""
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,16 @@ def hash_and_patlen(datas, version: int = 4) -> tuple[np.ndarray, np.ndarray]:
     return patlen_v4(h) if version == 4 else patlen_v5(h)
 
 
+def hash_and_patlen_flat(
+    data: np.ndarray, offsets: np.ndarray, version: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy variant over Arrow (values, offsets) buffers."""
+    from .murmur import murmur64a_flat
+
+    h = murmur64a_flat(data, offsets, HLL_SEED)
+    return patlen_v4(h) if version == 4 else patlen_v5(h)
+
+
 # ---------------------------------------------------------------------------
 # register-vector operations (the PFADD / PFMERGE kernels)
 # ---------------------------------------------------------------------------
@@ -116,8 +126,12 @@ def update_registers(regs: np.ndarray, idx: np.ndarray, patlen: np.ndarray) -> N
 def update_registers_grouped(
     regs: np.ndarray, group_codes: np.ndarray, idx: np.ndarray, patlen: np.ndarray
 ) -> None:
-    """Batch PFADD across groups: regs is (n_groups, 16384); one scatter-max."""
-    np.maximum.at(regs, (group_codes, idx), patlen)
+    """Batch PFADD across groups: regs is (n_groups, 16384); one scatter-max.
+
+    Flattened to a 1-D ufunc.at (group*16384 + idx) — numpy's 2-D fancy
+    ``.at`` path is ~5x slower."""
+    flat = group_codes.astype(np.int64) * HLL_REGISTERS + idx
+    np.maximum.at(regs.reshape(-1), flat, patlen)
 
 
 def merge_registers(stack: np.ndarray) -> np.ndarray:

@@ -62,6 +62,45 @@ def _pack_rows(datas: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return padded.view("<u8"), lens
 
 
+def _pack_flat(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack rows described by Arrow-style (values, offsets) buffers —
+    row i is ``data[offsets[i]:offsets[i+1]]`` — into the (n, width)
+    uint64 chunk matrix. Fully zero-copy for uniform multiple-of-8 row
+    widths (e.g. sha256 hex); one vectorized scatter otherwise."""
+    offsets = offsets.astype(np.int64, copy=False)
+    lens = np.diff(offsets)
+    n = len(lens)
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.uint64), lens
+    max_len = int(lens.max(initial=0))
+    width = max((max_len + 7) // 8, 1)
+    seg = data[int(offsets[0]) : int(offsets[-1])]
+    if max_len > 0 and bool((lens == max_len).all()):
+        if max_len % 8 == 0:
+            seg = np.ascontiguousarray(seg)
+            return seg.reshape(n, max_len).view("<u8"), lens
+        padded = np.zeros((n, width * 8), dtype=np.uint8)
+        padded[:, :max_len] = seg.reshape(n, max_len)
+        return padded.view("<u8"), lens
+    padded = np.zeros((n, width * 8), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        starts_rel = offsets[:-1] - offsets[0]
+        col_idx = np.arange(total, dtype=np.int64) - np.repeat(starts_rel, lens)
+        padded[row_idx, col_idx] = seg
+    return padded.view("<u8"), lens
+
+
+def murmur64a_flat(
+    data: np.ndarray, offsets: np.ndarray, seed: int = HLL_SEED
+) -> np.ndarray:
+    """MurmurHash64A over Arrow (values, offsets) buffers — the zero-copy
+    hot path used by the mapInArrow partial stage."""
+    u64, lens = _pack_flat(data, offsets)
+    return murmur64a_packed(u64, lens, seed)
+
+
 def murmur64a(datas: Sequence[bytes], seed: int = HLL_SEED) -> np.ndarray:
     """MurmurHash64A of each byte string; returns (n,) uint64.
 

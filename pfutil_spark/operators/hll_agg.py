@@ -49,6 +49,44 @@ def _out_schema(df: DataFrame, by: Sequence[str]) -> StructType:
     return StructType(list(fields) + [StructField(SKETCH_COL, BinaryType(), False)])
 
 
+def _varbin_buffers(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (values, offsets) numpy views of an Arrow string/binary
+    array (handles 32- and 64-bit offset variants and slice offsets)."""
+    import pyarrow as pa
+
+    t = arr.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dt = np.int64
+    elif pa.types.is_string(t) or pa.types.is_binary(t):
+        off_dt = np.int32
+    else:
+        arr = arr.cast(pa.large_binary())
+        off_dt = np.int64
+    bufs = arr.buffers()
+    itemsize = np.dtype(off_dt).itemsize
+    offsets = np.frombuffer(
+        bufs[1], dtype=off_dt, count=len(arr) + 1, offset=arr.offset * itemsize
+    )
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, offsets
+
+
+def _group_codes(batch: "pa.RecordBatch", by: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized multi-column grouping: dictionary-encode each key column
+    (Arrow C++), combine per-column codes, np.unique -> (inverse codes,
+    first-row index per group)."""
+    import pyarrow.compute as pc
+
+    comb = None
+    for c in by:
+        enc = pc.dictionary_encode(batch.column(c))
+        codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary) + 1
+        comb = codes + 1 if comb is None else comb * k + (codes + 1)
+    _, first_idx, inverse = np.unique(comb, return_index=True, return_inverse=True)
+    return inverse, first_idx
+
+
 def pf_partial(
     df: DataFrame,
     element: str,
@@ -59,46 +97,60 @@ def pf_partial(
     """Stage P: per-partition PFADD into per-group register vectors; emits
     one ``(by..., sketch)`` row per (partition, group).
 
-    The kernel accumulates ACROSS Arrow batches of the partition (bounded
-    by ``max_groups_in_flight`` x 16KB memory; above that it flushes and
-    keeps going), so the number of partial states per group is at most the
-    number of input partitions, not the number of Arrow batches.
+    Arrow-native (``mapInArrow``): element bytes are hashed straight out
+    of the Arrow value/offset buffers — zero copies, zero per-row Python.
+    The kernel accumulates ACROSS batches of the partition (bounded by
+    ``max_groups_in_flight`` x 16KB memory; above that it flushes and
+    keeps going), so the number of partial states per group is at most
+    the number of input partitions, not the number of Arrow batches.
     """
+    import pyarrow as pa
+
     by = list(by)
     schema = _out_schema(df, by)
     pruned = df.select(*by, element)  # column pruning before Arrow transfer
 
-    def partial_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partial_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         acc: dict[tuple, np.ndarray] = {}
+        key_fields: list = []
+        seen_schema = False
 
-        def flush() -> pd.DataFrame:
+        def flush() -> "pa.RecordBatch":
             keys = list(acc.keys())
-            data: dict = {}
+            arrays = []
+            names = []
             for j, c in enumerate(by):
-                data[c] = [k[j] for k in keys]
-            data[SKETCH_COL] = [hll.encode(acc[k]) for k in keys]
-            return pd.DataFrame(data, columns=by + [SKETCH_COL])
+                f = key_fields[j]
+                arrays.append(pa.array([k[j] for k in keys], type=f.type))
+                names.append(c)
+            arrays.append(pa.array([hll.encode(acc[k]) for k in keys], type=pa.binary()))
+            names.append(SKETCH_COL)
+            return pa.record_batch(arrays, names=names)
 
-        for pdf in batches:
-            elem = pdf[element]
-            mask = elem.notna()
-            if not mask.all():
-                pdf = pdf[mask]
-                elem = pdf[element]
-            if len(pdf) == 0:
+        for batch in batches:
+            if not seen_schema:
+                key_fields = [batch.schema.field(c) for c in by]
+                seen_schema = True
+            elem = batch.column(element)
+            if elem.null_count:
+                batch = batch.filter(pc.is_valid(elem))
+                elem = batch.column(element)
+            if len(batch) == 0:
                 continue
-            idx, patlen = hll.hash_and_patlen(_to_bytes_list(elem), version)
+            data, offsets = _varbin_buffers(elem)
+            idx, patlen = hll.hash_and_patlen_flat(data, offsets, version)
             if by:
-                if len(by) == 1:
-                    codes, uniques = pd.factorize(pdf[by[0]], use_na_sentinel=False)
-                    keys = [(u,) for u in uniques]
-                else:
-                    mi = pd.MultiIndex.from_frame(pdf[by])
-                    codes, uniques = pd.factorize(mi, use_na_sentinel=False)
-                    keys = list(uniques)
-                local = np.zeros((len(keys), hll.HLL_REGISTERS), dtype=np.uint8)
-                hll.update_registers_grouped(local, codes, idx, patlen)
-                for i, k in enumerate(keys):
+                inverse, first_idx = _group_codes(batch, by)
+                n_groups = len(first_idx)
+                local = np.zeros((n_groups, hll.HLL_REGISTERS), dtype=np.uint8)
+                hll.update_registers_grouped(local, inverse, idx, patlen)
+                take = pa.array(first_idx)
+                key_cols = [batch.column(c).take(take).to_pylist() for c in by]
+                for i in range(n_groups):
+                    k = tuple(col[i] for col in key_cols)
                     prev = acc.get(k)
                     if prev is None:
                         acc[k] = local[i]
@@ -112,12 +164,12 @@ def pf_partial(
             if len(acc) > max_groups_in_flight:
                 yield flush()
                 acc = {}
-        if acc or not by:
-            if not acc and not by:
-                acc[()] = hll.empty_registers()
+        if not acc and not by:
+            acc[()] = hll.empty_registers()
+        if acc:
             yield flush()
 
-    return pruned.mapInPandas(partial_fn, schema)
+    return pruned.mapInArrow(partial_fn, schema)
 
 
 def pf_merge(

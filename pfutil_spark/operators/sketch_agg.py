@@ -1,0 +1,289 @@
+"""Generic two-phase distributed aggregation for the extension sketches
+(count-min, Bloom, KLL, t-digest) — same plan shape as the HLL operator
+(see hll_agg.py: mapInArrow partial -> single shuffle -> applyInPandas
+merge), parameterized by a small kernel spec.
+
+Transfer-frugal by design: hash-keyed sketches (CMS, Bloom) consume a
+JVM-side ``xxhash64(col)`` (8 bytes/row over Arrow, computed in codegen);
+value sketches (KLL, t-digest) consume the raw double column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType, LongType, StructField, StructType
+
+from pfutil_spark.kernel import bloom, cms, kll, tdigest
+
+SKETCH_COL = "sketch"
+_ELEM = "__pf_elem"
+
+
+@dataclass
+class KernelSpec:
+    """zero() -> state; update(state, values) -> state (may mutate);
+    merge(list[state]) -> state; encode(state) -> bytes; decode(bytes) -> state."""
+
+    zero: Callable
+    update: Callable
+    merge: Callable
+    encode: Callable
+    decode: Callable
+
+
+def cms_spec(depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH) -> KernelSpec:
+    def update(state, values):
+        cms.update(state, values)
+        return state
+
+    return KernelSpec(
+        zero=lambda: cms.empty(depth, width),
+        update=update,
+        merge=cms.merge,
+        encode=cms.encode,
+        decode=cms.decode,
+    )
+
+
+def bloom_spec(m_bits: int = bloom.DEFAULT_BITS, k: int = bloom.DEFAULT_K) -> KernelSpec:
+    def update(state, values):
+        bloom.update(state, values, k)
+        return state
+
+    return KernelSpec(
+        zero=lambda: bloom.empty(m_bits),
+        update=update,
+        merge=bloom.merge,
+        encode=lambda s: bloom.encode(s, k),
+        decode=lambda b: bloom.decode(b)[0],
+    )
+
+
+def kll_spec(k: int = kll.DEFAULT_K) -> KernelSpec:
+    def update(state, values):
+        state.update(values)
+        return state
+
+    return KernelSpec(
+        zero=lambda: kll.KllSketch(k),
+        update=update,
+        merge=kll.merge_all,
+        encode=lambda s: s.encode(),
+        decode=kll.decode,
+    )
+
+
+def tdigest_spec(delta: int = tdigest.DEFAULT_DELTA) -> KernelSpec:
+    def update(state, values):
+        state.update(values)
+        return state
+
+    return KernelSpec(
+        zero=lambda: tdigest.TDigest(delta),
+        update=update,
+        merge=tdigest.merge_all,
+        encode=lambda s: s.encode(),
+        decode=tdigest.decode,
+    )
+
+
+# ---------------------------------------------------------------------------
+# generic two-phase plan
+# ---------------------------------------------------------------------------
+
+def _out_schema(df: DataFrame, by: Sequence[str]) -> StructType:
+    return StructType(
+        [df.schema[c] for c in by] + [StructField(SKETCH_COL, BinaryType(), False)]
+    )
+
+
+def sketch_agg(
+    df: DataFrame,
+    element: Column,
+    spec: KernelSpec,
+    by: Sequence[str] = (),
+    max_groups_in_flight: int = 2048,
+) -> DataFrame:
+    """(by..., sketch) via partial (mapInArrow, per-partition accumulation)
+    -> groupBy shuffle -> merge (applyInPandas). ``element`` must evaluate
+    to LONG (pre-hash) or DOUBLE (values) — both cross Arrow as fixed
+    8-byte columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pfutil_spark.operators.hll_agg import _group_codes
+
+    by = list(by)
+    pruned = df.select(*by, element.alias(_ELEM))
+    schema = _out_schema(pruned, by)
+
+    def partial_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        acc: dict[tuple, object] = {}
+        key_fields: list = []
+        seen = False
+
+        def flush() -> "pa.RecordBatch":
+            keys = list(acc.keys())
+            arrays = [
+                pa.array([k[j] for k in keys], type=key_fields[j].type)
+                for j in range(len(by))
+            ]
+            arrays.append(pa.array([spec.encode(acc[k]) for k in keys], type=pa.binary()))
+            return pa.record_batch(arrays, names=by + [SKETCH_COL])
+
+        for batch in batches:
+            if not seen:
+                key_fields = [batch.schema.field(c) for c in by]
+                seen = True
+            elem = batch.column(_ELEM)
+            if elem.null_count:
+                batch = batch.filter(pc.is_valid(elem))
+                elem = batch.column(_ELEM)
+            if len(batch) == 0:
+                continue
+            values = elem.to_numpy(zero_copy_only=False)
+            if by:
+                inverse, first_idx = _group_codes(batch, by)
+                order = np.argsort(inverse, kind="stable")
+                sorted_inv = inverse[order]
+                bounds = np.flatnonzero(np.diff(sorted_inv)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(sorted_inv)]))
+                take = pa.array(first_idx)
+                key_cols = [batch.column(c).take(take).to_pylist() for c in by]
+                for g, (s, e) in enumerate(zip(starts, ends)):
+                    k = tuple(col[g] for col in key_cols)
+                    st = acc.get(k)
+                    if st is None:
+                        st = acc[k] = spec.zero()
+                    acc[k] = spec.update(st, values[order[s:e]])
+            else:
+                st = acc.get(())
+                if st is None:
+                    st = acc[()] = spec.zero()
+                acc[()] = spec.update(st, values)
+            if len(acc) > max_groups_in_flight:
+                yield flush()
+                acc = {}
+        if not acc and not by:
+            acc[()] = spec.zero()
+        if acc:
+            yield flush()
+
+    partials = pruned.mapInArrow(partial_fn, schema)
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = spec.merge([spec.decode(b) for b in pdf[SKETCH_COL]])
+        head = pdf.iloc[[0]][by].reset_index(drop=True)
+        head[SKETCH_COL] = [spec.encode(merged)]
+        return head
+
+    if by:
+        return partials.groupBy(*by).applyInPandas(merge_fn, schema)
+    return (
+        partials.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(merge_fn, schema)
+        .select(SKETCH_COL)
+    )
+
+
+# ---------------------------------------------------------------------------
+# public sketch builders
+# ---------------------------------------------------------------------------
+
+def cms_sketch(
+    df: DataFrame, col: str, by: Sequence[str] = (),
+    depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH,
+) -> DataFrame:
+    """Count-min over ``col`` (any type — hashed JVM-side via xxhash64)."""
+    return sketch_agg(df, F.xxhash64(F.col(col)), cms_spec(depth, width), by)
+
+
+def bloom_sketch(
+    df: DataFrame, col: str, by: Sequence[str] = (),
+    expected_n: int | None = None, fpr: float = 0.01,
+    m_bits: int | None = None, k: int | None = None,
+) -> DataFrame:
+    if m_bits is None or k is None:
+        m_bits, k = bloom.params_for(expected_n or 1_000_000, fpr)
+    return sketch_agg(df, F.xxhash64(F.col(col)), bloom_spec(m_bits, k), by)
+
+
+def kll_sketch(
+    df: DataFrame, col: str, by: Sequence[str] = (), k: int = kll.DEFAULT_K
+) -> DataFrame:
+    return sketch_agg(df, F.col(col).cast("double"), kll_spec(k), by)
+
+
+def tdigest_sketch(
+    df: DataFrame, col: str, by: Sequence[str] = (), delta: int = tdigest.DEFAULT_DELTA
+) -> DataFrame:
+    return sketch_agg(df, F.col(col).cast("double"), tdigest_spec(delta), by)
+
+
+# ---------------------------------------------------------------------------
+# evaluation columns
+# ---------------------------------------------------------------------------
+
+def _hash_literals(df: DataFrame, items: Sequence) -> np.ndarray:
+    """xxhash64 of literal items, computed BY SPARK so it matches the
+    build-side hashing exactly."""
+    spark = df.sparkSession
+    rows = spark.range(1).select(
+        *[F.xxhash64(F.lit(it)).alias(f"h{i}") for i, it in enumerate(items)]
+    ).collect()[0]
+    return np.array([rows[f"h{i}"] for i in range(len(items))], dtype=np.int64)
+
+
+def cms_counts_col(df: DataFrame, items: Sequence, sketch_col: str = SKETCH_COL) -> Column:
+    """array<long> of estimated counts for ``items`` (literals) per sketch."""
+    hashes = _hash_literals(df, items)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _q(s: pd.Series) -> pd.Series:
+        return pd.Series([cms.query(cms.decode(b), hashes).tolist() for b in s])
+
+    return _q(F.col(sketch_col))
+
+
+def kll_quantiles_col(qs: Sequence[float], sketch_col: str = SKETCH_COL) -> Column:
+    qarr = np.asarray(list(qs), dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _q(s: pd.Series) -> pd.Series:
+        return pd.Series([kll.decode(b).quantile(qarr).tolist() for b in s])
+
+    return _q(F.col(sketch_col))
+
+
+def tdigest_quantiles_col(qs: Sequence[float], sketch_col: str = SKETCH_COL) -> Column:
+    qarr = np.asarray(list(qs), dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _q(s: pd.Series) -> pd.Series:
+        return pd.Series([tdigest.decode(b).quantile(qarr).tolist() for b in s])
+
+    return _q(F.col(sketch_col))
+
+
+def bloom_might_contain_col(col: str | Column, sketch_bytes: bytes) -> Column:
+    """Boolean membership column against a broadcast-style Bloom sketch
+    (closure-captured bytes — a few KB-MB; usable as a semi-join
+    pre-filter: ``big.filter(bloom_might_contain_col("key", blm))``)."""
+    state, k = bloom.decode(sketch_bytes)
+
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def _contains(h: pd.Series) -> pd.Series:
+        return pd.Series(bloom.contains(state, h.to_numpy(), k))
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _contains(F.xxhash64(c))

@@ -1,0 +1,198 @@
+"""Extension sketch kernels (SURVEY.md §2.4): published-bound error gates,
+merge associativity/commutativity, serialization round-trips."""
+
+import numpy as np
+import pytest
+
+from pfutil_spark.kernel import bloom, cms, kll, tdigest
+from pfutil_spark.kernel.sketch_common import splitmix64
+
+
+def hashes_of(ids) -> np.ndarray:
+    return splitmix64(np.asarray(ids, dtype=np.uint64))
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+class TestCMS:
+    def test_exact_for_small_sets(self):
+        s = cms.empty()
+        ids = np.repeat(np.arange(50), np.arange(1, 51))  # item i occurs i+1 times
+        cms.update(s, hashes_of(ids))
+        est = cms.query(s, hashes_of(np.arange(50)))
+        np.testing.assert_array_equal(est, np.arange(1, 51))
+
+    def test_overcount_bound(self):
+        s = cms.empty(depth=5, width=2048)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 50_000, size=200_000)
+        cms.update(s, hashes_of(ids))
+        exact = np.bincount(ids, minlength=50_000)
+        est = cms.query(s, hashes_of(np.arange(50_000)))
+        assert (est >= exact).all()  # never undercounts
+        eps, delta = cms.error_bound(5, 2048)
+        n = len(ids)
+        frac_over = ((est - exact) > eps * n).mean()
+        assert frac_over <= delta * 5  # generous slack on the tail prob
+
+    def test_merge_is_sum_and_orderless(self):
+        rng = np.random.default_rng(1)
+        parts = [hashes_of(rng.integers(0, 1000, size=5000)) for _ in range(4)]
+        states = []
+        for p in parts:
+            s = cms.empty()
+            cms.update(s, p)
+            states.append(s)
+        merged = cms.merge(states)
+        merged_rev = cms.merge(states[::-1])
+        np.testing.assert_array_equal(merged, merged_rev)
+        whole = cms.empty()
+        cms.update(whole, np.concatenate(parts))
+        np.testing.assert_array_equal(merged, whole)
+        assert cms.total(merged) == 20_000
+
+    def test_weighted_update_and_roundtrip(self):
+        s = cms.empty(depth=3, width=64)
+        cms.update(s, hashes_of([1, 2]), counts=np.array([10, 5]))
+        est = cms.query(s, hashes_of([1, 2]))
+        assert est[0] >= 10 and est[1] >= 5
+        s2 = cms.decode(cms.encode(s))
+        np.testing.assert_array_equal(s, s2)
+        with pytest.raises(ValueError):
+            cms.decode(b"XXXX" + bytes(16))
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        m, k = bloom.params_for(10_000, fpr=0.01)
+        s = bloom.empty(m)
+        members = hashes_of(np.arange(10_000))
+        bloom.update(s, members, k)
+        assert bloom.contains(s, members, k).all()
+
+    def test_fpr_within_target(self):
+        m, k = bloom.params_for(10_000, fpr=0.01)
+        s = bloom.empty(m)
+        bloom.update(s, hashes_of(np.arange(10_000)), k)
+        non_members = hashes_of(np.arange(1_000_000, 1_100_000))
+        fpr = bloom.contains(s, non_members, k).mean()
+        assert fpr <= 0.03  # 3x target as slack
+
+    def test_merge_or_idempotent_orderless(self):
+        m, k = 1 << 16, 5
+        a, b = bloom.empty(m), bloom.empty(m)
+        bloom.update(a, hashes_of(np.arange(0, 500)), k)
+        bloom.update(b, hashes_of(np.arange(400, 900)), k)
+        ab = bloom.merge([a, b])
+        ba = bloom.merge([b, a])
+        np.testing.assert_array_equal(ab, ba)
+        np.testing.assert_array_equal(bloom.merge([ab, a]), ab)  # idempotent
+        assert bloom.contains(ab, hashes_of(np.arange(0, 900)), k).all()
+
+    def test_roundtrip(self):
+        m, k = 1 << 12, 3
+        s = bloom.empty(m)
+        bloom.update(s, hashes_of([7, 8, 9]), k)
+        s2, k2 = bloom.decode(bloom.encode(s, k))
+        assert k2 == k
+        np.testing.assert_array_equal(s, s2)
+
+
+# ---------------------------------------------------------------------------
+# KLL
+# ---------------------------------------------------------------------------
+
+class TestKLL:
+    def test_rank_error_bound(self):
+        rng = np.random.default_rng(2)
+        data = rng.normal(size=100_000)
+        sk = kll.KllSketch(200)
+        for chunk in np.array_split(data, 10):
+            sk.update(chunk)
+        assert sk.n == len(data)
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = sk.quantile(q)
+            true_rank = (data <= est).mean()
+            assert abs(true_rank - q) <= 0.025, (q, est, true_rank)
+
+    def test_merge_matches_whole_within_bound(self):
+        rng = np.random.default_rng(3)
+        data = rng.exponential(size=60_000)
+        parts = np.array_split(data, 6)
+        sketches = []
+        for p in parts:
+            s = kll.KllSketch(200)
+            s.update(p)
+            sketches.append(s)
+        merged = kll.merge_all(sketches)
+        assert merged.n == len(data)
+        for q in (0.1, 0.5, 0.9):
+            est = merged.quantile(q)
+            true_rank = (data <= est).mean()
+            assert abs(true_rank - q) <= 0.03
+
+    def test_rank_query_and_roundtrip(self):
+        sk = kll.KllSketch(200)
+        sk.update(np.arange(10_000, dtype=float))
+        assert abs(sk.rank(5000.0) - 0.5) <= 0.03
+        sk2 = kll.decode(sk.encode())
+        assert sk2.n == sk.n
+        np.testing.assert_array_equal(sk2.quantile([0.25, 0.5]), sk.quantile([0.25, 0.5]))
+        with pytest.raises(ValueError):
+            kll.decode(b"NOPE" + bytes(30))
+
+    def test_nan_ignored_empty_quantile(self):
+        sk = kll.KllSketch()
+        sk.update(np.array([np.nan, np.nan]))
+        assert sk.n == 0
+        assert np.isnan(sk.quantile(0.5))
+
+
+# ---------------------------------------------------------------------------
+# t-digest
+# ---------------------------------------------------------------------------
+
+class TestTDigest:
+    def test_quantile_accuracy_tails(self):
+        rng = np.random.default_rng(4)
+        data = rng.normal(size=200_000)
+        td = tdigest.TDigest(100)
+        for chunk in np.array_split(data, 4):
+            td.update(chunk)
+        assert td.n == len(data)
+        assert len(td.means) <= 120  # bounded by ~delta
+        for q, tol in ((0.001, 0.002), (0.01, 0.005), (0.5, 0.02), (0.99, 0.005), (0.999, 0.002)):
+            est = td.quantile(q)
+            true_rank = (data <= est).mean()
+            assert abs(true_rank - q) <= tol, (q, est, true_rank)
+
+    def test_merge_matches_whole_within_bound(self):
+        rng = np.random.default_rng(5)
+        data = rng.lognormal(size=80_000)
+        parts = np.array_split(data, 8)
+        digests = []
+        for p in parts:
+            d = tdigest.TDigest(100)
+            d.update(p)
+            digests.append(d)
+        merged = tdigest.merge_all(digests)
+        assert abs(merged.n - len(data)) < 1e-6
+        for q in (0.05, 0.5, 0.95):
+            est = merged.quantile(q)
+            true_rank = (data <= est).mean()
+            assert abs(true_rank - q) <= 0.02
+
+    def test_cdf_min_max_and_roundtrip(self):
+        td = tdigest.TDigest(100)
+        td.update(np.arange(1000, dtype=float))
+        assert td.quantile(0.0) == 0.0 and td.quantile(1.0) == 999.0
+        assert abs(td.cdf(500.0) - 0.5) <= 0.02
+        td2 = tdigest.decode(td.encode())
+        np.testing.assert_allclose(td2.quantile([0.1, 0.9]), td.quantile([0.1, 0.9]))
+        assert td2.vmin == td.vmin and td2.vmax == td.vmax

@@ -1,0 +1,106 @@
+"""Distributed extension-sketch tests: Spark two-phase plan vs exact /
+vs pure-kernel results, partition invariance of exact-merge sketches."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pfutil_spark.kernel import bloom as bloom_k
+from pfutil_spark.operators.sketch_agg import (
+    bloom_might_contain_col,
+    bloom_sketch,
+    cms_counts_col,
+    cms_sketch,
+    kll_quantiles_col,
+    kll_sketch,
+    tdigest_quantiles_col,
+    tdigest_sketch,
+)
+
+
+def events(spark, sf="sf0.001"):
+    return spark.read.parquet(f"/root/testdata/{sf}/events.parquet")
+
+
+class TestCMSSpark:
+    def test_counts_vs_exact(self, spark):
+        ev = events(spark)
+        sk = cms_sketch(ev, "event_type", by=())
+        items = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+        est = sk.select(cms_counts_col(sk, items).alias("counts")).collect()[0]["counts"]
+        exact = {r["event_type"]: r["cnt"] for r in
+                 ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        n = ev.count()
+        eps = np.e / 2048
+        for item, e in zip(items, est):
+            assert e >= exact[item]
+            assert e - exact[item] <= eps * n * 3
+
+    @pytest.mark.parametrize("partitions", [1, 7])
+    def test_partition_invariant_bytes(self, spark, partitions):
+        ev = events(spark).repartition(partitions)
+        sk = cms_sketch(ev, "user_id", by=()).collect()[0]["sketch"]
+        base = cms_sketch(events(spark).coalesce(1), "user_id", by=()).collect()[0]["sketch"]
+        assert bytes(sk) == bytes(base)  # CMS merge is exact addition
+
+
+class TestBloomSpark:
+    def test_membership_and_semijoin_filter(self, spark):
+        ev = events(spark)
+        some_users = ev.filter(F.col("user_id") % 3 == 0)
+        sk = bloom_sketch(some_users, "user_id", expected_n=5000).collect()[0]["sketch"]
+        # no false negatives through the Spark surface
+        flagged = ev.withColumn(
+            "maybe", bloom_might_contain_col("user_id", bytes(sk))
+        )
+        missed = flagged.filter((F.col("user_id") % 3 == 0) & ~F.col("maybe")).count()
+        assert missed == 0
+        # filter actually prunes most non-members
+        kept = flagged.filter(F.col("maybe")).count()
+        total = ev.count()
+        members = ev.filter(F.col("user_id") % 3 == 0).count()
+        assert kept < total
+        assert kept >= members
+
+    def test_grouped_bloom(self, spark):
+        ev = events(spark)
+        rows = bloom_sketch(ev, "user_id", by=("event_type",), expected_n=5000).collect()
+        assert len(rows) == ev.select("event_type").distinct().count()
+        for r in rows:
+            state, k = bloom_k.decode(bytes(r["sketch"]))
+            assert 0 < bloom_k.fill_ratio(state) < 0.7
+
+
+class TestQuantileSketchesSpark:
+    def test_kll_quantiles_vs_exact(self, spark):
+        ev = events(spark, "sf0.01")
+        sk = kll_sketch(ev, "value", by=())
+        qs = [0.1, 0.5, 0.9]
+        est = sk.select(kll_quantiles_col(qs).alias("q")).collect()[0]["q"]
+        vals = np.array([r["value"] for r in ev.select("value").collect()])
+        for q, e in zip(qs, est):
+            true_rank = (vals <= e).mean()
+            assert abs(true_rank - q) <= 0.03, (q, e, true_rank)
+
+    def test_tdigest_grouped_vs_exact(self, spark):
+        ev = events(spark, "sf0.01")
+        sk = tdigest_sketch(ev, "value", by=("event_type",))
+        rows = sk.select("event_type", tdigest_quantiles_col([0.5]).alias("q")).collect()
+        pdf = ev.select("event_type", "value").toPandas()
+        for r in rows:
+            vals = pdf[pdf["event_type"] == r["event_type"]]["value"].to_numpy()
+            true_rank = (vals <= r["q"][0]).mean()
+            assert abs(true_rank - 0.5) <= 0.05, (r["event_type"], true_rank)
+
+    def test_null_values_ignored(self, spark):
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": [1.0, None, 3.0, None, 5.0]})
+        )
+        est = (
+            kll_sketch(df, "v", by=())
+            .select(kll_quantiles_col([0.5]).alias("q"))
+            .collect()[0]["q"]
+        )
+        assert est[0] == 3.0
