@@ -199,6 +199,160 @@ def _q_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.functions.text import token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length(F.col("text"))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[\.,;:!\?\"'`]", ""))
+    return d.select(
+        "doc_id",
+        token_count_col("text").alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_chars.alias("n_chars_calc"),
+    )
+
+
+def _q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _q_fingerprint_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash doc fingerprint is a pure function of content:
+    every group of identical texts must have exactly one distinct
+    fingerprint — materialized as a boolean the oracle can check."""
+    from pfutil_spark.operators.dedup import fingerprint_col_df
+
+    d = _t(spark, sf_dir, "documents")
+    fp = fingerprint_col_df(d, "text", "doc_id")
+    joined = d.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha")).join(
+        fp, "doc_id"
+    )
+    return joined.groupBy("content_sha").agg(
+        (F.countDistinct("fingerprint") == 1).alias("consistent")
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.operators.similarity import cosine_to_query_col
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+    return (
+        e.select(
+            "vec_id",
+            F.round(cosine_to_query_col("embedding", qv), 4).alias("cosine_r"),
+        )
+        .orderBy(F.col("cosine_r").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _q_cms_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point estimates vs exact counts: never undercounts, and
+    overcount <= 3*eps*N — boolean per event_type, oracle-checkable."""
+    import math
+
+    from pfutil_spark.operators.sketch_agg import cms_counts_col, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "event_type", by=())
+    items = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
+    n = ev.count()
+    eps = math.e / 2048
+    est_row = sk.select(cms_counts_col(sk, items).alias("counts"))
+    est = est_row.select(
+        F.posexplode(F.col("counts")).alias("pos", "est")
+    ).withColumn("event_type", F.array(*[F.lit(i) for i in items])[F.col("pos")])
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact"))
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            (
+                (F.col("est") >= F.col("exact"))
+                & ((F.col("est") - F.col("exact")) <= F.lit(3 * eps * n))
+            ).alias("within_bound"),
+        )
+    )
+
+
+def _q_kll_median_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL median rank error <= 0.03 per event_type — boolean oracle."""
+    from pfutil_spark.operators.sketch_agg import kll_quantiles_col, kll_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    med = kll_sketch(ev, "value", by=("event_type",)).select(
+        "event_type", kll_quantiles_col([0.5]).alias("q")
+    ).select("event_type", F.col("q")[0].alias("median_est"))
+    ranked = ev.join(med, "event_type").groupBy("event_type").agg(
+        F.avg((F.col("value") <= F.col("median_est")).cast("double")).alias("rank_of_est")
+    )
+    return ranked.select(
+        "event_type",
+        (F.abs(F.col("rank_of_est") - 0.5) <= 0.03).alias("within_bound"),
+    )
+
+
+def _q_bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.operators.sketch_agg import bloom_might_contain_col, bloom_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    members = ev.filter(F.col("user_id") % 3 == 0)
+    sk = bloom_sketch(members, "user_id", expected_n=10_000).collect()[0]["sketch"]
+    flagged = ev.withColumn("maybe", bloom_might_contain_col("user_id", bytes(sk)))
+    return flagged.select(
+        (
+            F.count(F.lit(1))
+            == F.count(F.when((F.col("user_id") % 3 != 0) | F.col("maybe"), 1))
+        ).alias("no_false_negatives")
+    )
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", 64, 16, 5, min_jaccard=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+def _q_langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.functions.text import lang_id_col
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(lang_id_col("text").alias("pred"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.operators.similarity import ann_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
+    return ann_topk_lsh(e, "embedding", "vec_id", qv, k=10)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.operators.multimodal import image_features, synthetic_media_table
+
+    return image_features(synthetic_media_table(spark, n=64)).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -210,10 +364,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users": _q_top_users,
         "nation_region_rollup": _q_nation_region_rollup,
         "hll_error_bound": _q_hll_error_bound,
-        # sketch queries (rows-only driver check; pytest gates exactness)
+        "text_quality": _q_text_quality,
+        "exact_dedup_groups": _q_exact_dedup_groups,
+        "fingerprint_consistency": _q_fingerprint_consistency,
+        "embedding_topk": _q_embedding_topk,
+        "cms_within_bound": _q_cms_within_bound,
+        "kll_median_bound": _q_kll_median_bound,
+        "bloom_no_false_negatives": _q_bloom_no_false_negatives,
+        # sketch/dedup/ANN queries (rows-only driver check; pytest gates
+        # exactness and error bounds)
         "hll_text_by_lang": _q_hll_text_by_lang,
         "hll_users_global": _q_hll_users_global,
         "hll_v5_orderkey_by_flag": _q_hll_v5_orderkey_by_flag,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "langid_distribution": _q_langid_distribution,
+        "ann_topk": _q_ann_topk,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -262,5 +429,40 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_error_bound": (
             "SELECT lang, TRUE AS within_bound FROM documents GROUP BY lang"
+        ),
+        "text_quality": (
+            "SELECT doc_id,"
+            " CASE WHEN length(trim(text)) = 0 THEN 0"
+            "      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,"
+            " length(text) - length(regexp_replace(text, '[.,;:!?\"''`]', '', 'g'))"
+            "   AS n_punct,"
+            " length(text) AS n_chars_calc"
+            " FROM documents"
+        ),
+        "exact_dedup_groups": (
+            "SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,"
+            " count(*) AS dup_cnt FROM documents GROUP BY sha256(text)"
+        ),
+        "fingerprint_consistency": (
+            "SELECT sha256(text) AS content_sha, TRUE AS consistent"
+            " FROM documents GROUP BY sha256(text)"
+        ),
+        "embedding_topk": (
+            "WITH q AS (SELECT ["
+            + ",".join("1.0" if i % 2 == 0 else "-0.5" for i in range(64))
+            + "]::DOUBLE[] AS v)"
+            " SELECT vec_id,"
+            " round(list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM q)), 4)"
+            "   AS cosine_r"
+            " FROM embeddings ORDER BY cosine_r DESC, vec_id ASC LIMIT 10"
+        ),
+        "cms_within_bound": (
+            "SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type"
+        ),
+        "kll_median_bound": (
+            "SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type"
+        ),
+        "bloom_no_false_negatives": (
+            "SELECT TRUE AS no_false_negatives"
         ),
     }

@@ -1,0 +1,90 @@
+"""Text-analysis columns for training-data pipelines: token counting,
+quality scoring, language ID — all pure Spark built-in expressions
+(JVM codegen, no Python in the hot path), so they compose with any scan
+and stay SQL-oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count_col(text: str | Column) -> Column:
+    """Whitespace-token count (0 for empty/blank)."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_like_token_count_col(text: str | Column) -> Column:
+    """BPE-ish token proxy: count of word/number/punctuation-run matches
+    (regexp-based; a common pre-tokenizer shape)."""
+    c = F.col(text) if isinstance(text, str) else text
+    arr = F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    return F.size(F.filter(arr, lambda t: F.length(F.trim(t)) > 0))
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Adds standard quality-scoring features: n_chars, n_tokens,
+    avg_token_len, punct_ratio, digit_ratio, upper_ratio, stopword_ratio
+    (English stopword proxy)."""
+    c = F.col(text)
+    n_chars = F.length(c)
+    n_tokens = token_count_col(c)
+    stop = "(?i)\\b(the|a|an|and|or|of|to|in|is|are|was|were|it|that|this|for|on|with|as)\\b"
+    n_stop = F.size(F.regexp_extract_all(c, F.lit(stop), F.lit(0)))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[\.,;:!\?\"'`]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    safe = F.greatest(n_chars.cast("double"), F.lit(1.0))
+    safe_t = F.greatest(n_tokens.cast("double"), F.lit(1.0))
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        (n_chars / safe_t).alias("avg_token_len"),
+        (n_punct / safe).alias("punct_ratio"),
+        (n_digit / safe).alias("digit_ratio"),
+        (n_upper / safe).alias("upper_ratio"),
+        (n_stop / safe_t).alias("stopword_ratio"),
+    )
+
+
+# language-ID: tiny per-language stopword/diacritic evidence lists.
+# n-gram/stopword heuristics are the classic cheap langid approach; this is
+# intentionally simple (and measured: see tests/test_text_ops.py accuracy
+# gate on the documents table).
+_LANG_EVIDENCE = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "es": ["el", "la", "los", "las", "que", "de", "y", "es", "en", "por"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+}
+
+
+def lang_id_col(text: str | Column) -> Column:
+    """Heuristic language ID over {en,de,es,fr,zh}: CJK characters win for
+    zh; otherwise the language with the most stopword hits (ties break by
+    the fixed en>de>es>fr order via greatest-of-structs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    words = F.split(lowered, r"[^\p{L}]+")
+    scores = []
+    for lang, evidence in _LANG_EVIDENCE.items():
+        ev = F.array(*[F.lit(w) for w in evidence])
+        scores.append(
+            F.struct(
+                F.size(F.array_intersect(words, ev)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    has_cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) > 0
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("unknown"))
+    )

@@ -1,0 +1,369 @@
+"""Deduplication operators for training-data pipelines.
+
+* exact dedup — hash-groupBy (pure DataFrame ops, SQL-oracle-able)
+* MinHash + LSH banding (Broder 1997; Leskovec/Rajaraman/Ullman MMDS ch.3)
+  — near-duplicate candidate pairs at scale via band-bucket equi-join
+* SimHash (Charikar 2002; Manku et al. WWW'07 pigeonhole chunking)
+* exact n-gram Jaccard verification for candidate pairs
+
+The per-document shingling is fully vectorized: character k-gram hashes
+are computed over the WHOLE Arrow batch buffer with k shifted
+multiply-adds (no per-row Python, no recurrence), then per-document
+aggregations use ``np.minimum.reduceat`` / ``np.add.reduceat`` over the
+Arrow offsets. Signatures travel as compact arrays; candidate generation
+is a plain shuffle join on (band, band_hash) — the plan Spark optimizes
+like any other equi-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from pfutil_spark.kernel.sketch_common import splitmix64
+
+_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for k-gram hashing
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """One row per distinct content hash: (content_sha, keep_id, dup_cnt).
+    Keep-policy: smallest id wins (deterministic)."""
+    return (
+        df.select(F.sha2(F.col(text), 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def exact_dedup(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """The deduplicated table: keeps the smallest-id row per content."""
+    keep = exact_dedup_groups(df, text, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# vectorized k-gram machinery (shared by MinHash / SimHash / fingerprints)
+# ---------------------------------------------------------------------------
+
+def _kgram_hashes(data: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-gram (character shingle) hashes of every document in a batch.
+
+    Returns (window_hashes, window_doc_starts): hashes laid out doc-major;
+    ``window_doc_starts`` has len n_docs+1 (reduceat-ready segment bounds).
+    Windows never cross document boundaries. Docs shorter than k get zero
+    windows.
+    """
+    offsets = offsets.astype(np.int64, copy=False)
+    lens = np.diff(offsets)
+    n_docs = len(lens)
+    seg = np.ascontiguousarray(data[int(offsets[0]) : int(offsets[-1])])
+    total = len(seg)
+    if total < k:
+        return np.empty(0, np.uint64), np.zeros(n_docs + 1, np.int64)
+    # h[i] = sum_j seg[i+j] * B^j  — k shifted multiply-adds, no recurrence
+    with np.errstate(over="ignore"):
+        h = np.zeros(total - k + 1, dtype=np.uint64)
+        mult = np.uint64(1)
+        for j in range(k):
+            h += seg[j : total - k + 1 + j].astype(np.uint64) * mult
+            mult = mult * _B
+        h = splitmix64(h)
+    # valid window starts for doc d: [offsets[d], offsets[d+1]-k] (rel seg)
+    starts_rel = offsets[:-1] - offsets[0]
+    ends_rel = offsets[1:] - offsets[0]
+    n_windows = np.maximum(ends_rel - starts_rel - (k - 1), 0)
+    doc_bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_windows, out=doc_bounds[1:])
+    # gather: for each doc, its window hashes are h[starts_rel[d] : starts_rel[d]+n_windows[d]]
+    gather_idx = np.repeat(starts_rel, n_windows) + (
+        np.arange(doc_bounds[-1], dtype=np.int64) - np.repeat(doc_bounds[:-1], n_windows)
+    )
+    return h[gather_idx], doc_bounds
+
+
+def _segment_min(values: np.ndarray, bounds: np.ndarray, empty_val: int) -> np.ndarray:
+    """Per-segment min with empty-segment handling."""
+    n = len(bounds) - 1
+    out = np.full(n, empty_val, dtype=np.uint64)
+    nonempty = bounds[:-1] < bounds[1:]
+    if nonempty.any():
+        starts = bounds[:-1][nonempty]
+        mins = np.minimum.reduceat(values, starts)
+        out[nonempty] = mins
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, text: str, id_col: str,
+    num_hashes: int = 64, k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash signature per document.
+    Jaccard(A,B) ~= fraction of matching signature positions."""
+    from pfutil_spark.operators.hll_agg import _varbin_buffers
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pruned = df.select(id_col, text)
+    schema = StructType(
+        [df.schema[id_col], StructField("sig", ArrayType(LongType()), False)]
+    )
+    seeds = splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            t = batch.column(text)
+            if t.null_count:
+                batch = batch.filter(pc.is_valid(t))
+                t = batch.column(text)
+            if len(batch) == 0:
+                continue
+            data, offsets = _varbin_buffers(t)
+            wh, bounds = _kgram_hashes(data, offsets, k)
+            n_docs = len(bounds) - 1
+            sig = np.empty((num_hashes, n_docs), dtype=np.uint64)
+            for j in range(num_hashes):
+                with np.errstate(over="ignore"):
+                    mixed = wh ^ seeds[j]
+                    mixed = splitmix64(mixed)
+                sig[j] = _segment_min(mixed, bounds, int(sentinel))
+            sig_i64 = np.ascontiguousarray(sig.T).view(np.int64)
+            list_offsets = pa.array(
+                np.arange(0, (n_docs + 1) * num_hashes, num_hashes, dtype=np.int32)
+            )
+            sig_arr = pa.ListArray.from_arrays(list_offsets, pa.array(sig_i64.ravel()))
+            yield pa.record_batch(
+                [batch.column(id_col), sig_arr], names=[id_col, "sig"]
+            )
+
+    return pruned.mapInArrow(fn, schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text: str, id_col: str,
+    num_hashes: int = 64, bands: int = 16, k: int = 5,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b, est_jaccard) via LSH
+    banding: docs sharing any band bucket become candidates; their full
+    signatures estimate Jaccard; filter at ``min_jaccard``.
+
+    Scale shape: explode to (band, band_hash, id) -> shuffle join on the
+    band bucket (equi-join, broadcast-able statistics, AQE-skew-safe) ->
+    distinct pairs -> signature re-check. Never quadratic in corpus size,
+    only in per-bucket membership.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text, id_col, num_hashes, k).persist()
+
+    band_cols = [
+        F.xxhash64(
+            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+            F.lit(i),
+        ).alias(f"b{i}")
+        for i in range(bands)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    melted = banded.unpivot(
+        [id_col], [f"b{i}" for i in range(bands)], "band", "band_hash"
+    )
+    left = melted.alias("l")
+    right = melted.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                        lambda x: x,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= min_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, text: str, id_col: str, k: int = 4) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over character k-gram hashes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pfutil_spark.operators.hll_agg import _varbin_buffers
+
+    pruned = df.select(id_col, text)
+    schema = StructType([df.schema[id_col], StructField("simhash", LongType(), False)])
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            t = batch.column(text)
+            if t.null_count:
+                batch = batch.filter(pc.is_valid(t))
+                t = batch.column(text)
+            if len(batch) == 0:
+                continue
+            data, offsets = _varbin_buffers(t)
+            wh, bounds = _kgram_hashes(data, offsets, k)
+            n_docs = len(bounds) - 1
+            votes = np.zeros((64, n_docs), dtype=np.int64)
+            n_windows = np.diff(bounds)
+            nonempty = bounds[:-1] < bounds[1:]
+            starts = bounds[:-1][nonempty]
+            for b in range(64):
+                bit = ((wh >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                if nonempty.any():
+                    ones = np.add.reduceat(bit, starts)
+                    votes[b][nonempty] = 2 * ones - n_windows[nonempty]
+            sim = np.zeros(n_docs, dtype=np.uint64)
+            for b in range(64):
+                sim |= (votes[b] > 0).astype(np.uint64) << np.uint64(b)
+            yield pa.record_batch(
+                [batch.column(id_col), pa.array(sim.view(np.int64))],
+                names=[id_col, "simhash"],
+            )
+
+    return pruned.mapInArrow(fn, schema)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text: str, id_col: str,
+    max_hamming: int = 3, k: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming,
+    found via pigeonhole chunking (Manku et al.): split the 64-bit
+    signature into 4 x 16-bit chunks — any pair within distance 3 shares
+    at least one exact chunk, so candidates come from 4 equi-joins, never
+    a cross join."""
+    sigs = simhash_signatures(df, text, id_col, k).persist()
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        *[
+            F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+            for i in range(4)
+        ],
+    )
+    cands = None
+    for i in range(4):
+        l = chunks.alias("l")
+        r = chunks.alias("r")
+        c = l.join(
+            r,
+            (F.col(f"l.c{i}") == F.col(f"r.c{i}"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash document fingerprint
+# ---------------------------------------------------------------------------
+
+def fingerprint_col_df(df: DataFrame, text: str, id_col: str, k: int = 8) -> DataFrame:
+    """(id, fingerprint: long) — min k-gram rolling hash per document
+    (the winnowing family's doc-level fingerprint; identical content =>
+    identical fingerprint, robust to reordering of large blocks)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pfutil_spark.operators.hll_agg import _varbin_buffers
+
+    pruned = df.select(id_col, text)
+    schema = StructType([df.schema[id_col], StructField("fingerprint", LongType(), False)])
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            t = batch.column(text)
+            if t.null_count:
+                batch = batch.filter(pc.is_valid(t))
+                t = batch.column(text)
+            if len(batch) == 0:
+                continue
+            data, offsets = _varbin_buffers(t)
+            wh, bounds = _kgram_hashes(data, offsets, k)
+            fp = _segment_min(wh, bounds, int(sentinel))
+            yield pa.record_batch(
+                [batch.column(id_col), pa.array(fp.view(np.int64))],
+                names=[id_col, "fingerprint"],
+            )
+
+    return pruned.mapInArrow(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification of candidate pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Exact character-k-gram Jaccard for given (id_a, id_b) pairs.
+    Candidate sets are small by construction (post-LSH), so the per-pair
+    set intersection runs on the joined pair rows."""
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text).alias("text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text).alias("text_b"))
+    joined = pairs.join(ta, "id_a").join(tb, "id_b")
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):  # per-PAIR (post-LSH), not per-row-of-corpus
+            sx = {x[j : j + k] for j in range(max(len(x) - k + 1, 0))}
+            sy = {y[j : j + k] for j in range(max(len(y) - k + 1, 0))}
+            u = len(sx | sy)
+            out[i] = (len(sx & sy) / u) if u else 1.0
+        return pd.Series(out)
+
+    return joined.select("id_a", "id_b", _jac("text_a", "text_b").alias("jaccard"))

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — pure Spark expressions (zip_with/aggregate
+  dot products, JVM codegen; Catalyst prunes + pushes down), the exact
+  baseline
+* random-hyperplane LSH (Charikar 2002) — sign-bit bucket signatures for
+  the scale path: candidates come from an equi-join on bucket id, then
+  exact cosine re-ranks inside buckets
+
+Hyperplanes are generated from a fixed seed, so bucket assignment is
+deterministic and reproducible across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def cosine_to_query_col(emb: str | Column, query_vec: list[float]) -> Column:
+    """cosine(embedding, literal query) as a pure Spark expression."""
+    e = F.col(emb) if isinstance(emb, str) else emb
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(e, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_e = F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    qn = float(np.sqrt(np.sum(np.square(np.asarray(query_vec, dtype=np.float64)))))
+    return dot / (norm_e * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame, emb: str, id_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact brute-force top-k by cosine to a query vector (the baseline;
+    fully parallel scan + a k-row ordered take)."""
+    return (
+        df.select(id_col, cosine_to_query_col(emb, query_vec).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(emb: str | Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane signature (sign bits packed into a long) — the
+    LSH bucket id. Vectorized pandas UDF: one (batch x dim) @ (dim x p)
+    matmul per Arrow batch."""
+    planes = _hyperplanes(dim, n_planes, seed).T  # (dim, p)
+
+    @F.pandas_udf(LongType())
+    def _bucket(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.vstack(s.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (mat @ planes) > 0  # (n, p)
+        weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
+        return pd.Series(signs @ weights)
+
+    e = F.col(emb) if isinstance(emb, str) else emb
+    return _bucket(e)
+
+
+def ann_topk_lsh(
+    df: DataFrame, emb: str, id_col: str, query_vec: list[float],
+    k: int = 10, n_planes: int = 8, seed: int = 42, n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent hyperplane tables; in
+    each, candidates are the query's bucket plus all Hamming-distance-1
+    buckets (multi-probe); exact cosine re-rank over the union. Candidate
+    set ~ n_tables * (p+1) * n / 2^p instead of n."""
+    dim = len(query_vec)
+    q = np.asarray(query_vec, dtype=np.float64)
+    pred = None
+    bucketed = df
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        qsig = int(
+            ((planes @ q) > 0).astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64))
+        )
+        probes = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
+        bucketed = bucketed.withColumn(
+            f"__bucket{t}", lsh_bucket_col(emb, dim, n_planes, seed + t)
+        )
+        clause = F.col(f"__bucket{t}").isin(probes)
+        pred = clause if pred is None else (pred | clause)
+    cand = bucketed.filter(pred)
+    return cosine_topk(cand, emb, id_col, query_vec, k)
+
+
+def all_pairs_above(
+    df: DataFrame, emb: str, id_col: str,
+    min_cosine: float = 0.95, n_planes: int = 12, seed: int = 42, dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH bucket equi-join (never a cross
+    join) -> exact cosine filter at ``min_cosine``."""
+    if dim is None:
+        dim = len(df.select(emb).first()[0])
+    bucketed = df.select(
+        F.col(id_col), F.col(emb), lsh_bucket_col(emb, dim, n_planes, seed).alias("__b")
+    ).persist()
+    l = bucketed.alias("l")
+    r = bucketed.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.__b") == F.col("r.__b"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(f"l.{emb}"), F.col(f"r.{emb}"), lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.{emb}"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (dot / (norm("l") * norm("r"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .distinct()
+    )

@@ -1,0 +1,203 @@
+"""Text analysis, dedup, and similarity operators over the documents /
+embeddings test tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pfutil_spark.functions.text import (
+    lang_id_col,
+    quality_features,
+    token_count_col,
+    word_like_token_count_col,
+)
+from pfutil_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    fingerprint_col_df,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+from pfutil_spark.operators.similarity import (
+    all_pairs_above,
+    ann_topk_lsh,
+    cosine_topk,
+)
+
+
+def docs(spark, sf="sf0.001"):
+    return spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+
+
+def embs(spark, sf="sf0.001"):
+    return spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+
+
+class TestText:
+    def test_token_count_matches_python(self, spark):
+        rows = (
+            docs(spark)
+            .select("doc_id", "text", token_count_col("text").alias("n"))
+            .collect()[:50]
+        )
+        for r in rows:
+            assert r["n"] == len(r["text"].split()), r["doc_id"]
+
+    def test_word_like_tokens_positive(self, spark):
+        rows = docs(spark).select(word_like_token_count_col("text").alias("n")).collect()
+        assert all(r["n"] > 0 for r in rows)
+
+    def test_quality_features_ranges(self, spark):
+        q = quality_features(docs(spark)).collect()
+        for r in q:
+            assert r["n_chars_q"] == len(r["text"])
+            assert 0 <= r["punct_ratio"] <= 1
+            assert 0 <= r["digit_ratio"] <= 1
+            assert 0 <= r["upper_ratio"] <= 1
+            assert r["stopword_ratio"] >= 0
+
+    def test_lang_id_on_curated_sentences(self, spark):
+        # the documents table's lang label is independent of its synthetic
+        # text, so accuracy is gated on real sentences instead
+        import pandas as pd
+
+        samples = [
+            ("en", "The quick brown fox jumps over the lazy dog and it is fine."),
+            ("en", "This is a test of the language detector for the English text."),
+            ("de", "Der Hund ist nicht allein und die Katze schläft auf dem Sofa."),
+            ("de", "Das ist ein einfacher Satz und die Antwort ist nicht schwer."),
+            ("es", "El perro y el gato están en la casa que es de los abuelos."),
+            ("es", "La vida es bella y el tiempo pasa rápido por las calles."),
+            ("fr", "Le chien et le chat sont dans la maison pour la nuit."),
+            ("fr", "C'est une belle journée et les enfants jouent dans le parc."),
+            ("zh", "今天天气很好，我们一起去公园散步吧。"),
+            ("zh", "这是一个测试句子，用来检测中文。"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(samples, columns=["lang", "text"]))
+        rows = df.select("lang", lang_id_col("text").alias("pred")).collect()
+        acc = sum(r["lang"] == r["pred"] for r in rows) / len(rows)
+        assert acc >= 0.9, [(r["lang"], r["pred"]) for r in rows]
+        # and on the documents table it runs and emits only known labels
+        labels = {
+            r["pred"]
+            for r in docs(spark).select(lang_id_col("text").alias("pred")).collect()
+        }
+        assert labels <= {"en", "de", "es", "fr", "zh", "unknown"}
+
+
+class TestDedup:
+    def test_exact_dedup_groups_and_semijoin(self, spark):
+        d = docs(spark)
+        groups = exact_dedup_groups(d, "text", "doc_id")
+        n_distinct = d.select("text").distinct().count()
+        assert groups.count() == n_distinct
+        deduped = exact_dedup(d, "text", "doc_id")
+        assert deduped.count() == n_distinct
+        assert deduped.select("text").distinct().count() == n_distinct
+
+    def test_minhash_identical_docs_match(self, spark):
+        import pandas as pd
+
+        base = docs(spark).limit(5).toPandas()
+        # duplicate each doc with a new id; append a lightly-edited copy
+        dup = base.copy()
+        dup["doc_id"] = dup["doc_id"] + 100_000
+        df = spark.createDataFrame(pd.concat([base, dup]))
+        sigs = {r["doc_id"]: r["sig"] for r in
+                minhash_signatures(df, "text", "doc_id", 64, 5).collect()}
+        for did in base["doc_id"]:
+            assert sigs[did] == sigs[did + 100_000]
+
+    def test_minhash_lsh_finds_near_dups(self, spark):
+        import pandas as pd
+
+        base = docs(spark).limit(20).toPandas()
+        edited = base.copy()
+        edited["doc_id"] = edited["doc_id"] + 100_000
+        edited["text"] = edited["text"] + " tiny appended suffix"
+        df = spark.createDataFrame(pd.concat([base, edited]))
+        pairs = minhash_lsh_pairs(df, "text", "doc_id", 64, 16, 5, min_jaccard=0.5)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        expected = {(did, did + 100_000) for did in base["doc_id"]}
+        found = len(expected & got) / len(expected)
+        assert found >= 0.9, f"LSH recall {found}"
+        # estimated jaccard roughly matches exact for found pairs
+        exact = ngram_jaccard_pairs(df, pairs, "text", "doc_id", 5).collect()
+        for r in exact:
+            assert r["jaccard"] >= 0.4
+
+    def test_simhash_identical_and_near(self, spark):
+        import pandas as pd
+
+        base = docs(spark).limit(10).toPandas()
+        dup = base.copy()
+        dup["doc_id"] = dup["doc_id"] + 100_000
+        df = spark.createDataFrame(pd.concat([base, dup]))
+        sigs = {r["doc_id"]: r["simhash"] for r in
+                simhash_signatures(df, "text", "doc_id").collect()}
+        for did in base["doc_id"]:
+            assert sigs[did] == sigs[did + 100_000]
+        pairs = simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=3)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+        for did in base["doc_id"]:
+            assert got.get((did, did + 100_000)) == 0
+
+    def test_fingerprint_deterministic_and_content_keyed(self, spark):
+        d = docs(spark)
+        fp1 = {r["doc_id"]: r["fingerprint"] for r in
+               fingerprint_col_df(d, "text", "doc_id").collect()}
+        fp2 = {r["doc_id"]: r["fingerprint"] for r in
+               fingerprint_col_df(d.repartition(7), "text", "doc_id").collect()}
+        assert fp1 == fp2
+        # same text => same fingerprint
+        pdf = d.select("doc_id", "text").toPandas()
+        by_text = pdf.groupby("text")["doc_id"].apply(list)
+        for ids in by_text:
+            vals = {fp1[i] for i in ids}
+            assert len(vals) == 1
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_matches_numpy(self, spark):
+        e = embs(spark)
+        pdf = e.toPandas()
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = mat[0].tolist()
+        got = cosine_topk(e, "embedding", "vec_id", q, k=5).collect()
+        sims = (mat @ np.asarray(q)) / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+        )
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))[:5]
+        expected = pdf["vec_id"].to_numpy()[order].tolist()
+        assert [r["vec_id"] for r in got] == expected
+        assert got[0]["vec_id"] == pdf["vec_id"][0]
+        assert abs(got[0]["cosine"] - 1.0) < 1e-9
+
+    def test_ann_lsh_recall(self, spark):
+        e = embs(spark)
+        pdf = e.toPandas()
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        hits = 0
+        trials = 5
+        for t in range(trials):
+            q = mat[t * 7].tolist()
+            exact = {r["vec_id"] for r in cosine_topk(e, "embedding", "vec_id", q, 5).collect()}
+            approx = {r["vec_id"] for r in
+                      ann_topk_lsh(e, "embedding", "vec_id", q, 5, n_planes=8).collect()}
+            hits += len(exact & approx) / 5
+        assert hits / trials >= 0.5, f"ANN recall {hits / trials}"
+
+    def test_all_pairs_above_finds_duplicated_vectors(self, spark):
+        import pandas as pd
+
+        pdf = embs(spark).limit(30).toPandas()
+        dup = pdf.copy()
+        dup["vec_id"] = dup["vec_id"] + 100_000
+        df = spark.createDataFrame(pd.concat([pdf, dup]))
+        pairs = all_pairs_above(df, "embedding", "vec_id", min_cosine=0.999, n_planes=8)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        expected = {(v, v + 100_000) for v in pdf["vec_id"]}
+        assert expected <= got
