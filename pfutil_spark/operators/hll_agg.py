@@ -87,12 +87,16 @@ def _group_codes(batch: "pa.RecordBatch", by: Sequence[str]) -> tuple[np.ndarray
     return inverse, first_idx
 
 
+LINEAGE_COLS = ("_partition_id", "_rows_seen")
+
+
 def pf_partial(
     df: DataFrame,
     element: str,
     by: Sequence[str] = (),
     version: int = 4,
     max_groups_in_flight: int = 8192,
+    lineage: bool = False,
 ) -> DataFrame:
     """Stage P: per-partition PFADD into per-group register vectors; emits
     one ``(by..., sketch)`` row per (partition, group).
@@ -103,20 +107,35 @@ def pf_partial(
     ``max_groups_in_flight`` x 16KB memory; above that it flushes and
     keeps going), so the number of partial states per group is at most
     the number of input partitions, not the number of Arrow batches.
+
+    ``lineage=True`` appends per-partial provenance/metrics columns
+    (_partition_id, _rows_seen) for checkpoint audit tables.
     """
     import pyarrow as pa
 
     by = list(by)
     schema = _out_schema(df, by)
+    if lineage:
+        schema = StructType(
+            schema.fields
+            + [
+                StructField(LINEAGE_COLS[0], LongType(), False),
+                StructField(LINEAGE_COLS[1], LongType(), False),
+            ]
+        )
     pruned = df.select(*by, element)  # column pruning before Arrow transfer
 
     def partial_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
         import pyarrow.compute as pc
+        from pyspark import TaskContext
 
         acc: dict[tuple, np.ndarray] = {}
+        rows_seen: dict[tuple, int] = {}
         key_fields: list = []
         seen_schema = False
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
 
         def flush() -> "pa.RecordBatch":
             keys = list(acc.keys())
@@ -128,6 +147,10 @@ def pf_partial(
                 names.append(c)
             arrays.append(pa.array([hll.encode(acc[k]) for k in keys], type=pa.binary()))
             names.append(SKETCH_COL)
+            if lineage:
+                arrays.append(pa.array([pid] * len(keys), type=pa.int64()))
+                arrays.append(pa.array([rows_seen[k] for k in keys], type=pa.int64()))
+                names.extend(LINEAGE_COLS)
             return pa.record_batch(arrays, names=names)
 
         for batch in batches:
@@ -149,6 +172,7 @@ def pf_partial(
                 hll.update_registers_grouped(local, inverse, idx, patlen)
                 take = pa.array(first_idx)
                 key_cols = [batch.column(c).take(take).to_pylist() for c in by]
+                counts = np.bincount(inverse, minlength=n_groups)
                 for i in range(n_groups):
                     k = tuple(col[i] for col in key_cols)
                     prev = acc.get(k)
@@ -156,16 +180,20 @@ def pf_partial(
                         acc[k] = local[i]
                     else:
                         np.maximum(prev, local[i], out=prev)
+                    rows_seen[k] = rows_seen.get(k, 0) + int(counts[i])
             else:
                 regs = acc.get(())
                 if regs is None:
                     regs = acc[()] = hll.empty_registers()
                 hll.update_registers(regs, idx, patlen)
+                rows_seen[()] = rows_seen.get((), 0) + len(batch)
             if len(acc) > max_groups_in_flight:
                 yield flush()
                 acc = {}
+                rows_seen = {}
         if not acc and not by:
             acc[()] = hll.empty_registers()
+            rows_seen[()] = 0
         if acc:
             yield flush()
 

@@ -1,0 +1,59 @@
+"""Checkpoint-resume semantics: stage skipping, lineage/metrics tables,
+byte-identical results under resume."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from pfutil_spark.operators import pf_count_col, pf_sketch
+from pfutil_spark.sources.checkpoint import ResumableHllJob
+
+
+def _df(spark):
+    return (
+        spark.range(5000)
+        .withColumn("grp", (F.col("id") % 4).cast("string"))
+        .withColumn("elem", F.concat(F.lit("x"), (F.col("id") % 1700).cast("string")))
+        .repartition(6)
+    )
+
+
+def test_run_then_resume_skips_stages(spark, tmp_path):
+    ckpt = str(tmp_path / "job1")
+    job = ResumableHllJob(spark, ckpt, by=("grp",))
+    out1 = {r["grp"]: bytes(r["sketch"]) for r in job.run(_df(spark), "elem").collect()}
+    assert job.stages_complete() == {"partial": True, "merged": True, "metrics": True}
+
+    # direct (non-checkpointed) computation gives byte-identical sketches
+    direct = {
+        r["grp"]: bytes(r["sketch"])
+        for r in pf_sketch(_df(spark), "elem", by=("grp",)).collect()
+    }
+    assert out1 == direct
+
+    # lineage: every input partition accounted for, row totals exact
+    m = job.metrics().collect()
+    assert sum(r["rows_seen"] for r in m) == 5000
+    assert {r["_partition_id"] for r in m} == set(range(6))
+
+    # simulate failure after partial stage: delete merged, resume
+    shutil.rmtree(job.merged_path)
+    partial_mtime = os.path.getmtime(os.path.join(job.partial_path, "_SUCCESS"))
+    out2 = {r["grp"]: bytes(r["sketch"]) for r in job.run(_df(spark), "elem").collect()}
+    assert out2 == out1
+    # partial stage was NOT recomputed
+    assert os.path.getmtime(os.path.join(job.partial_path, "_SUCCESS")) == partial_mtime
+
+    # fully complete job: run() just reads the result back
+    out3 = {r["grp"]: bytes(r["sketch"]) for r in job.run(_df(spark), "elem").collect()}
+    assert out3 == out1
+
+
+def test_checkpointed_estimates_match(spark, tmp_path):
+    ckpt = str(tmp_path / "job2")
+    job = ResumableHllJob(spark, ckpt, by=(), salt_buckets=2)
+    merged = job.run(_df(spark), "elem")
+    est = merged.select(pf_count_col("sketch", 4).alias("e")).collect()[0]["e"]
+    exact = _df(spark).select(F.countDistinct("elem")).collect()[0][0]
+    assert abs(est - exact) / exact <= 3 * 0.008125
