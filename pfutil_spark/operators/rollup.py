@@ -1,0 +1,156 @@
+"""Multi-granularity sketch rollups (GROUPING SETS / ROLLUP / CUBE for
+distinct counts) and HLL set operations.
+
+This is where mergeable sketches beat exact aggregation structurally:
+exact COUNT(DISTINCT) must re-scan the input for every grouping set,
+but constant-size mergeable states let us compute partials ONCE at the
+finest granularity and then *re-merge upward* — each coarser grouping
+set is a merge of the finer sketches (legal because register-max is
+associative/commutative/idempotent, HllByteBuffer.java:341-398), never
+a second pass over the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from pfutil_spark.kernel import hll
+from pfutil_spark.operators.hll_agg import (
+    SKETCH_COL,
+    pf_count_col,
+    pf_merge,
+    pf_partial,
+)
+
+
+def pf_rollup(
+    df: DataFrame,
+    element: str,
+    dims: Sequence[str],
+    version: int = 4,
+    grouping_sets: Sequence[Sequence[str]] | None = None,
+    estimate_col: str = "estimate",
+) -> DataFrame:
+    """Distinct-count estimates for every grouping set (default: ROLLUP
+    of ``dims`` plus the grand total), computed from ONE scan.
+
+    Output: one row per (grouping-set x group), absent dims NULL (SQL
+    ROLLUP convention), plus the sketch column.
+    """
+    dims = list(dims)
+    if grouping_sets is None:
+        grouping_sets = [dims[:i] for i in range(len(dims), -1, -1)]
+
+    # one pass over the input at the finest granularity
+    finest = pf_merge(pf_partial(df, element, dims, version), dims)
+    finest = finest.localCheckpoint()  # reused by every grouping set
+
+    out = None
+    for gs in grouping_sets:
+        gs = list(gs)
+        if gs == dims:
+            level = finest
+        else:
+            # re-merge the finest sketches upward — no input re-scan
+            level = pf_merge(finest.select(*gs, SKETCH_COL), gs)
+        cols: list[Column] = []
+        for d in dims:
+            cols.append(F.col(d) if d in gs else F.lit(None).cast(df.schema[d].dataType))
+        level = level.select(
+            *[c.alias(d) for c, d in zip(cols, dims)],
+            F.col(SKETCH_COL),
+            pf_count_col(SKETCH_COL, version).alias(estimate_col),
+        )
+        out = level if out is None else out.unionByName(level)
+    return out
+
+
+def pf_union_estimate_col(
+    a: str | Column, b: str | Column, version: int = 4
+) -> Column:
+    """|A ∪ B| — PFMERGE of two sketch columns then PFCOUNT."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+
+    @F.pandas_udf(LongType())
+    def _union(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for x, y in zip(sa, sb):  # per sketch-pair, not per input row
+            regs = np.maximum(hll.decode(bytes(x)), hll.decode(bytes(y)))
+            out.append(hll.estimate(regs, version))
+        return pd.Series(out)
+
+    return _union(ca, cb)
+
+
+def pf_intersect_estimate_col(
+    a: str | Column, b: str | Column, version: int = 4
+) -> Column:
+    """|A ∩ B| by inclusion-exclusion: |A| + |B| - |A ∪ B|.
+
+    Estimator caveat (same as Redis): the error is relative to the UNION
+    size, so small intersections of large sets are noisy; clamped at 0.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+
+    @F.pandas_udf(LongType())
+    def _inter(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for x, y in zip(sa, sb):
+            ra, rb = hll.decode(bytes(x)), hll.decode(bytes(y))
+            u = hll.estimate(np.maximum(ra, rb), version)
+            est = hll.estimate(ra, version) + hll.estimate(rb, version) - u
+            out.append(max(est, 0))
+        return pd.Series(out)
+
+    return _inter(ca, cb)
+
+
+def approx_top_k(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    per_partition_candidates: int | None = None,
+) -> DataFrame:
+    """Approximate top-k heavy hitters: per-partition local top-M
+    candidate generation (mapInPandas, map-side), then ONE exact
+    aggregation restricted to the candidate union (semi-join). Exact
+    whenever every true top-k item is a local top-M somewhere — the usual
+    case for skewed (Zipfian) data; candidate margin M defaults to 4k.
+
+    Output: (value, cnt) — cnt is the EXACT count of each reported item.
+    """
+    m = per_partition_candidates or max(4 * k, 20)
+    # map-side partial counts are a built-in partial_count aggregation;
+    # the only full shuffle is over the (tiny) candidate set
+    local = (
+        df.select(F.col(col).alias("value"))
+        .groupBy(F.spark_partition_id().alias("__pid"), "value")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__pid").orderBy(F.col("__c").desc(), F.col("value"))
+    candidates = (
+        local.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= m)
+        .select("value")
+        .distinct()
+    )
+    exact = (
+        df.select(F.col(col).alias("value"))
+        .join(F.broadcast(candidates), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.orderBy(F.col("cnt").desc(), F.col("value")).limit(k)

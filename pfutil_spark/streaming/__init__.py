@@ -1,0 +1,4 @@
+from pfutil_spark.streaming.hll_stream import (  # noqa: F401
+    StreamingHllState,
+    attach_hll_foreach_batch,
+)

@@ -1,0 +1,79 @@
+"""Physical-plan regression gates: the plans we designed for are the
+plans Catalyst actually produces — filter pushdown reaching the parquet
+scan, column pruning before Arrow transfer, broadcast joins for small
+dims, whole-stage codegen around the relational shell, and exactly ONE
+shuffle in the two-phase sketch plan."""
+
+import re
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from pfutil_spark.operators import pf_count_distinct, pf_partial
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode="formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = entry_mod._q_lineitem_pricing(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
+
+
+def test_column_pruning_in_sketch_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+        "ok", F.col("l_orderkey").cast("string")
+    )
+    df = pf_count_distinct(li, "ok", by=("l_returnflag",))
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # only the key + the element source column are read, not all 11
+    assert cols == {"l_orderkey", "l_returnflag"}, cols
+
+
+def test_broadcast_join_for_small_dimension(spark):
+    df = entry_mod._q_orders_customer_join(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_wholestage_codegen_in_relational_shell(spark):
+    df = entry_mod._q_lineitem_pricing(spark, SF)
+    # AQE shows codegen subtrees only in codegen explain mode pre-execution
+    assert "WholeStageCodegen" in plan_of(df, "codegen")
+
+
+def test_sketch_plan_has_single_shuffle(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+        "ok", F.col("l_orderkey").cast("string")
+    )
+    df = pf_count_distinct(li, "ok", by=("l_returnflag",))
+    plan = plan_of(df, "simple")
+    # one Exchange for the groupBy(key) merge; no Exchange before partials
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_partials_have_no_shuffle_at_all(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+        "ok", F.col("l_orderkey").cast("string")
+    )
+    df = pf_partial(li, "ok", by=("l_returnflag",))
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_semi_join_dedup_uses_broadcast(spark):
+    from pfutil_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(exact_dedup(d, "text", "doc_id"), "simple")
+    assert "LeftSemi" in plan

@@ -1,0 +1,147 @@
+"""Rollup/set-ops/top-k operators and streaming sketch state."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pfutil_spark.operators.rollup import (
+    approx_top_k,
+    pf_intersect_estimate_col,
+    pf_rollup,
+    pf_union_estimate_col,
+)
+from pfutil_spark.operators import pf_sketch
+from pfutil_spark.streaming import StreamingHllState
+
+
+def _events(spark, sf="sf0.001"):
+    return spark.read.parquet(f"/root/testdata/{sf}/events.parquet").withColumn(
+        "uid", F.col("user_id").cast("string")
+    )
+
+
+class TestRollup:
+    def test_rollup_matches_per_level_exact(self, spark):
+        ev = _events(spark).withColumn("day", F.dayofmonth("ts").cast("string"))
+        out = pf_rollup(ev, "uid", ["event_type", "day"]).collect()
+        pdf = ev.select("event_type", "day", "uid").toPandas()
+        for r in out:
+            sel = pdf
+            if r["event_type"] is not None:
+                sel = sel[sel["event_type"] == r["event_type"]]
+            if r["day"] is not None:
+                sel = sel[sel["day"] == r["day"]]
+            exact = sel["uid"].nunique()
+            assert abs(r["estimate"] - exact) <= max(1, round(3 * 0.008125 * exact)), (
+                r["event_type"], r["day"], r["estimate"], exact,
+            )
+        # grouping sets present: (type, day), (type), ()
+        levels = {(r["event_type"] is None, r["day"] is None) for r in out}
+        assert (False, False) in levels and (False, True) in levels and (True, True) in levels
+
+    def test_rollup_single_scan_grand_total_matches_direct(self, spark):
+        ev = _events(spark)
+        out = pf_rollup(ev, "uid", ["event_type"]).collect()
+        grand = [r for r in out if r["event_type"] is None][0]
+        direct = pf_sketch(ev, "uid", by=()).collect()[0]["sketch"]
+        assert bytes(grand["sketch"]) == bytes(direct)
+
+
+class TestSetOps:
+    def test_union_and_intersection_estimates(self, spark):
+        df = (
+            spark.range(4000)
+            .withColumn(
+                "side", F.when(F.col("id") < 2000, "a").otherwise("b")
+            )
+            # a = e0..e1999 ; b = e1000..e2999  -> |a∩b| = 1000, |a∪b| = 3000
+            .withColumn(
+                "elem",
+                F.concat(
+                    F.lit("e"),
+                    F.when(F.col("id") < 2000, F.col("id"))
+                    .otherwise(F.col("id") - 1000)
+                    .cast("string"),
+                ),
+            )
+        )
+        sk = pf_sketch(df, "elem", by=("side",))
+        a = sk.filter("side = 'a'").select(F.col("sketch").alias("sa"))
+        b = sk.filter("side = 'b'").select(F.col("sketch").alias("sb"))
+        both = a.crossJoin(b)
+        row = both.select(
+            pf_union_estimate_col("sa", "sb").alias("u"),
+            pf_intersect_estimate_col("sa", "sb").alias("i"),
+        ).collect()[0]
+        assert abs(row["u"] - 3000) <= 3 * 0.008125 * 3000
+        assert abs(row["i"] - 1000) <= 3 * 0.008125 * 3000 + 50  # union-relative error
+
+
+class TestTopK:
+    def test_exact_on_skewed(self, spark):
+        ev = _events(spark, "sf0.01")
+        got = [(r["value"], r["cnt"]) for r in approx_top_k(ev, "event_type", 3).collect()]
+        exact = [
+            (r["event_type"], r["cnt"])
+            for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "event_type")
+            .limit(3)
+            .collect()
+        ]
+        assert got == exact
+
+    def test_high_cardinality_column(self, spark):
+        ev = _events(spark, "sf0.01")
+        got = approx_top_k(ev, "user_id", 5).collect()
+        exact = (
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "user_id").limit(5).collect()
+        )
+        assert {r["value"] for r in got} == {r["user_id"] for r in exact}
+
+
+class TestStreaming:
+    def test_microbatch_updates_and_replay_idempotence(self, spark, tmp_path):
+        ev = _events(spark)
+        state = StreamingHllState(spark, str(tmp_path / "state"), "uid", by=("event_type",))
+        b1 = ev.filter(F.col("event_id") % 2 == 0)
+        b2 = ev.filter(F.col("event_id") % 2 == 1)
+        state.update(b1)
+        state.update(b2)
+        est1 = {r["event_type"]: r["estimate"] for r in state.estimates().collect()}
+        exact = {
+            r["event_type"]: r["x"]
+            for r in ev.groupBy("event_type").agg(F.countDistinct("uid").alias("x")).collect()
+        }
+        for k, e in est1.items():
+            assert abs(e - exact[k]) <= max(1, round(3 * 0.008125 * exact[k]))
+        # replay b2 (at-least-once delivery): state must not change
+        sk_before = {
+            r["event_type"]: bytes(r["sketch"]) for r in state.current().collect()
+        }
+        state.update(b2)
+        sk_after = {
+            r["event_type"]: bytes(r["sketch"]) for r in state.current().collect()
+        }
+        assert sk_before == sk_after
+
+    def test_foreach_batch_end_to_end(self, spark, tmp_path):
+        import pandas as pd
+
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        ev = _events(spark).select("event_type", "uid")
+        ev.write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        state = StreamingHllState(spark, str(tmp_path / "st2"), "uid", by=("event_type",))
+        from pfutil_spark.streaming import attach_hll_foreach_batch
+
+        q = attach_hll_foreach_batch(stream, state, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        est = {r["event_type"]: r["estimate"] for r in state.estimates().collect()}
+        exact = {
+            r["event_type"]: r["x"]
+            for r in ev.groupBy("event_type").agg(F.countDistinct("uid").alias("x")).collect()
+        }
+        for k, x in exact.items():
+            assert abs(est[k] - x) <= max(1, round(3 * 0.008125 * x))
