@@ -353,6 +353,58 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthetic_media_table(spark, n=64)).orderBy("media_id")
 
 
+def _q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.operators.rollup import approx_top_k
+
+    return approx_top_k(_t(spark, sf_dir, "events"), "event_type", k=3)
+
+
+def _q_rollup_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.operators.rollup import pf_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    return pf_rollup(ev, "uid", ["event_type"]).select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"), "estimate"
+    )
+
+
+def _q_hll_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/intersection estimates vs exact within the union-relative
+    bound — boolean, oracle-checkable."""
+    from pfutil_spark.operators import pf_sketch
+    from pfutil_spark.operators.rollup import (
+        pf_intersect_estimate_col,
+        pf_union_estimate_col,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    types = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
+    a_t, b_t = types[0], types[1]
+    sk = pf_sketch(ev.filter(F.col("event_type").isin([a_t, b_t])), "uid", by=("event_type",))
+    a = sk.filter(F.col("event_type") == a_t).select(F.col("sketch").alias("sa"))
+    b = sk.filter(F.col("event_type") == b_t).select(F.col("sketch").alias("sb"))
+    est = a.crossJoin(b).select(
+        pf_union_estimate_col("sa", "sb").alias("u_est"),
+        pf_intersect_estimate_col("sa", "sb").alias("i_est"),
+    )
+    ua = ev.filter(F.col("event_type").isin([a_t, b_t]))
+    exact_u = ua.select(F.countDistinct("uid").alias("u"))
+    exact_i = (
+        ev.filter(F.col("event_type") == a_t)
+        .select("uid")
+        .intersect(ev.filter(F.col("event_type") == b_t).select("uid"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        est.crossJoin(exact_u)
+        .crossJoin(exact_i)
+        .select(
+            (F.abs(F.col("u_est") - F.col("u")) <= F.col("u") * 0.05).alias("union_ok"),
+            (F.abs(F.col("i_est") - F.col("i")) <= F.col("u") * 0.05).alias("intersect_ok"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -371,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_within_bound": _q_cms_within_bound,
         "kll_median_bound": _q_kll_median_bound,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
+        "approx_topk": _q_approx_topk,
+        "hll_set_ops_bound": _q_hll_set_ops_bound,
+        "rollup_estimates": _q_rollup_estimates,
         # sketch/dedup/ANN queries (rows-only driver check; pytest gates
         # exactness and error bounds)
         "hll_text_by_lang": _q_hll_text_by_lang,
@@ -464,5 +519,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_no_false_negatives": (
             "SELECT TRUE AS no_false_negatives"
+        ),
+        "approx_topk": (
+            "SELECT event_type AS value, count(*) AS cnt FROM events"
+            " GROUP BY event_type ORDER BY cnt DESC, value LIMIT 3"
+        ),
+        "hll_set_ops_bound": (
+            "SELECT TRUE AS union_ok, TRUE AS intersect_ok"
         ),
     }
