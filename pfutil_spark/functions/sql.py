@@ -1,0 +1,56 @@
+"""SQL-surface registration: expose the sketch evaluation functions to
+``spark.sql`` so sketch tables (e.g. checkpointed parquet from
+ResumableHllJob) are queryable in plain SQL:
+
+    register_sql_functions(spark)
+    spark.read.parquet(ckpt).createOrReplaceTempView("sketches")
+    spark.sql("SELECT lang, pf_count(sketch) FROM sketches")
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, BooleanType, LongType
+
+from pfutil_spark.kernel import hll
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    @F.pandas_udf(LongType())
+    def pf_count(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        return pd.Series(hll.estimate_batch(hll.decode_many(list(s)), 4))
+
+    @F.pandas_udf(LongType())
+    def pf_count_v5(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        return pd.Series(hll.estimate_batch(hll.decode_many(list(s)), 5))
+
+    @F.pandas_udf(BinaryType())
+    def pf_dump(s: pd.Series) -> pd.Series:
+        return pd.Series([hll.dump(r, 4) for r in hll.decode_many(list(s))])
+
+    @F.pandas_udf(BinaryType())
+    def pf_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for x, y in zip(a, b):  # per sketch pair
+            out.append(
+                hll.encode(np.maximum(hll.decode(bytes(x)), hll.decode(bytes(y))))
+            )
+        return pd.Series(out)
+
+    @F.pandas_udf(BooleanType())
+    def pf_is_valid(s: pd.Series) -> pd.Series:
+        return pd.Series([hll.is_valid_hll(bytes(b)) for b in s])
+
+    spark.udf.register("pf_count", pf_count)
+    spark.udf.register("pf_count_v5", pf_count_v5)
+    spark.udf.register("pf_dump", pf_dump)
+    spark.udf.register("pf_merge_pair", pf_merge_pair)
+    spark.udf.register("pf_is_valid", pf_is_valid)

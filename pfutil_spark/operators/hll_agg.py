@@ -123,7 +123,15 @@ def pf_partial(
                 StructField(LINEAGE_COLS[1], LongType(), False),
             ]
         )
-    pruned = df.select(*by, element)  # column pruning before Arrow transfer
+    # column pruning before Arrow transfer; non-string/binary elements are
+    # PFADDed by their canonical string form (like redis-cli would send)
+    elem_type = df.schema[element].dataType.typeName()
+    elem_col = (
+        F.col(element)
+        if elem_type in ("string", "binary")
+        else F.col(element).cast("string").alias(element)
+    )
+    pruned = df.select(*by, elem_col)
 
     def partial_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa

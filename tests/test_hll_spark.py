@@ -144,3 +144,32 @@ def test_sha2_invariant_spark_vs_hashlib(spark, sf_dir):
     merged = got.merge(texts, on="doc_id")
     expect = merged["text"].map(lambda t: hashlib.sha256(t.encode()).hexdigest())
     assert (merged["h"] == expect).all()
+
+
+def test_numeric_element_coerced_to_string(spark):
+    df = make_df(spark, n=500)  # has long `id`
+    a = pf_count_distinct(df, "id", by=()).collect()[0]["estimate"]
+    b = pf_count_distinct(
+        df.withColumn("id_s", F.col("id").cast("string")), "id_s", by=()
+    ).collect()[0]["estimate"]
+    assert a == b  # identical sketch: coercion matches explicit cast
+    assert abs(a - 500) <= round(3 * 0.008125 * 500)
+
+
+def test_sql_function_registration(spark):
+    from pfutil_spark.functions.sql import register_sql_functions
+    from pfutil_spark.operators import pf_sketch
+
+    register_sql_functions(spark)
+    sk = pf_sketch(make_df(spark, n=2000, partitions=3), "elem", by=("grp",))
+    sk.createOrReplaceTempView("sketches_v")
+    rows = spark.sql(
+        "SELECT grp, pf_count(sketch) AS est, pf_is_valid(pf_dump(sketch)) AS ok"
+        " FROM sketches_v ORDER BY grp"
+    ).collect()
+    assert len(rows) > 0 and all(r["ok"] and r["est"] > 0 for r in rows)
+    pair = spark.sql(
+        "SELECT pf_count(pf_merge_pair(a.sketch, b.sketch)) AS u FROM"
+        " sketches_v a JOIN sketches_v b ON a.grp = '0' AND b.grp = '1'"
+    ).collect()[0]["u"]
+    assert pair > 0
