@@ -353,6 +353,19 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthetic_media_table(spark, n=64)).orderBy("media_id")
 
 
+def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_id", "event_type", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
 def _q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pfutil_spark.operators.rollup import approx_top_k
 
@@ -423,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_within_bound": _q_cms_within_bound,
         "kll_median_bound": _q_kll_median_bound,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
+        "window_rank": _q_window_rank,
         "approx_topk": _q_approx_topk,
         "hll_set_ops_bound": _q_hll_set_ops_bound,
         "rollup_estimates": _q_rollup_estimates,
@@ -519,6 +533,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_no_false_negatives": (
             "SELECT TRUE AS no_false_negatives"
+        ),
+        "window_rank": (
+            "SELECT event_id, event_type, rnk FROM ("
+            " SELECT event_id, event_type,"
+            "  row_number() OVER (PARTITION BY event_type"
+            "   ORDER BY value DESC, event_id ASC) AS rnk"
+            " FROM events) WHERE rnk <= 5"
         ),
         "approx_topk": (
             "SELECT event_type AS value, count(*) AS cnt FROM events"

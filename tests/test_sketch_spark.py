@@ -104,3 +104,13 @@ class TestQuantileSketchesSpark:
             .collect()[0]["q"]
         )
         assert est[0] == 3.0
+
+
+class TestBloomPartitionInvariance:
+    @pytest.mark.parametrize("partitions", [1, 9])
+    def test_bloom_bytes_partition_invariant(self, spark, partitions):
+        ev = events(spark).repartition(partitions)
+        sk = bloom_sketch(ev, "user_id", m_bits=1 << 14, k=5).collect()[0]["sketch"]
+        base = bloom_sketch(events(spark).coalesce(1), "user_id", m_bits=1 << 14, k=5
+                            ).collect()[0]["sketch"]
+        assert bytes(sk) == bytes(base)  # OR-merge is exact
