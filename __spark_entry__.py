@@ -94,7 +94,10 @@ def _q_orders_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q1-shaped; decimal-exact sums cast to double for oracle hashing
+    # TPC-H Q1-shaped; decimal-exact sums cast to double for oracle hashing.
+    # Pin UTC so the timestamp-literal filter matches DuckDB regardless of
+    # the host session timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = _t(spark, sf_dir, "lineitem")
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
@@ -353,6 +356,30 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthetic_media_table(spark, n=64)).orderBy("media_id")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively; DuckDB ASOF JOIN oracle)."""
+    from pfutil_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    quotes = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    joined = asof_join(ev, quotes, on="ts", by=("user_id",))
+    return joined.select("event_id", "ref_value")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pfutil_spark.operators.asof import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, "ts", ["user_id"], gap_seconds=1800, tiebreak=("event_id",)
+    ).select("event_id", "session_id")
+
+
 def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -436,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_within_bound": _q_cms_within_bound,
         "kll_median_bound": _q_kll_median_bound,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
         "window_rank": _q_window_rank,
         "approx_topk": _q_approx_topk,
         "hll_set_ops_bound": _q_hll_set_ops_bound,
@@ -533,6 +562,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_no_false_negatives": (
             "SELECT TRUE AS no_false_negatives"
+        ),
+        "asof_join": (
+            "WITH quotes AS ("
+            " SELECT user_id, ts, max(value) AS ref_value FROM events"
+            " WHERE event_id % 3 = 0 GROUP BY user_id, ts)"
+            " SELECT l.event_id, r.ref_value FROM events l"
+            " ASOF LEFT JOIN quotes r"
+            " ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "sessionize": (
+            "SELECT event_id, sum(is_new) OVER ("
+            " PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS UNBOUNDED PRECEDING) AS session_id FROM ("
+            " SELECT event_id, user_id, ts,"
+            "  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            "        IS NULL"
+            "   OR epoch(ts) - epoch(lag(ts) OVER ("
+            "       PARTITION BY user_id ORDER BY ts, event_id)) > 1800"
+            "  THEN 1 ELSE 0 END AS is_new FROM events)"
         ),
         "window_rank": (
             "SELECT event_id, event_type, rnk FROM ("

@@ -1,4 +1,5 @@
 from pfutil_spark.streaming.hll_stream import (  # noqa: F401
     StreamingHllState,
     attach_hll_foreach_batch,
+    streaming_distinct_with_state,
 )

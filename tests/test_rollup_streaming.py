@@ -145,3 +145,82 @@ class TestStreaming:
         }
         for k, x in exact.items():
             assert abs(est[k] - x) <= max(1, round(3 * 0.008125 * x))
+
+
+class TestAsofAndSessions:
+    def test_asof_join_matches_pandas(self, spark):
+        import pandas as pd
+
+        ev = _events(spark).select("user_id", "ts", "value").limit(400)
+        quotes = (
+            _events(spark)
+            .select("user_id", "ts", F.col("value").alias("ref_value"))
+            .filter(F.col("event_id") % 3 == 0)
+        )
+        from pfutil_spark.operators.asof import asof_join
+
+        got = asof_join(ev, quotes, on="ts", by=("user_id",)).toPandas()
+        lp = ev.toPandas().sort_values("ts", kind="stable")
+        rp = quotes.toPandas().sort_values("ts", kind="stable")
+        exp = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+        g = got.sort_values(["user_id", "ts", "value"], kind="stable").reset_index(drop=True)
+        e = exp.sort_values(["user_id", "ts", "value"], kind="stable").reset_index(drop=True)
+        assert len(g) == len(e)
+        pd.testing.assert_series_equal(
+            g["ref_value"].reset_index(drop=True),
+            e["ref_value"].reset_index(drop=True),
+            check_names=False,
+        )
+
+    def test_sessionize_gap_semantics(self, spark):
+        import pandas as pd
+
+        rows = [
+            (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 01:10:00"),  # > 30min gap -> new session
+            (2, "2024-01-01 00:00:00"), (2, "2024-01-01 00:40:00"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["uid", "ts_s"])).withColumn(
+            "ts", F.col("ts_s").cast("timestamp")
+        )
+        from pfutil_spark.operators.asof import sessionize
+
+        out = {
+            (r["uid"], r["ts_s"]): r["session_id"]
+            for r in sessionize(df, "ts", ["uid"], gap_seconds=1800).collect()
+        }
+        assert out[(1, "2024-01-01 00:00:00")] == 1
+        assert out[(1, "2024-01-01 00:10:00")] == 1
+        assert out[(1, "2024-01-01 01:10:00")] == 2
+        assert out[(2, "2024-01-01 00:00:00")] == 1
+        assert out[(2, "2024-01-01 00:40:00")] == 2
+
+    def test_streaming_distinct_with_state(self, spark, tmp_path):
+        from pfutil_spark.streaming import streaming_distinct_with_state
+
+        ev = _events(spark).select("event_type", "uid")
+        src = tmp_path / "st_src"
+        ev.write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        out = streaming_distinct_with_state(stream, "uid", ["event_type"])
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("sdws_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["event_type"]: r["estimate"]
+            for r in spark.sql(
+                "SELECT event_type, max(estimate) AS estimate FROM sdws_out GROUP BY event_type"
+            ).collect()
+        }
+        exact = {
+            r["event_type"]: r["x"]
+            for r in ev.groupBy("event_type").agg(F.countDistinct("uid").alias("x")).collect()
+        }
+        for k, x in exact.items():
+            assert abs(got[k] - x) <= max(1, round(3 * 0.008125 * x)), (k, got[k], x)
