@@ -1,0 +1,99 @@
+"""Property-based kernel tests (hypothesis): the vectorized kernels agree
+with straightforward scalar definitions on arbitrary inputs."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pfutil_spark.kernel import hll
+from pfutil_spark.kernel.murmur import murmur64a, murmur64a_scalar
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=100), min_size=1, max_size=20),
+    st.integers(min_value=0, max_value=0xFFFFFFFF),
+)
+def test_murmur_vectorized_equals_scalar(datas, seed):
+    got = murmur64a(datas, seed)
+    exp = np.array([murmur64a_scalar(d, seed) for d in datas], dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=hll.HLL_REGISTERS - 1),
+        st.integers(min_value=1, max_value=32),
+        max_size=200,
+    )
+)
+def test_sparse_codec_roundtrip(updates):
+    regs = hll.empty_registers()
+    for pos, val in updates.items():
+        regs[pos] = val
+    buf = hll.encode(regs)
+    assert np.array_equal(hll.decode(buf), regs)
+    # wire-validity invariants
+    assert hll.is_valid_hll(buf)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=hll.HLL_REGISTERS - 1),
+        st.integers(min_value=1, max_value=63),
+        max_size=100,
+    )
+)
+def test_dense_codec_roundtrip_any_values(updates):
+    regs = hll.empty_registers()
+    for pos, val in updates.items():
+        regs[pos] = val
+    buf = hll.encode(regs, force_dense=True)
+    assert len(buf) == hll.HLL_DENSE_SIZE
+    assert np.array_equal(hll.decode(buf), regs)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.binary(min_size=1, max_size=20), min_size=1, max_size=50),
+        min_size=2,
+        max_size=5,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_merge_order_invariance_property(element_sets, rnd):
+    states = []
+    for elems in element_sets:
+        regs = hll.empty_registers()
+        idx, pl = hll.hash_and_patlen(elems, 4)
+        hll.update_registers(regs, idx, pl)
+        states.append(regs)
+    stack = np.stack(states)
+    base = hll.merge_registers(stack)
+    perm = list(range(len(states)))
+    rnd.shuffle(perm)
+    assert np.array_equal(hll.merge_registers(stack[perm]), base)
+    # merging the union stream directly gives the same registers
+    all_elems = [e for es in element_sets for e in es]
+    direct = hll.empty_registers()
+    idx, pl = hll.hash_and_patlen(all_elems, 4)
+    hll.update_registers(direct, idx, pl)
+    assert np.array_equal(direct, base)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=300))
+def test_estimate_never_negative_and_version_sane(elems):
+    data = [e.encode() for e in elems]
+    for version in (4, 5):
+        regs = hll.empty_registers()
+        idx, pl = hll.hash_and_patlen(data, version)
+        hll.update_registers(regs, idx, pl)
+        est = hll.estimate(regs, version)
+        n = len(set(elems))
+        assert est >= 0
+        # generous sanity envelope for tiny sets
+        assert abs(est - n) <= max(3, 0.05 * n)
