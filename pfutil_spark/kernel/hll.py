@@ -161,18 +161,31 @@ def _estimate_v4_from_parts(ez: float, E: float) -> int:
         + 0.00042419 * math.pow(zl, 7)
     )
     result = alpha * m * (m - ez) * (1 / (E + beta))
-    return int(math.floor(result + 0.5))
+    # Java Math.round saturates at Long.MAX_VALUE on overflow
+    return min(int(math.floor(result + 0.5)), (1 << 63) - 1)
 
 
 def _dense_sum_batch(regs2d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(ez, E) per row with Java's exact sequential accumulation order:
     denseSum (v4/HllhdrV4.java:67-80) adds pow2(-reg) register by register;
     cumsum reproduces strict left-to-right float64 addition (adding 0.0 for
-    zero registers is an exact no-op), then E += ez."""
-    ez = (regs2d == 0).sum(axis=1).astype(np.int64)
-    terms = np.where(regs2d > 0, np.ldexp(1.0, -regs2d.astype(np.int64)), 0.0)
-    E = np.cumsum(terms, axis=1)[:, -1] + ez
-    return ez, E
+    zero registers is an exact no-op), then E += ez.
+
+    Blocked over rows so the float64 temp stays cache-sized regardless of
+    sketch count (a merge task may evaluate 10^5+ group sketches)."""
+    n = regs2d.shape[0]
+    ez_all = np.empty(n, dtype=np.int64)
+    e_all = np.empty(n, dtype=np.float64)
+    block = max(1, (1 << 24) // (HLL_REGISTERS * 8))  # ~16MB of float64 temp
+    for s in range(0, n, block):
+        r = regs2d[s : s + block]
+        ez = (r == 0).sum(axis=1).astype(np.int64)
+        # ldexp(0.0, 0) == 0.0 for zero registers; ldexp(1.0, -reg) else
+        terms = np.ldexp((r != 0).astype(np.float64), -r.astype(np.int32))
+        np.cumsum(terms, axis=1, out=terms)
+        ez_all[s : s + block] = ez
+        e_all[s : s + block] = terms[:, -1] + ez
+    return ez_all, e_all
 
 
 def estimate_v4(regs: np.ndarray) -> int:
@@ -182,12 +195,32 @@ def estimate_v4(regs: np.ndarray) -> int:
 
 
 def estimate_v4_batch(regs2d: np.ndarray) -> np.ndarray:
+    """Vectorized across sketches: identical per-element float op order
+    as the scalar path (numpy elementwise ops == libm scalar ops), so
+    results are bit-identical — asserted by tests against the scalar
+    golden path."""
     ez, E = _dense_sum_batch(regs2d)
-    return np.fromiter(
-        (_estimate_v4_from_parts(float(z), float(e)) for z, e in zip(ez, E)),
-        count=len(ez),
-        dtype=np.int64,
+    m = float(HLL_REGISTERS)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    ezf = ez.astype(np.float64)
+    zl = np.log(ezf + 1)
+    beta = (
+        -0.370393911 * ezf
+        + 0.070471823 * zl
+        + 0.17393686 * np.power(zl, 2)
+        + 0.16339839 * np.power(zl, 3)
+        + -0.09237745 * np.power(zl, 4)
+        + 0.03738027 * np.power(zl, 5)
+        + -0.005384159 * np.power(zl, 6)
+        + 0.00042419 * np.power(zl, 7)
     )
+    result = np.floor(alpha * m * (m - ezf) * (1 / (E + beta)) + 0.5)
+    # Java Math.round saturates at Long.MAX_VALUE on overflow
+    out = np.empty(len(result), dtype=np.int64)
+    big = result >= np.float64(1 << 63)
+    out[~big] = result[~big].astype(np.int64)
+    out[big] = (1 << 63) - 1
+    return out
 
 
 def _tau(x: float) -> float:
@@ -232,7 +265,8 @@ def _estimate_v5_from_histo(histo: np.ndarray) -> int:
     if z == math.inf:
         return 0
     E = HLL_ALPHA_INF * m * m / z
-    return int(math.floor(E + 0.5))
+    # Java Math.round saturates at Long.MAX_VALUE on overflow
+    return min(int(math.floor(E + 0.5)), (1 << 63) - 1)
 
 
 def reg_histo(regs: np.ndarray) -> np.ndarray:
@@ -244,15 +278,74 @@ def estimate_v5(regs: np.ndarray) -> int:
     return _estimate_v5_from_histo(reg_histo(regs))
 
 
+def _tau_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized tau: iterate globally until every element converges.
+    Once an element's z stops changing, further iterations subtract
+    increments that round to zero (monotonically shrinking), so extra
+    global iterations are exact no-ops — results == scalar _tau."""
+    x = x.copy()
+    trivial = (x == 0.0) | (x == 1.0)
+    x[trivial] = 1.0  # no-op lanes (converge immediately)
+    y = np.ones_like(x)
+    z = 1 - x
+    while True:
+        x = np.sqrt(x)
+        z_prime = z.copy()
+        y *= 0.5
+        z = z - np.power(1 - x, 2) * y
+        if np.array_equal(z_prime, z, equal_nan=True):
+            break
+    out = z / 3
+    out[trivial] = 0.0
+    return out
+
+
+def _sigma_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized sigma; sigma(1) = +inf. Same exact-convergence argument
+    as _tau_vec (increment magnitudes shrink monotonically at the tail)."""
+    x = x.copy()
+    inf_mask = x == 1.0
+    x[inf_mask] = 0.0  # iterate something harmless for those lanes
+    y = np.ones_like(x)
+    z = x.copy()
+    while True:
+        x = x * x
+        z_prime = z.copy()
+        z = z + x * y
+        y = y + y
+        if np.array_equal(z_prime, z, equal_nan=True):
+            break
+    z[inf_mask] = np.inf
+    return z
+
+
 def estimate_v5_batch(regs2d: np.ndarray) -> np.ndarray:
+    """Vectorized Ertl estimator across sketches (bit-identical to the
+    scalar path — same float op order elementwise; tested)."""
     n = regs2d.shape[0]
-    # bincount per row without a row loop: offset each row into its own range
-    offsets = (np.arange(n, dtype=np.int64) * 64)[:, None]
-    flat = (regs2d.astype(np.int64) + offsets).ravel()
-    histos = np.bincount(flat, minlength=n * 64).reshape(n, 64)
-    return np.fromiter(
-        (_estimate_v5_from_histo(h) for h in histos), count=n, dtype=np.int64
-    )
+    # bincount per row without a row loop: offset each row into its own
+    # range; blocked so the int64 temp stays cache-sized
+    histos = np.empty((n, 64), dtype=np.float64)
+    block = max(1, (1 << 24) // (HLL_REGISTERS * 8))
+    off_block = (np.arange(block, dtype=np.int64) * 64)[:, None]
+    for s in range(0, n, block):
+        r = regs2d[s : s + block]
+        b = r.shape[0]
+        flat = (r.astype(np.int64) + off_block[:b]).ravel()
+        histos[s : s + block] = np.bincount(flat, minlength=b * 64).reshape(b, 64)
+    m = float(HLL_REGISTERS)
+    z = m * _tau_vec((m - histos[:, HLL_Q + 1]) / m)
+    for i in range(HLL_Q, 0, -1):
+        z += histos[:, i]
+        z *= 0.5
+    z += m * _sigma_vec(histos[:, 0] / m)
+    E = HLL_ALPHA_INF * m * m / z
+    out = np.zeros(n, dtype=np.int64)
+    E = np.floor(E + 0.5)
+    ok = np.isfinite(E) & (E < np.float64(1 << 63))
+    out[ok] = E[ok].astype(np.int64)
+    out[np.isfinite(E) & ~ok] = (1 << 63) - 1  # Java Math.round saturation
+    return out
 
 
 def estimate(regs: np.ndarray, version: int = 4) -> int:

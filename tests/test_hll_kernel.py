@@ -268,3 +268,32 @@ def test_high_duplication_stream():
     exact = len(np.unique(draws))
     est = hll.estimate(regs, 4)
     assert abs(est - exact) <= max(1, round(3 * 0.008125 * exact))
+
+
+def test_batch_estimators_bit_identical_to_scalar():
+    """The vectorized batch estimators must match the scalar reference
+    path bit-for-bit on arbitrary states (same float op order)."""
+    rng = np.random.default_rng(9)
+    states = [hll.empty_registers()]
+    for n in (1, 5, 50, 500, 5000, 50000, 200000):
+        regs = hll.empty_registers()
+        idx, pl = hll.hash_and_patlen([f"x{n}_{i}".encode() for i in range(n)], 4)
+        hll.update_registers(regs, idx, pl)
+        states.append(regs)
+    # plus adversarial: all registers maxed, random registers
+    states.append(np.full(hll.HLL_REGISTERS, 50, dtype=np.uint8))
+    states.append(rng.integers(0, 51, hll.HLL_REGISTERS).astype(np.uint8))
+    stack = np.stack(states)
+    for version in (4, 5):
+        batch = hll.estimate_batch(stack, version)
+        scalar = [
+            hll._estimate_v4_from_parts(
+                float((s == 0).sum()),
+                float(np.cumsum(np.where(s > 0, np.ldexp(1.0, -s.astype(np.int64)), 0.0))[-1])
+                + float((s == 0).sum()),
+            )
+            if version == 4
+            else hll._estimate_v5_from_histo(hll.reg_histo(s))
+            for s in states
+        ]
+        assert batch.tolist() == scalar, version
