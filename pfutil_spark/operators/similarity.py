@@ -99,6 +99,85 @@ def ann_topk_lsh(
     return cosine_topk(cand, emb, id_col, query_vec, k)
 
 
+def _kmeans_fit(sample: np.ndarray, n_lists: int, seed: int = 42, iters: int = 20) -> np.ndarray:
+    """Deterministic Lloyd's k-means (k-means++ init) on a driver-side
+    sample — the standard way to train an IVF coarse quantizer; the
+    clustering itself never needs the full table."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(n_lists, n)
+    # k-means++ seeding
+    centroids = [sample[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((sample[:, None, :] - np.stack(centroids)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        centroids.append(sample[rng.choice(n, p=p)])
+    c = np.stack(centroids)
+    for _ in range(iters):
+        assign = np.argmin(((sample[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
+
+
+def ivf_assign_col(emb: str | Column, centroids: np.ndarray) -> Column:
+    """Inverted-list id: index of the nearest coarse centroid. Vectorized
+    pandas UDF — one matmul per Arrow batch."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf(LongType())
+    def _assign(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.vstack(s.to_numpy()).astype(np.float64)
+        # argmin ||x-c||^2 == argmin (||c||^2 - 2 x.c)
+        scores = c_norm2[None, :] - 2.0 * (mat @ c.T)
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int64))
+
+    e = F.col(emb) if isinstance(emb, str) else emb
+    return _assign(e)
+
+
+def ivf_build(
+    df: DataFrame, emb: str, n_lists: int = 16,
+    sample_size: int = 4096, seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF index: train the coarse quantizer on a sample, add the
+    ``__ivf_list`` bucket column (at scale: write this table partitioned
+    by list id so probes prune partitions). Returns (indexed df,
+    centroids)."""
+    # deterministic, partition-independent sample: hash-ordered take
+    # (TakeOrdered — no full sort materialization)
+    sample_rows = (
+        df.select(emb)
+        .orderBy(F.xxhash64(F.col(emb)).asc())
+        .limit(sample_size)
+        .collect()
+    )
+    sample = np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    centroids = _kmeans_fit(sample, n_lists, seed)
+    return df.withColumn("__ivf_list", ivf_assign_col(emb, centroids)), centroids
+
+
+def ivf_topk(
+    indexed: DataFrame, centroids: np.ndarray, emb: str, id_col: str,
+    query_vec: list[float], k: int = 10, nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe nearest inverted lists, exact
+    cosine re-rank inside — candidate set ~ nprobe/n_lists of the table,
+    and with list-partitioned storage the scan prunes at the source."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:nprobe]]
+    cand = indexed.filter(F.col("__ivf_list").isin(probes))
+    return cosine_topk(cand, emb, id_col, query_vec, k)
+
+
 def all_pairs_above(
     df: DataFrame, emb: str, id_col: str,
     min_cosine: float = 0.95, n_planes: int = 12, seed: int = 42, dim: int | None = None,

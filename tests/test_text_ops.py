@@ -201,3 +201,38 @@ class TestSimilarity:
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         expected = {(v, v + 100_000) for v in pdf["vec_id"]}
         assert expected <= got
+
+
+class TestIVF:
+    def test_ivf_recall_and_determinism(self, spark):
+        from pfutil_spark.operators.similarity import cosine_topk, ivf_build, ivf_topk
+
+        e = embs(spark)
+        indexed, centroids = ivf_build(e, "embedding", n_lists=8, seed=42)
+        indexed = indexed.persist()
+        # deterministic assignment across partitionings
+        a1 = {r["vec_id"]: r["__ivf_list"] for r in indexed.collect()}
+        indexed2, cent2 = ivf_build(e.repartition(7), "embedding", n_lists=8, seed=42)
+        import numpy as np
+
+        assert np.allclose(centroids, cent2)
+        a2 = {r["vec_id"]: r["__ivf_list"] for r in indexed2.collect()}
+        assert a1 == a2
+        # recall over several queries with generous probes
+        pdf = e.toPandas()
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        recall = 0.0
+        trials = 5
+        for t in range(trials):
+            q = mat[13 * t].tolist()
+            exact = {r["vec_id"] for r in cosine_topk(e, "embedding", "vec_id", q, 5).collect()}
+            approx = {
+                r["vec_id"]
+                for r in ivf_topk(indexed, centroids, "embedding", "vec_id", q, 5, nprobe=4).collect()
+            }
+            recall += len(exact & approx) / 5
+        assert recall / trials >= 0.5, recall / trials
+        # the query vector itself is always found (it lives in its own probe-0 list)
+        q = mat[0].tolist()
+        top = ivf_topk(indexed, centroids, "embedding", "vec_id", q, 1, nprobe=1).collect()
+        assert top[0]["vec_id"] == int(pdf["vec_id"][0])
