@@ -106,12 +106,54 @@ def _segment_min(values: np.ndarray, bounds: np.ndarray, empty_val: int) -> np.n
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 
+def _oph_batch(
+    wh: np.ndarray, bounds: np.ndarray, num_hashes: int
+) -> np.ndarray:
+    """One-Permutation Hashing signatures (Li, Owen & Zhang, NIPS 2012)
+    with rotation densification (Shrivastava & Li, ICML 2014): ONE pass
+    over the window hashes — the top log2(H) bits pick the bin, the
+    hash value is the bin's min — instead of H independent re-hash
+    passes. Empty bins borrow (re-mixed) from the next non-empty bin."""
+    from pfutil_spark.kernel.sketch_common import splitmix64
+
+    n_docs = len(bounds) - 1
+    H = num_hashes
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    shift = np.uint64(64 - int(np.log2(H)))
+    sig = np.full(n_docs * H, sentinel, dtype=np.uint64)
+    if len(wh):
+        doc_idx = np.repeat(
+            np.arange(n_docs, dtype=np.int64), np.diff(bounds)
+        )
+        flat = doc_idx * H + (wh >> shift).astype(np.int64)
+        np.minimum.at(sig, flat, wh)
+    sig = sig.reshape(n_docs, H)
+    # rotation densification: empty bin j takes mix(next non-empty, dist)
+    orig = sig.copy()
+    empty = orig == sentinel
+    for dist in range(1, H):
+        if not empty.any():
+            break
+        shifted = np.roll(orig, -dist, axis=1)
+        fill = empty & (shifted != sentinel)
+        if fill.any():
+            with np.errstate(over="ignore"):
+                sig[fill] = splitmix64(shifted[fill] ^ np.uint64(dist))
+            empty &= ~fill
+    return sig
+
+
 def minhash_signatures(
     df: DataFrame, text: str, id_col: str,
     num_hashes: int = 64, k: int = 5,
+    method: str = "classic",
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash signature per document.
-    Jaccard(A,B) ~= fraction of matching signature positions."""
+    Jaccard(A,B) ~= fraction of matching signature positions.
+
+    ``method='classic'``: H independent hash passes (textbook MinHash).
+    ``method='oph'``: one-permutation hashing — ONE pass regardless of H
+    (~H-times less hash work; the scale path for long documents)."""
     from pfutil_spark.operators.hll_agg import _varbin_buffers
 
     import pyarrow as pa
@@ -135,13 +177,17 @@ def minhash_signatures(
             data, offsets = _varbin_buffers(t)
             wh, bounds = _kgram_hashes(data, offsets, k)
             n_docs = len(bounds) - 1
-            sig = np.empty((num_hashes, n_docs), dtype=np.uint64)
-            for j in range(num_hashes):
-                with np.errstate(over="ignore"):
-                    mixed = wh ^ seeds[j]
-                    mixed = splitmix64(mixed)
-                sig[j] = _segment_min(mixed, bounds, int(sentinel))
-            sig_i64 = np.ascontiguousarray(sig.T).view(np.int64)
+            if method == "oph":
+                sig_rows = _oph_batch(wh, bounds, num_hashes)
+            else:
+                sig = np.empty((num_hashes, n_docs), dtype=np.uint64)
+                for j in range(num_hashes):
+                    with np.errstate(over="ignore"):
+                        mixed = wh ^ seeds[j]
+                        mixed = splitmix64(mixed)
+                    sig[j] = _segment_min(mixed, bounds, int(sentinel))
+                sig_rows = np.ascontiguousarray(sig.T)
+            sig_i64 = sig_rows.view(np.int64)
             list_offsets = pa.array(
                 np.arange(0, (n_docs + 1) * num_hashes, num_hashes, dtype=np.int32)
             )
@@ -156,7 +202,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, text: str, id_col: str,
     num_hashes: int = 64, bands: int = 16, k: int = 5,
-    min_jaccard: float = 0.5,
+    min_jaccard: float = 0.5, method: str = "classic",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b, est_jaccard) via LSH
     banding: docs sharing any band bucket become candidates; their full
@@ -169,7 +215,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text, id_col, num_hashes, k).persist()
+    sigs = minhash_signatures(df, text, id_col, num_hashes, k, method).persist()
 
     band_cols = [
         F.xxhash64(

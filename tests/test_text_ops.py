@@ -236,3 +236,51 @@ class TestIVF:
         q = mat[0].tolist()
         top = ivf_topk(indexed, centroids, "embedding", "vec_id", q, 1, nprobe=1).collect()
         assert top[0]["vec_id"] == int(pdf["vec_id"][0])
+
+
+class TestOPH:
+    def test_oph_identical_docs_and_lsh_recall(self, spark):
+        import pandas as pd
+
+        base = docs(spark).limit(20).toPandas()
+        dup = base.copy()
+        dup["doc_id"] = dup["doc_id"] + 100_000
+        df = spark.createDataFrame(pd.concat([base, dup]))
+        sigs = {r["doc_id"]: r["sig"] for r in
+                minhash_signatures(df, "text", "doc_id", 64, 5, method="oph").collect()}
+        for did in base["doc_id"]:
+            assert sigs[did] == sigs[did + 100_000]
+        # edited near-dups found through banding with OPH signatures
+        edited = base.copy()
+        edited["doc_id"] = edited["doc_id"] + 200_000
+        edited["text"] = edited["text"] + " small tail edit"
+        df2 = spark.createDataFrame(pd.concat([base, edited]))
+        pairs = minhash_lsh_pairs(
+            df2, "text", "doc_id", 64, 16, 5, min_jaccard=0.5, method="oph"
+        )
+        got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+        expected = {(did, did + 200_000) for did in base["doc_id"]}
+        found = len(expected & set(got)) / len(expected)
+        assert found >= 0.9, f"OPH LSH recall {found}"
+        # estimated jaccard is in a sane band for near-identical docs
+        for p in expected & set(got):
+            assert got[p] >= 0.5
+
+    def test_oph_estimates_track_exact_jaccard(self, spark):
+        import pandas as pd
+
+        base = docs(spark).limit(10).toPandas()
+        edited = base.copy()
+        edited["doc_id"] = edited["doc_id"] + 300_000
+        edited["text"] = edited["text"].str.slice(0, 200) + " different ending text here"
+        df = spark.createDataFrame(pd.concat([base, edited]))
+        pairs_df = spark.createDataFrame(
+            pd.DataFrame({"id_a": base["doc_id"], "id_b": base["doc_id"] + 300_000})
+        )
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                 ngram_jaccard_pairs(df, pairs_df, "text", "doc_id", 5).collect()}
+        sigs = {r["doc_id"]: np.array(r["sig"]) for r in
+                minhash_signatures(df, "text", "doc_id", 64, 5, method="oph").collect()}
+        for (a, b), jx in exact.items():
+            est = (sigs[a] == sigs[b]).mean()
+            assert abs(est - jx) <= 0.25, (a, b, est, jx)  # 64-slot variance
