@@ -350,6 +350,22 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(e, "embedding", "vec_id", qv, k=10)
 
 
+def _q_multi_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star report shape: distinct source / content-sha per lang AND
+    globally (lang shown as '<all>'), ONE scan (pf_partial_multi)."""
+    from pfutil_spark.operators.multi import sourcecode_distinct_report
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "content_sha", F.sha2(F.col("text"), 256)
+    )
+    rep = sourcecode_distinct_report(
+        docs, by="lang", elements=("source", "content_sha")
+    )
+    return rep.select(
+        F.coalesce("lang", F.lit("<all>")).alias("lang"), "metric", "estimate"
+    ).orderBy("lang", "metric")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pfutil_spark.operators.multimodal import image_features, synthetic_media_table
 
@@ -479,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_distribution": _q_langid_distribution,
         "ann_topk": _q_ann_topk,
         "multimodal_features": _q_multimodal_features,
+        "multi_distinct_report": _q_multi_distinct_report,
     }
 
 

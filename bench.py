@@ -120,8 +120,36 @@ def q_orders_customer_join(spark, sf_dir):
     return e._q_orders_customer_join(spark, sf_dir)
 
 
+def q_north_report(spark, sf_dir):
+    """North-star report: distinct repo/path/commit/content-sha per lang
+    + global — ONE scan via pf_partial_multi."""
+    from pfutil_spark.operators.multi import sourcecode_distinct_report
+
+    return sourcecode_distinct_report(_flagship_input_full(spark))
+
+
+_FLAGSHIP_FULL = None
+
+
+def _flagship_input_full(spark):
+    global _FLAGSHIP_FULL
+    if _FLAGSHIP_FULL is None:
+        from pyspark.sql import functions as F
+
+        from pfutil_spark.sources import sourcecode_table
+
+        src = sourcecode_table(spark, FLAGSHIP_ROWS, partitions=CPUS * 2)
+        src = src.withColumn("content_sha", F.sha2(F.col("content"), 256)).drop(
+            "content"
+        ).persist()
+        src.count()
+        _FLAGSHIP_FULL = src
+    return _FLAGSHIP_FULL
+
+
 QUERIES = {
     "flagship_sourcecode_hll": q_flagship_sourcecode,
+    "north_report_4metrics": q_north_report,
     "hll_lineitem_global": q_hll_lineitem_global,
     "hll_lineitem_by_flag_v5": q_hll_lineitem_by_flag_v5,
     "hll_events_users_by_type": q_hll_events_users_by_type,

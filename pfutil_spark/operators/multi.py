@@ -1,0 +1,163 @@
+"""Multi-element sketching: build HLL sketches for SEVERAL element
+columns in ONE scan (one Arrow transfer, one shuffle) — the shape of the
+north-star report "distinct repos, paths, commits and content hashes per
+language and globally" (BASELINE.json) where the input scan utterly
+dominates at 10^12 rows and must not be repeated per metric.
+
+Output is long-form: (by..., metric, sketch) — one row per (group x
+element column); the metric column keeps the single-shuffle groupBy
+co-partitioned for all metrics at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from pfutil_spark.kernel import hll
+from pfutil_spark.operators.hll_agg import (
+    SKETCH_COL,
+    _group_codes,
+    _out_schema,
+    _varbin_buffers,
+    pf_count_col,
+    pf_merge,
+)
+
+
+def pf_partial_multi(
+    df: DataFrame,
+    elements: Sequence[str],
+    by: Sequence[str] = (),
+    version: int = 4,
+    max_groups_in_flight: int = 4096,
+) -> DataFrame:
+    """Stage P over several element columns at once: one pass over the
+    Arrow batches updates one register vector per (group, element col);
+    emits (by..., metric, sketch)."""
+    import pyarrow as pa
+
+    by = list(by)
+    elements = list(elements)
+    base = _out_schema(df, by)
+    schema = StructType(
+        base.fields[:-1]
+        + [StructField("metric", StringType(), False), base.fields[-1]]
+    )
+    cast_cols = []
+    for e in elements:
+        t = df.schema[e].dataType.typeName()
+        cast_cols.append(
+            F.col(e) if t in ("string", "binary") else F.col(e).cast("string").alias(e)
+        )
+    pruned = df.select(*by, *cast_cols)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        acc: dict[tuple, np.ndarray] = {}  # (key..., metric) -> registers
+        key_fields: list = []
+        seen = False
+
+        def flush() -> "pa.RecordBatch":
+            keys = list(acc.keys())
+            arrays = [
+                pa.array([k[j] for k in keys], type=key_fields[j].type)
+                for j in range(len(by))
+            ]
+            arrays.append(pa.array([k[-1] for k in keys], type=pa.string()))
+            arrays.append(pa.array([hll.encode(acc[k]) for k in keys], type=pa.binary()))
+            return pa.record_batch(arrays, names=by + ["metric", SKETCH_COL])
+
+        for batch in batches:
+            if not seen:
+                key_fields = [batch.schema.field(c) for c in by]
+                seen = True
+            if len(batch) == 0:
+                continue
+            if by:
+                inverse, first_idx = _group_codes(batch, by)
+                n_groups = len(first_idx)
+                take = pa.array(first_idx)
+                key_cols = [batch.column(c).take(take).to_pylist() for c in by]
+                group_keys = [
+                    tuple(col[i] for col in key_cols) for i in range(n_groups)
+                ]
+            else:
+                inverse = np.zeros(len(batch), dtype=np.int64)
+                n_groups = 1
+                group_keys = [()]
+            for e in elements:
+                elem = batch.column(e)
+                inv = inverse
+                if elem.null_count:
+                    mask = pc.is_valid(elem)
+                    np_mask = mask.to_numpy(zero_copy_only=False)
+                    elem = elem.filter(mask)
+                    inv = inverse[np_mask]
+                if len(elem) == 0:
+                    continue
+                data, offsets = _varbin_buffers(elem)
+                idx, patlen = hll.hash_and_patlen_flat(data, offsets, version)
+                local = np.zeros((n_groups, hll.HLL_REGISTERS), dtype=np.uint8)
+                hll.update_registers_grouped(local, inv, idx, patlen)
+                for g in range(n_groups):
+                    k = group_keys[g] + (e,)
+                    prev = acc.get(k)
+                    if prev is None:
+                        acc[k] = local[g]
+                    else:
+                        np.maximum(prev, local[g], out=prev)
+            if len(acc) > max_groups_in_flight:
+                yield flush()
+                acc = {}
+        if acc or not by:
+            if not acc:
+                for e in elements:
+                    acc[(e,)] = hll.empty_registers()
+            yield flush()
+
+    return pruned.mapInArrow(fn, schema)
+
+
+def pf_count_distinct_multi(
+    df: DataFrame,
+    elements: Sequence[str],
+    by: Sequence[str] = (),
+    version: int = 4,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """(by..., metric, estimate) for every element column — one scan."""
+    by = list(by)
+    partials = pf_partial_multi(df, elements, by, version)
+    merged = pf_merge(partials, by + ["metric"], salt_buckets=salt_buckets)
+    return merged.select(
+        *by, "metric", pf_count_col(SKETCH_COL, version).alias("estimate")
+    )
+
+
+def sourcecode_distinct_report(
+    df: DataFrame,
+    by: str = "lang",
+    elements: Sequence[str] = ("repo", "path", "commit", "content_sha"),
+    version: int = 4,
+) -> DataFrame:
+    """The north-star report: distinct repos / paths / commits / content
+    hashes per language AND globally, all from ONE scan of the input.
+    The global rows (by = NULL) are re-merges of the per-lang sketches —
+    no second pass (merge associativity)."""
+    per_lang = pf_merge(
+        pf_partial_multi(df, elements, (by,), version), [by, "metric"]
+    ).localCheckpoint()
+    glob = pf_merge(per_lang.select("metric", SKETCH_COL), ["metric"]).withColumn(
+        by, F.lit(None).cast(df.schema[by].dataType)
+    )
+    all_rows = per_lang.unionByName(glob.select(by, "metric", SKETCH_COL))
+    return all_rows.select(
+        by, "metric", pf_count_col(SKETCH_COL, version).alias("estimate")
+    )
