@@ -273,6 +273,26 @@ def tdigest_quantiles_col(qs: Sequence[float], sketch_col: str = SKETCH_COL) -> 
     return _q(F.col(sketch_col))
 
 
+def bloom_filter_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    fpr: float = 0.01,
+) -> DataFrame:
+    """Join with a Bloom pre-filter: build a Bloom filter over the right
+    side's keys (one small aggregation), drop left rows that cannot match
+    BEFORE the join shuffle, then join exactly. With a selective right
+    side this removes most of the shuffle I/O; false positives are
+    eliminated by the exact join, false negatives don't exist."""
+    n_right = right.count()
+    sk = bloom_sketch(right, on, expected_n=max(n_right, 1), fpr=fpr).collect()[0][
+        SKETCH_COL
+    ]
+    pre = left.filter(bloom_might_contain_col(on, bytes(sk)))
+    return pre.join(right, on, how)
+
+
 def bloom_might_contain_col(col: str | Column, sketch_bytes: bytes) -> Column:
     """Boolean membership column against a broadcast-style Bloom sketch
     (closure-captured bytes — a few KB-MB; usable as a semi-join

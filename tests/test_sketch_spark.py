@@ -114,3 +114,21 @@ class TestBloomPartitionInvariance:
         base = bloom_sketch(events(spark).coalesce(1), "user_id", m_bits=1 << 14, k=5
                             ).collect()[0]["sketch"]
         assert bytes(sk) == bytes(base)  # OR-merge is exact
+
+
+class TestBloomJoin:
+    def test_bloom_filter_join_equals_plain_join(self, spark):
+        from pfutil_spark.operators.sketch_agg import bloom_filter_join
+
+        ev = events(spark, "sf0.01")
+        right = (
+            ev.filter(F.col("user_id") % 7 == 0)
+            .select("user_id")
+            .distinct()
+            .withColumn("tag", F.lit("hit"))
+        )
+        plain = ev.join(right, "user_id").select("event_id", "tag")
+        pre = bloom_filter_join(ev, right, "user_id").select("event_id", "tag")
+        assert sorted(r["event_id"] for r in pre.collect()) == sorted(
+            r["event_id"] for r in plain.collect()
+        )
