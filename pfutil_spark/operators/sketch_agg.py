@@ -79,6 +79,22 @@ def kll_spec(k: int = kll.DEFAULT_K) -> KernelSpec:
     )
 
 
+def spacesaving_spec(m: int = 256) -> KernelSpec:
+    from pfutil_spark.kernel import spacesaving as ss
+
+    def update(state, values):
+        state.update_batch(values)
+        return state
+
+    return KernelSpec(
+        zero=lambda: ss.SpaceSaving(m),
+        update=update,
+        merge=ss.merge_all,
+        encode=lambda s: s.encode(),
+        decode=ss.decode,
+    )
+
+
 def tdigest_spec(delta: int = tdigest.DEFAULT_DELTA) -> KernelSpec:
     def update(state, values):
         state.update(values)
@@ -226,6 +242,38 @@ def tdigest_sketch(
     df: DataFrame, col: str, by: Sequence[str] = (), delta: int = tdigest.DEFAULT_DELTA
 ) -> DataFrame:
     return sketch_agg(df, F.col(col).cast("double"), tdigest_spec(delta), by)
+
+
+def spacesaving_sketch(
+    df: DataFrame, col: str, by: Sequence[str] = (), m: int = 256
+) -> DataFrame:
+    """Mergeable SpaceSaving heavy-hitters summary over ``col``."""
+    return sketch_agg(df, F.col(col).cast("string"), spacesaving_spec(m), by)
+
+
+def spacesaving_topk_col(k: int, sketch_col: str = SKETCH_COL) -> Column:
+    """array<struct<value, est_count, max_overcount>> of the summary's
+    top-k; est_count is an upper bound, est_count - max_overcount a
+    guaranteed lower bound."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from pfutil_spark.kernel import spacesaving as ss
+
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("value", StringType()),
+                StructField("est_count", LongType()),
+                StructField("max_overcount", LongType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_t)
+    def _topk(s: pd.Series) -> pd.Series:
+        return pd.Series([ss.decode(bytes(b)).top_k(k) for b in s])
+
+    return _topk(F.col(sketch_col))
 
 
 # ---------------------------------------------------------------------------
