@@ -70,6 +70,24 @@ def pf_rollup(
     return out
 
 
+def pf_cube(
+    df: DataFrame,
+    element: str,
+    dims: Sequence[str],
+    version: int = 4,
+    estimate_col: str = "estimate",
+) -> DataFrame:
+    """CUBE distinct counts: every subset of ``dims``, still ONE input
+    scan (all 2^d grouping sets re-merge the finest sketches)."""
+    from itertools import combinations
+
+    dims = list(dims)
+    sets = [
+        list(c) for r in range(len(dims), -1, -1) for c in combinations(dims, r)
+    ]
+    return pf_rollup(df, element, dims, version, grouping_sets=sets, estimate_col=estimate_col)
+
+
 def pf_union_estimate_col(
     a: str | Column, b: str | Column, version: int = 4
 ) -> Column:

@@ -224,3 +224,19 @@ class TestAsofAndSessions:
         }
         for k, x in exact.items():
             assert abs(got[k] - x) <= max(1, round(3 * 0.008125 * x)), (k, got[k], x)
+
+
+class TestCube:
+    def test_cube_covers_all_subsets_within_bound(self, spark):
+        from pfutil_spark.operators.rollup import pf_cube
+
+        ev = _events(spark).withColumn("day", F.dayofmonth("ts").cast("string"))
+        out = pf_cube(ev, "uid", ["event_type", "day"]).collect()
+        shapes = {(r["event_type"] is None, r["day"] is None) for r in out}
+        assert shapes == {(False, False), (False, True), (True, False), (True, True)}
+        pdf = ev.select("event_type", "day", "uid").toPandas()
+        # spot-check the (None, day) level — the one ROLLUP doesn't produce
+        for r in out:
+            if r["event_type"] is None and r["day"] is not None:
+                exact = pdf[pdf["day"] == r["day"]]["uid"].nunique()
+                assert abs(r["estimate"] - exact) <= max(1, round(3 * 0.008125 * exact))
