@@ -63,15 +63,14 @@ def _flagship_input(spark):
 
 
 def q_flagship_sourcecode(spark, sf_dir):
-    """North query: distinct content-sha256 per lang (HLL v4, salted
-    merge) over the synthetic (repo,path,commit,lang,content) table —
+    """North query: distinct content-sha256 per lang (HLL v4) over the synthetic (repo,path,commit,lang,content) table —
     ONE job, ONE logical shuffle. (The global PFMERGE across langs is a
     driver-side merge of 17 sketches; measured in bench_scaling.py.)"""
     from pfutil_spark.operators import pf_count_col, pf_merge, pf_partial
 
     src = _flagship_input(spark)
     partials = pf_partial(src, "content_sha", by=("lang",), version=4)
-    per_lang = pf_merge(partials, by=("lang",), salt_buckets=4)
+    per_lang = pf_merge(partials, by=("lang",))  # salt only pays at 1000s of partitions (see NOTES.md)
     return per_lang.select("lang", pf_count_col("sketch", 4).alias("estimate"))
 
 
