@@ -115,7 +115,10 @@ def run_one(cores: int) -> dict:
 
 def kernel_single_core() -> dict:
     """Single-core pure-numpy pfAdd-path throughput — sanity anchor vs the
-    reference's published 13.1M ops/s single-thread Java pfAdd."""
+    reference's published 13.1M ops/s single-thread Java pfAdd.
+
+    Two variants: the python-objects path (list of bytes) and the flat
+    Arrow-buffer path (values+offsets, what mapInArrow actually feeds)."""
     import hashlib
 
     import numpy as np
@@ -124,14 +127,29 @@ def kernel_single_core() -> dict:
 
     n = 1_000_000
     datas = [hashlib.sha256(str(i).encode()).hexdigest().encode() for i in range(n)]
-    best = 1e9
+    best_obj = 1e9
     for _ in range(3):
         t0 = time.time()
         idx, pl = hll.hash_and_patlen(datas, 4)
         regs = hll.empty_registers()
         hll.update_registers(regs, idx, pl)
-        best = min(best, time.time() - t0)
-    return {"rows": n, "sec": round(best, 3), "rows_per_sec": round(n / best)}
+        best_obj = min(best_obj, time.time() - t0)
+
+    flat = np.frombuffer(b"".join(datas), dtype=np.uint8)
+    offsets = np.arange(0, (n + 1) * 64, 64, dtype=np.int64)
+    best_flat = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        idx, pl = hll.hash_and_patlen_flat(flat, offsets, 4)
+        regs = hll.empty_registers()
+        hll.update_registers(regs, idx, pl)
+        best_flat = min(best_flat, time.time() - t0)
+    return {
+        "rows": n,
+        "sec": round(best_obj, 3),
+        "rows_per_sec": round(n / best_obj),
+        "rows_per_sec_flat_arrow_path": round(n / best_flat),
+    }
 
 
 def main() -> None:
