@@ -9,7 +9,20 @@ golden-fixture and error-bound pytest suites — see tests/).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make `import pfutil_spark` work no matter how this module was loaded
+# (path import, different cwd) and propagate to python workers
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+os.environ["PYTHONPATH"] = (
+    _ROOT + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _ROOT
+)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
