@@ -124,6 +124,50 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join, date filters, grouped revenue."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cst = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cst), orders.o_custkey == cst.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+            F.round("revenue", 4).alias("revenue"),
+        )
+    )
+
+
+def _q_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter((F.col("p_size") >= 20) & (~F.col("p_type").startswith("SMALL")))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("p_type").alias("types"),
+            F.max("p_retailprice").cast("double").alias("max_price"),
+        )
+    )
+
+
 def _q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
@@ -482,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users": _q_events_distinct_users,
         "orders_customer_join": _q_orders_customer_join,
         "lineitem_pricing": _q_lineitem_pricing,
+        "shipping_priority": _q_shipping_priority,
+        "parts_by_brand": _q_parts_by_brand,
         "top_users": _q_top_users,
         "nation_region_rollup": _q_nation_region_rollup,
         "hll_error_bound": _q_hll_error_bound,
@@ -542,6 +588,27 @@ def oracle_sql() -> dict[str, str]:
             " FROM lineitem"
             " WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
             " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,"
+            " o_orderpriority, round(revenue, 4) AS revenue FROM ("
+            " SELECT l_orderkey, o_orderdate, o_orderpriority,"
+            "  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+            "   AS DOUBLE) AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " WHERE c_mktsegment = 'BUILDING'"
+            "  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'"
+            "  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'"
+            " GROUP BY l_orderkey, o_orderdate, o_orderpriority"
+            " ORDER BY revenue DESC, l_orderkey ASC LIMIT 10)"
+        ),
+        "parts_by_brand": (
+            "SELECT p_brand, count(*) AS cnt, count(DISTINCT p_type) AS types,"
+            " CAST(max(p_retailprice) AS DOUBLE) AS max_price"
+            " FROM part WHERE p_size >= 20 AND p_type NOT LIKE 'SMALL%'"
+            " GROUP BY p_brand"
         ),
         "top_users": (
             "SELECT user_id, count(*) AS cnt FROM events"

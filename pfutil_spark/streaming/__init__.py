@@ -2,4 +2,5 @@ from pfutil_spark.streaming.hll_stream import (  # noqa: F401
     StreamingHllState,
     attach_hll_foreach_batch,
     streaming_distinct_with_state,
+    streaming_windowed_distinct,
 )

@@ -139,6 +139,35 @@ def streaming_distinct_with_state(
     )
 
 
+def streaming_windowed_distinct(
+    stream_df: DataFrame,
+    ts: str,
+    element: str,
+    by: Sequence[str] = (),
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    version: int = 4,
+) -> DataFrame:
+    """Windowed streaming distinct count with late-data handling: a
+    watermark on the event-time column bounds state, tumbling/sliding
+    windows become part of the sketch key, and the per-(window, key)
+    GroupState is the constant-size HLL. Output mode: update."""
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (not TIMESTAMP_NTZ)
+    stream_df = stream_df.withColumn(ts, F.col(ts).cast("timestamp"))
+    win = F.window(F.col(ts), window, slide or window)
+    keyed = (
+        stream_df.withWatermark(ts, watermark)
+        .withColumn("window_start", win.start)
+        .withColumn("window_end", win.end)
+    )
+    return streaming_distinct_with_state(
+        keyed, element, ["window_start", "window_end", *by], version
+    )
+
+
 def attach_hll_foreach_batch(
     stream_df: DataFrame,
     state: StreamingHllState,

@@ -240,3 +240,43 @@ class TestCube:
             if r["event_type"] is None and r["day"] is not None:
                 exact = pdf[pdf["day"] == r["day"]]["uid"].nunique()
                 assert abs(r["estimate"] - exact) <= max(1, round(3 * 0.008125 * exact))
+
+
+class TestWindowedStreaming:
+    def test_windowed_distinct_with_watermark(self, spark, tmp_path):
+        from pfutil_spark.streaming import streaming_windowed_distinct
+
+        ev = _events(spark).select("ts", "event_type", "uid")
+        src = tmp_path / "win_src"
+        ev.write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        out = streaming_windowed_distinct(
+            stream, "ts", "uid", by=("event_type",),
+            window="1 hour", watermark="2 hours",
+        )
+        q = (
+            out.writeStream.outputMode("update").format("memory")
+            .queryName("win_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["window_start"], r["event_type"]): r["estimate"]
+            for r in spark.sql(
+                "SELECT window_start, event_type, max(estimate) AS estimate"
+                " FROM win_out GROUP BY window_start, event_type"
+            ).collect()
+        }
+        assert len(got) > 5
+        exact = {
+            (r["w"], r["event_type"]): r["x"]
+            for r in ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("w", F.window("ts", "1 hour").start)
+            .groupBy("w", "event_type")
+            .agg(F.countDistinct("uid").alias("x"))
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for k, x in exact.items():
+            assert abs(got[k] - x) <= max(1, round(3 * 0.008125 * x)), (k, got[k], x)
