@@ -67,8 +67,9 @@ _LANG_EVIDENCE = {
 
 def lang_id_col(text: str | Column) -> Column:
     """Heuristic language ID over {en,de,es,fr,zh}: CJK characters win for
-    zh; otherwise the language with the most stopword hits (ties break by
-    the fixed en>de>es>fr order via greatest-of-structs)."""
+    zh; otherwise the language with the most stopword hits (ties break
+    deterministically by the lexicographically greatest lang code, the
+    struct-comparison semantics of greatest())."""
     c = F.col(text) if isinstance(text, str) else text
     lowered = F.lower(c)
     words = F.split(lowered, r"[^\p{L}]+")

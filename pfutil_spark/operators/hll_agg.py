@@ -73,18 +73,24 @@ def _varbin_buffers(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
 
 def _group_codes(batch: "pa.RecordBatch", by: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized multi-column grouping: dictionary-encode each key column
-    (Arrow C++), combine per-column codes, np.unique -> (inverse codes,
-    first-row index per group)."""
+    (Arrow C++), then CASCADE-combine — after each column the pair codes
+    are re-factorized through np.unique, so intermediate products never
+    exceed n * (n+1) (no int64 overflow regardless of key-column count)."""
     import pyarrow.compute as pc
 
     comb = None
+    first_idx = None
     for c in by:
         enc = pc.dictionary_encode(batch.column(c))
         codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
-        k = len(enc.dictionary) + 1
-        comb = codes + 1 if comb is None else comb * k + (codes + 1)
-    _, first_idx, inverse = np.unique(comb, return_index=True, return_inverse=True)
-    return inverse, first_idx
+        if comb is None:
+            comb = codes + 1
+        else:
+            k = int(codes.max(initial=-1)) + 2
+            comb = comb * k + (codes + 1)
+        # re-factorize: comb values become dense ids in [0, n_groups)
+        _, first_idx, comb = np.unique(comb, return_index=True, return_inverse=True)
+    return comb, first_idx
 
 
 LINEAGE_COLS = ("_partition_id", "_rows_seen")

@@ -173,3 +173,43 @@ def test_sql_function_registration(spark):
         " sketches_v a JOIN sketches_v b ON a.grp = '0' AND b.grp = '1'"
     ).collect()[0]["u"]
     assert pair > 0
+
+
+def test_multi_column_group_keys_with_nulls(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "a": ["x", "x", None, None, "y", "y", "x"],
+        "b": ["1", None, "1", None, "1", "1", "1"],
+        "elem": [f"e{i}" for i in range(7)],
+    })
+    df = spark.createDataFrame(pdf)
+    rows = pf_count_distinct(df, "elem", by=("a", "b")).collect()
+    got = {(r["a"], r["b"]): r["estimate"] for r in rows}
+    exact = pdf.groupby(["a", "b"], dropna=False)["elem"].nunique()
+    assert len(got) == len(exact)
+    for (a, b), x in exact.items():
+        key = (None if pd.isna(a) else a, None if pd.isna(b) else b)
+        assert got[key] == x, (key, got[key], x)
+
+
+def test_four_column_group_keys(spark):
+    df = (
+        spark.range(5000)
+        .withColumn("k1", (F.col("id") % 7).cast("string"))
+        .withColumn("k2", (F.col("id") % 11).cast("string"))
+        .withColumn("k3", (F.col("id") % 5).cast("string"))
+        .withColumn("k4", (F.col("id") % 3).cast("string"))
+        .withColumn("elem", F.col("id").cast("string"))
+        .repartition(6)
+    )
+    rows = pf_count_distinct(df, "elem", by=("k1", "k2", "k3", "k4")).collect()
+    exact = df.groupBy("k1", "k2", "k3", "k4").agg(
+        F.countDistinct("elem").alias("x")
+    ).collect()
+    got = {(r["k1"], r["k2"], r["k3"], r["k4"]): r["estimate"] for r in rows}
+    assert len(got) == len(exact)
+    for r in exact:
+        # ±1: with >1000 tiny groups, an occasional same-register
+        # collision among ~5 elements is expected HLL behavior
+        assert abs(got[(r["k1"], r["k2"], r["k3"], r["k4"])] - r["x"]) <= 1
