@@ -13,9 +13,13 @@ TESTDATA = "/root/testdata"
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="pfutil_wh_")
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("pfutil-spark-tests")
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
