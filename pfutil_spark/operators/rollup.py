@@ -88,6 +88,27 @@ def pf_cube(
     return pf_rollup(df, element, dims, version, grouping_sets=sets, estimate_col=estimate_col)
 
 
+def pf_time_rollup(
+    df: DataFrame,
+    ts: str,
+    element: str,
+    bucket: str = "1 hour",
+    by: Sequence[str] = (),
+    version: int = 4,
+) -> DataFrame:
+    """Hypertable-style time-bucketed distinct counts: sketches per
+    (time bucket, by...) — the bucket is just another group key, so the
+    whole thing is still ONE scan + ONE shuffle, and the per-bucket
+    sketches remain mergeable upward into coarser windows."""
+    by = list(by)
+    win = F.window(F.col(ts).cast("timestamp"), bucket)
+    bucketed = df.withColumn("bucket_start", win.start)
+    keys = ["bucket_start", *by]
+    from pfutil_spark.operators.hll_agg import pf_count_distinct
+
+    return pf_count_distinct(bucketed, element, by=keys, version=version)
+
+
 def pf_union_estimate_col(
     a: str | Column, b: str | Column, version: int = 4
 ) -> Column:

@@ -97,3 +97,59 @@ def test_estimate_never_negative_and_version_sane(elems):
         assert est >= 0
         # generous sanity envelope for tiny sets
         assert abs(est - n) <= max(3, 0.05 * n)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=2000),
+    st.integers(min_value=2, max_value=6),
+)
+def test_cms_never_undercounts_any_input(ids, depth):
+    from collections import Counter
+
+    from pfutil_spark.kernel import cms
+    from pfutil_spark.kernel.sketch_common import splitmix64
+
+    s = cms.empty(depth=depth, width=256)
+    h = splitmix64(np.asarray(ids, dtype=np.uint64))
+    cms.update(s, h)
+    exact = Counter(ids)
+    uniq = sorted(exact)
+    est = cms.query(s, splitmix64(np.asarray(uniq, dtype=np.uint64)))
+    for v, e in zip(uniq, est):
+        assert e >= exact[v]
+    assert cms.total(s) == len(ids)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=500),
+    st.integers(min_value=1, max_value=12),
+)
+def test_bloom_never_false_negative_any_input(members, k):
+    from pfutil_spark.kernel import bloom
+    from pfutil_spark.kernel.sketch_common import splitmix64
+
+    s = bloom.empty(1 << 14)
+    h = splitmix64(np.fromiter(members, dtype=np.uint64, count=len(members)))
+    bloom.update(s, h, k)
+    assert bloom.contains(s, h, k).all()
+    # roundtrip preserves membership
+    s2, k2 = bloom.decode(bloom.encode(s, k))
+    assert bloom.contains(s2, h, k2).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          min_value=-1e12, max_value=1e12),
+                min_size=2, max_size=2000))
+def test_tdigest_quantiles_within_range_any_input(values):
+    from pfutil_spark.kernel import tdigest
+
+    td = tdigest.TDigest(50)
+    td.update(np.asarray(values))
+    lo, hi = min(values), max(values)
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        v = td.quantile(q)
+        assert lo <= v <= hi
+    assert td.quantile(0.0) == lo and td.quantile(1.0) == hi

@@ -280,3 +280,23 @@ class TestWindowedStreaming:
         assert set(got) == set(exact)
         for k, x in exact.items():
             assert abs(got[k] - x) <= max(1, round(3 * 0.008125 * x)), (k, got[k], x)
+
+
+class TestTimeRollup:
+    def test_time_bucketed_distinct(self, spark):
+        from pfutil_spark.operators.rollup import pf_time_rollup
+
+        ev = _events(spark)
+        out = pf_time_rollup(ev, "ts", "uid", bucket="1 hour", by=("event_type",))
+        rows = out.collect()
+        exact = (
+            ev.withColumn("bucket_start", F.window(F.col("ts").cast("timestamp"), "1 hour").start)
+            .groupBy("bucket_start", "event_type")
+            .agg(F.countDistinct("uid").alias("x"))
+            .collect()
+        )
+        got = {(r["bucket_start"], r["event_type"]): r["estimate"] for r in rows}
+        assert len(got) == len(exact)
+        for r in exact:
+            k = (r["bucket_start"], r["event_type"])
+            assert abs(got[k] - r["x"]) <= max(1, round(3 * 0.008125 * r["x"]))
