@@ -2,11 +2,12 @@
 """Scaling-evidence protocol (BASELINE.md): the north_rule's two-cluster-
 size criterion (N vs 4N executors, throughput scaling efficiency >= 0.8)
 evidenced in this sandbox by running the SAME flagship job on the SAME
-deterministic input at local[8] and local[32] in separate JVMs.
+parquet input at two local parallelism levels in separate JVMs
+(default pair 1 and 4; see PFUTIL_SCALING_CORES).
 
 Usage:
-    python bench_scaling.py --cores 8      # one measured run, prints JSON
-    python bench_scaling.py                # orchestrates 8 + 32, writes
+    python bench_scaling.py --cores 4      # one measured run, prints JSON
+    python bench_scaling.py                # orchestrates the pair, writes
                                            # BENCH/BASELINE.md
 """
 
