@@ -284,3 +284,19 @@ class TestOPH:
         for (a, b), jx in exact.items():
             est = (sigs[a] == sigs[b]).mean()
             assert abs(est - jx) <= 0.25, (a, b, est, jx)  # 64-slot variance
+
+
+class TestOrganicNearDups:
+    def test_lsh_finds_real_near_dups_with_accurate_estimates(self, spark):
+        """sf0.01 documents contain organic near-duplicates (shared
+        shingle space); the full LSH->verify pipeline must find them and
+        estimate their Jaccard accurately."""
+        d = docs(spark, "sf0.01")
+        pairs = minhash_lsh_pairs(d, "text", "doc_id", 64, 16, 5, min_jaccard=0.9)
+        exact = ngram_jaccard_pairs(d, pairs, "text", "doc_id", 5).join(
+            pairs, ["id_a", "id_b"]
+        ).collect()
+        assert len(exact) >= 10  # organic near-dups exist in this corpus
+        for r in exact:
+            assert r["jaccard"] >= 0.7, (r["id_a"], r["id_b"], r["jaccard"])
+            assert abs(r["est_jaccard"] - r["jaccard"]) <= 0.25
