@@ -669,9 +669,9 @@ def oracle_sql() -> dict[str, str]:
             " ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "sessionize": (
-            "SELECT event_id, sum(is_new) OVER ("
+            "SELECT event_id, CAST(sum(is_new) OVER ("
             " PARTITION BY user_id ORDER BY ts, event_id"
-            " ROWS UNBOUNDED PRECEDING) AS session_id FROM ("
+            " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM ("
             " SELECT event_id, user_id, ts,"
             "  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
             "        IS NULL"

@@ -315,20 +315,36 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming,
     found via pigeonhole chunking (Manku et al.): split the 64-bit
-    signature into 4 x 16-bit chunks — any pair within distance 3 shares
-    at least one exact chunk, so candidates come from 4 equi-joins, never
-    a cross join."""
+    signature into ``max_hamming + 1`` chunks — a pair within distance d
+    can differ in at most d chunks, so it shares at least one exact chunk
+    (pigeonhole), and candidates come from ``max_hamming + 1`` equi-joins,
+    never a cross join.
+
+    More chunks = narrower chunks = bigger buckets, so candidate volume
+    grows with ``max_hamming``; at 100-TB scale keep it small (<= 7, i.e.
+    >= 8-bit chunks) and let the exact hamming filter do the rest.
+    """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming={max_hamming}: pigeonhole chunking needs "
+            "0 <= max_hamming <= 15 (chunks of >= 4 bits)"
+        )
+    n_chunks = max_hamming + 1
+    width = -(-64 // n_chunks)  # ceil: first chunks `width` bits, last the rest
+    bounds = [(i * width, min((i + 1) * width, 64)) for i in range(n_chunks)]
     sigs = simhash_signatures(df, text, id_col, k).persist()
     chunks = sigs.select(
         id_col,
         "simhash",
         *[
-            F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
-            for i in range(4)
+            F.shiftrightunsigned("simhash", lo)
+            .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+            .alias(f"c{i}")
+            for i, (lo, hi) in enumerate(bounds)
         ],
     )
     cands = None
-    for i in range(4):
+    for i in range(n_chunks):
         l = chunks.alias("l")
         r = chunks.alias("r")
         c = l.join(

@@ -327,31 +327,65 @@ def bloom_filter_join(
     on: str,
     how: str = "inner",
     fpr: float = 0.01,
+    expected_n: int = 1_000_000,
 ) -> DataFrame:
     """Join with a Bloom pre-filter: build a Bloom filter over the right
-    side's keys (one small aggregation), drop left rows that cannot match
-    BEFORE the join shuffle, then join exactly. With a selective right
-    side this removes most of the shuffle I/O; false positives are
-    eliminated by the exact join, false negatives don't exist."""
-    n_right = right.count()
-    sk = bloom_sketch(right, on, expected_n=max(n_right, 1), fpr=fpr).collect()[0][
-        SKETCH_COL
-    ]
-    pre = left.filter(bloom_might_contain_col(on, bytes(sk)))
+    side's keys (ONE aggregation pass — no extra count), drop left rows
+    that cannot match BEFORE the join shuffle, then join exactly. With a
+    selective right side this removes most of the shuffle I/O; false
+    positives are eliminated by the exact join, false negatives don't
+    exist for the retained-left-rows join types.
+
+    ``how`` is restricted to join types where dropping non-matching LEFT
+    rows early is semantics-preserving (inner / left_semi / right /
+    cross); 'left'/'full'/'anti' must keep unmatched left rows, so the
+    pre-filter would silently change the result — raise instead.
+
+    ``expected_n`` sizes the filter without a counting pass (default 1M
+    keys -> ~1.2MB at 1% FPR). If the right side is larger the FPR
+    degrades gracefully: the pre-filter just drops fewer rows, the join
+    stays exact. The filter bytes ship to executors via a Spark
+    broadcast variable (one copy per executor, not per task).
+    """
+    allowed = {"inner", "left_semi", "leftsemi", "semi", "right", "rightouter", "cross"}
+    if how.replace("_", "").lower() not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"bloom_filter_join(how={how!r}): pre-filtering the left side "
+            "drops rows that 'left'/'full'/'anti' joins must retain; use a "
+            "plain join for those types"
+        )
+    sk = bloom_sketch(right, on, expected_n=expected_n, fpr=fpr).collect()[0][SKETCH_COL]
+    pre = left.filter(bloom_might_contain_col(on, bytes(sk), spark=left.sparkSession))
     return pre.join(right, on, how)
 
 
-def bloom_might_contain_col(col: str | Column, sketch_bytes: bytes) -> Column:
-    """Boolean membership column against a broadcast-style Bloom sketch
-    (closure-captured bytes — a few KB-MB; usable as a semi-join
-    pre-filter: ``big.filter(bloom_might_contain_col("key", blm))``)."""
-    state, k = bloom.decode(sketch_bytes)
-
+def bloom_might_contain_col(
+    col: str | Column, sketch_bytes: bytes, spark=None
+) -> Column:
+    """Boolean membership column against a Bloom sketch. When ``spark``
+    is given the bytes ship as a broadcast variable (deserialized once
+    per executor); otherwise they're closure-captured (fine for KB-scale
+    filters). Usable as a semi-join pre-filter:
+    ``big.filter(bloom_might_contain_col("key", blm, spark))``."""
     from pyspark.sql.types import BooleanType
 
-    @F.pandas_udf(BooleanType())
-    def _contains(h: pd.Series) -> pd.Series:
-        return pd.Series(bloom.contains(state, h.to_numpy(), k))
+    if spark is not None:
+        bc = spark.sparkContext.broadcast(sketch_bytes)
+        cache: dict = {}
+
+        @F.pandas_udf(BooleanType())
+        def _contains(h: pd.Series) -> pd.Series:
+            if "sk" not in cache:  # decode once per worker, not per batch
+                cache["sk"] = bloom.decode(bc.value)
+            state, k = cache["sk"]
+            return pd.Series(bloom.contains(state, h.to_numpy(), k))
+
+    else:
+        state, k = bloom.decode(sketch_bytes)
+
+        @F.pandas_udf(BooleanType())
+        def _contains(h: pd.Series) -> pd.Series:
+            return pd.Series(bloom.contains(state, h.to_numpy(), k))
 
     c = F.col(col) if isinstance(col, str) else col
     return _contains(F.xxhash64(c))

@@ -31,8 +31,19 @@ from pyspark.sql import functions as F
 from pfutil_spark.operators.hll_agg import LINEAGE_COLS, pf_merge, pf_partial
 
 
-def _complete(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+def _complete(path: str, spark: SparkSession | None = None) -> bool:
+    """True iff the stage's ``_SUCCESS`` marker exists. Resolved through
+    the Hadoop FileSystem API when a session is available, so hdfs:// /
+    s3a:// checkpoint dirs work, not just the driver-local filesystem
+    (falls back to os.path for plain local paths with no session)."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_SUCCESS"))
+    return p.getFileSystem(conf).exists(p)
 
 
 class ResumableHllJob:
@@ -66,17 +77,17 @@ class ResumableHllJob:
 
     def stages_complete(self) -> dict[str, bool]:
         return {
-            "partial": _complete(self.partial_path),
-            "merged": _complete(self.merged_path),
-            "metrics": _complete(self.metrics_path),
+            "partial": _complete(self.partial_path, self.spark),
+            "merged": _complete(self.merged_path, self.spark),
+            "metrics": _complete(self.metrics_path, self.spark),
         }
 
     def run(self, df: DataFrame, element: str) -> DataFrame:
         """Execute (or resume) the job; returns the merged sketch table."""
-        if _complete(self.merged_path):
+        if _complete(self.merged_path, self.spark):
             return self.spark.read.parquet(self.merged_path)
 
-        if _complete(self.partial_path):
+        if _complete(self.partial_path, self.spark):
             partials = self.spark.read.parquet(self.partial_path)
         else:
             pf_partial(
@@ -84,7 +95,7 @@ class ResumableHllJob:
             ).write.mode("overwrite").parquet(self.partial_path)
             partials = self.spark.read.parquet(self.partial_path)
 
-        if not _complete(self.metrics_path):
+        if not _complete(self.metrics_path, self.spark):
             metrics = partials.groupBy(LINEAGE_COLS[0]).agg(
                 F.count(F.lit(1)).alias("n_partial_sketches"),
                 F.sum(LINEAGE_COLS[1]).alias("rows_seen"),

@@ -38,6 +38,16 @@ class StreamingHllState:
     ):
         self.spark = spark
         self.state_dir = state_dir.rstrip("/")
+        if "://" in self.state_dir and not self.state_dir.startswith("file://"):
+            # the _GEN marker is read/written with driver-local file IO;
+            # on hdfs:///s3a:// it would silently look absent and RESET
+            # committed state — refuse instead (an Iceberg/Delta MERGE
+            # sink is the right remote-state backend, see class docstring)
+            raise NotImplementedError(
+                f"StreamingHllState state_dir must be a driver-local path "
+                f"(got {state_dir!r}); remote state needs a transactional "
+                f"table format for the generation marker"
+            )
         self.element = element
         self.by = list(by)
         self.version = version
