@@ -210,10 +210,37 @@ def _hll(version: int):
     return q
 
 
+# published 3-sigma relative error for 16384 registers: 3 x 1.04/sqrt(m)
+_HLL_BOUND = 3 * 0.008125
+
+
+def _bound_check(est: DataFrame, exact: DataFrame, keys: list[str], exact_col: str) -> DataFrame:
+    """(keys..., exact, within_bound): estimate vs exact within the
+    published 3-sigma HLL bound, materialized as a boolean so DuckDB can
+    verify it (the oracle recomputes ``exact`` and states TRUE)."""
+    joined = est.join(exact, keys) if keys else est.crossJoin(exact)
+    return joined.select(
+        *keys,
+        F.col(exact_col),
+        (
+            F.abs(F.col("estimate") - F.col(exact_col))
+            <= F.greatest(F.lit(1.0), F.col(exact_col) * F.lit(_HLL_BOUND))
+        ).alias("within_bound"),
+    )
+
+
 def _q_hll_text_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _hll(4)(
+    """HLL v4 distinct content-sha per lang, DuckDB-oracled via the
+    bound-boolean pattern (exact recomputed by the oracle)."""
+    est = _hll(4)(
         spark, sf_dir, "documents", lambda d: F.sha2(F.col("text"), 256), ("lang",)
     )
+    exact = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.countDistinct(F.sha2(F.col("text"), 256)).alias("exact_distinct"))
+    )
+    return _bound_check(est, exact, ["lang"], "exact_distinct")
 
 
 def _q_hll_users_global(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,14 +249,22 @@ def _q_hll_users_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn(
         "uid", F.col("user_id").cast("string")
     )
-    return pf_count_distinct(ev, "uid", by=(), version=4)
+    est = pf_count_distinct(ev, "uid", by=(), version=4)
+    exact = ev.agg(F.countDistinct("uid").alias("exact_users"))
+    return _bound_check(est, exact, [], "exact_users")
 
 
 def _q_hll_v5_orderkey_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _hll(5)(
+    est = _hll(5)(
         spark, sf_dir, "lineitem",
         lambda d: F.col("l_orderkey").cast("string"), ("l_returnflag",),
     )
+    exact = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact_orderkeys"))
+    )
+    return _bound_check(est, exact, ["l_returnflag"], "exact_orderkeys")
 
 
 def _q_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,20 +407,37 @@ def _q_bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pfutil_spark.operators.dedup import minhash_lsh_pairs
+    """Near-dup pairs: MinHash-LSH candidates (est Jaccard >= 0.5, a 6-sigma
+    margin below the report threshold so banding recall ~ 1), then EXACT
+    5-gram Jaccard verification at 0.8 — so the result equals the
+    all-pairs ground truth, which the DuckDB oracle computes exactly."""
+    from pfutil_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "text", "doc_id", 64, 16, 5, min_jaccard=0.8).orderBy(
-        "id_a", "id_b"
+    cand = minhash_lsh_pairs(d, "text", "doc_id", 64, 16, 5, min_jaccard=0.5)
+    verified = ngram_jaccard_pairs(d, cand.select("id_a", "id_b"), "text", "doc_id", k=5)
+    return (
+        verified.filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+        .orderBy("id_a", "id_b")
     )
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pfutil_spark.operators.dedup import simhash_near_dup_pairs
+    """Near-dup pairs via SimHash pigeonhole candidates (hamming <= 5)
+    + exact 4-gram Jaccard verification at 0.9 — equals the all-pairs
+    ground truth (DuckDB oracle). hamming<=5 over-generates slightly;
+    the exact verify keeps precision at 1."""
+    from pfutil_spark.operators.dedup import ngram_jaccard_pairs, simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
-    ).orderBy("id_a", "id_b")
+    d = _t(spark, sf_dir, "documents")
+    cand = simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=5)
+    verified = ngram_jaccard_pairs(d, cand.select("id_a", "id_b"), "text", "doc_id", k=4)
+    return (
+        verified.filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _q_langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,16 +452,30 @@ def _q_langid_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pfutil_spark.operators.similarity import ann_topk_lsh
+    """Hyperplane-LSH ANN vs exact brute-force top-k: recall and size
+    materialized as oracle-checkable values (both sides deterministic —
+    fixed hyperplane seed)."""
+    from pfutil_spark.operators.similarity import ann_topk_lsh, cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [1.0 if i % 2 == 0 else -0.5 for i in range(64)]
-    return ann_topk_lsh(e, "embedding", "vec_id", qv, k=10)
+    ann = ann_topk_lsh(
+        e, "embedding", "vec_id", qv, k=10, n_planes=6, n_tables=8
+    ).select("vec_id")
+    exact = cosine_topk(e, "embedding", "vec_id", qv, k=10).select("vec_id")
+    hits = ann.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("h"))
+    n = ann.agg(F.count(F.lit(1)).alias("n"))
+    return hits.crossJoin(n).select(
+        F.col("n").alias("k_returned"),
+        (F.col("h") >= F.lit(7)).alias("recall_ok"),  # recall@10 >= 0.7
+    )
 
 
 def _q_multi_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star report shape: distinct source / content-sha per lang AND
-    globally (lang shown as '<all>'), ONE scan (pf_partial_multi)."""
+    globally (lang shown as '<all>'), ONE scan (pf_partial_multi).
+    Estimates checked against exact distincts (Spark-side), emitted as
+    bound booleans the DuckDB oracle recomputes exactly."""
     from pfutil_spark.operators.multi import sourcecode_distinct_report
 
     docs = _t(spark, sf_dir, "documents").withColumn(
@@ -417,16 +483,51 @@ def _q_multi_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = sourcecode_distinct_report(
         docs, by="lang", elements=("source", "content_sha")
+    ).select(F.coalesce("lang", F.lit("<all>")).alias("lang"), "metric", "estimate")
+    per_lang = docs.groupBy("lang").agg(
+        F.countDistinct("source").alias("source"),
+        F.countDistinct("content_sha").alias("content_sha"),
     )
-    return rep.select(
-        F.coalesce("lang", F.lit("<all>")).alias("lang"), "metric", "estimate"
-    ).orderBy("lang", "metric")
+    glob = docs.agg(
+        F.countDistinct("source").alias("source"),
+        F.countDistinct("content_sha").alias("content_sha"),
+    ).withColumn("lang", F.lit("<all>"))
+    exact = per_lang.unionByName(glob).unpivot(
+        ["lang"], ["source", "content_sha"], "metric", "exact_distinct"
+    )
+    return (
+        rep.join(exact, ["lang", "metric"])
+        .select(
+            "lang",
+            "metric",
+            "exact_distinct",
+            (
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                <= F.greatest(
+                    F.lit(1.0), F.col("exact_distinct") * F.lit(_HLL_BOUND)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("lang", "metric")
+    )
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decoder image features: per-media metadata invariants
+    materialized as a boolean (decode is deterministic in the payload,
+    so the checks are exact, not probabilistic)."""
     from pfutil_spark.operators.multimodal import image_features, synthetic_media_table
 
-    return image_features(synthetic_media_table(spark, n=64)).orderBy("media_id")
+    feats = image_features(synthetic_media_table(spark, n=64))
+    meta_ok = (
+        F.col("width").between(64, 64 + 63 * 16)
+        & F.col("height").between(64, 64 + 63 * 16)
+        & F.col("channels").isin(1, 3)
+        & (F.col("mean_pixel") >= 0.0)
+        & (F.col("mean_pixel") <= 255.0)
+        & F.col("phash").isNotNull()
+    )
+    return feats.select("media_id", meta_ok.alias("meta_ok")).orderBy("media_id")
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,12 +574,24 @@ def _q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rollup_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP distinct-user estimates (per event_type + grand total from
+    ONE scan) vs exact, as oracle-checkable bound booleans."""
     from pfutil_spark.operators.rollup import pf_rollup
 
     ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
-    return pf_rollup(ev, "uid", ["event_type"]).select(
+    est = pf_rollup(ev, "uid", ["event_type"]).select(
         F.coalesce("event_type", F.lit("<all>")).alias("event_type"), "estimate"
     )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("uid").alias("exact_users"))
+        .unionByName(
+            ev.agg(F.countDistinct("uid").alias("exact_users")).withColumn(
+                "event_type", F.lit("<all>")
+            ).select("event_type", "exact_users")
+        )
+    )
+    return _bound_check(est, exact, ["event_type"], "exact_users").orderBy("event_type")
 
 
 def _q_hll_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,8 +657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_topk": _q_approx_topk,
         "hll_set_ops_bound": _q_hll_set_ops_bound,
         "rollup_estimates": _q_rollup_estimates,
-        # sketch/dedup/ANN queries (rows-only driver check; pytest gates
-        # exactness and error bounds)
+        # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
+        # estimate-vs-exact bound booleans, exact-verified near-dup pair
+        # sets, and an SQL mirror of the langid heuristic (pytest gates
+        # additionally cover byte parity and error bounds)
         "hll_text_by_lang": _q_hll_text_by_lang,
         "hll_users_global": _q_hll_users_global,
         "hll_v5_orderkey_by_flag": _q_hll_v5_orderkey_by_flag,
@@ -692,5 +807,106 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_set_ops_bound": (
             "SELECT TRUE AS union_ok, TRUE AS intersect_ok"
+        ),
+        # --- bound-boolean oracles: DuckDB recomputes the EXACT side and
+        # states the bound holds; the Spark query computes both the sketch
+        # estimate and the exact value and materializes the comparison ---
+        "hll_text_by_lang": (
+            "SELECT lang, count(DISTINCT sha256(text)) AS exact_distinct,"
+            " TRUE AS within_bound FROM documents GROUP BY lang"
+        ),
+        "hll_users_global": (
+            "SELECT count(DISTINCT user_id) AS exact_users,"
+            " TRUE AS within_bound FROM events"
+        ),
+        "hll_v5_orderkey_by_flag": (
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orderkeys,"
+            " TRUE AS within_bound FROM lineitem GROUP BY l_returnflag"
+        ),
+        "rollup_estimates": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_users,"
+            " TRUE AS within_bound FROM events GROUP BY event_type"
+            " UNION ALL SELECT '<all>', count(DISTINCT user_id), TRUE FROM events"
+        ),
+        "multi_distinct_report": (
+            "WITH x AS ("
+            " SELECT lang, 'source' AS metric,"
+            "  count(DISTINCT source) AS exact_distinct FROM documents GROUP BY lang"
+            " UNION ALL SELECT lang, 'content_sha',"
+            "  count(DISTINCT sha256(text)) FROM documents GROUP BY lang"
+            " UNION ALL SELECT '<all>', 'source',"
+            "  count(DISTINCT source) FROM documents"
+            " UNION ALL SELECT '<all>', 'content_sha',"
+            "  count(DISTINCT sha256(text)) FROM documents)"
+            " SELECT lang, metric, exact_distinct, TRUE AS within_bound FROM x"
+        ),
+        # --- exact ground-truth oracles: DuckDB enumerates ALL near-dup
+        # pairs by exact character-k-gram Jaccard; the Spark queries reach
+        # the same set via LSH/pigeonhole candidates + exact verification ---
+        "minhash_lsh_pairs": (
+            "WITH sh AS ("
+            " SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS s"
+            " FROM documents d JOIN range(1, 4096) g(i)"
+            "  ON g.i <= length(d.text) - 4),"
+            " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+            " inter AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id)"
+            " SELECT id_a, id_b,"
+            "  round(i::DOUBLE / (ca.n + cb.n - i), 4) AS jaccard_r"
+            " FROM inter JOIN cnt ca ON ca.doc_id = id_a"
+            " JOIN cnt cb ON cb.doc_id = id_b"
+            " WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8"
+            " ORDER BY id_a, id_b"
+        ),
+        "simhash_near_dups": (
+            "WITH sh AS ("
+            " SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 4) AS s"
+            " FROM documents d JOIN range(1, 4096) g(i)"
+            "  ON g.i <= length(d.text) - 3),"
+            " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+            " inter AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id)"
+            " SELECT id_a, id_b,"
+            "  round(i::DOUBLE / (ca.n + cb.n - i), 4) AS jaccard_r"
+            " FROM inter JOIN cnt ca ON ca.doc_id = id_a"
+            " JOIN cnt cb ON cb.doc_id = id_b"
+            " WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.9"
+            " ORDER BY id_a, id_b"
+        ),
+        # --- heuristic mirrored in SQL: DuckDB recomputes the same
+        # stopword/CJK language-ID rule (RE2 \p{L} == Java \p{L} here;
+        # list_intersect == array_intersect: distinct common elements) ---
+        "langid_distribution": (
+            "WITH scored AS (SELECT"
+            " regexp_matches(text, '[一-鿿]') AS has_cjk,"
+            " len(list_intersect(regexp_split_to_array(lower(text), '[^\\p{L}]+'),"
+            "  ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,"
+            " len(list_intersect(regexp_split_to_array(lower(text), '[^\\p{L}]+'),"
+            "  ['der','die','das','und','ist','nicht','ein','mit','sich','auf'])) AS s_de,"
+            " len(list_intersect(regexp_split_to_array(lower(text), '[^\\p{L}]+'),"
+            "  ['el','la','los','las','que','de','y','es','en','por'])) AS s_es,"
+            " len(list_intersect(regexp_split_to_array(lower(text), '[^\\p{L}]+'),"
+            "  ['le','la','les','et','est','des','une','dans','que','pour'])) AS s_fr"
+            " FROM documents),"
+            " p AS (SELECT CASE"
+            "  WHEN has_cjk THEN 'zh'"
+            "  WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'"
+            "  WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'"
+            "  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'"
+            "  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'"
+            "  ELSE 'de' END AS pred FROM scored)"
+            " SELECT pred, count(*) AS cnt FROM p GROUP BY pred"
+        ),
+        # --- deterministic-contract oracles ---
+        "ann_topk": (
+            "SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok"
+        ),
+        "multimodal_features": (
+            "SELECT CAST(i AS BIGINT) AS media_id, TRUE AS meta_ok"
+            " FROM range(64) t(i) ORDER BY media_id"
         ),
     }
