@@ -6,9 +6,19 @@
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ..., ...}
 
-The flagship ("north") query is PFCOUNT-equivalent distinct content-sha256
-per lang + global PFMERGE over the synthetic sourcecode table; its
-rows/sec is reported as ``rows_per_sec_flagship``.
+The flagship ("north") query is PFCOUNT-equivalent distinct-content per
+lang + global PFMERGE over the synthetic sourcecode table; its rows/sec
+is reported as ``rows_per_sec_flagship``. The PFADDed element is the raw
+32-byte sha256 digest of the content (comparable to the reference JMH's
+~36-byte UUID strings; PFADD is binary-safe) — disclosed as ``element``
+in the JSON.
+
+Robustness against a cold/contended driver environment (the r1 driver
+run showed 6.6x over steady state): EVERY query shape gets one untimed
+warmup pass (python-worker fork + numpy import + allocator first-touch
+are measured at ~0.12GB/s in this sandbox, see NOTES.md), both flagship
+inputs are materialized untimed, and each query reports the best of 3
+timed reps with all reps disclosed under ``reps``.
 """
 
 from __future__ import annotations
@@ -23,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FLAGSHIP_ROWS = int(os.environ.get("PFUTIL_BENCH_ROWS", "4000000"))
+N_REPS = int(os.environ.get("PFUTIL_BENCH_REPS", "3"))
 
 
 def build_spark(cpus: int):
@@ -34,7 +45,7 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", "12g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .getOrCreate()
     )
@@ -46,7 +57,7 @@ _FLAGSHIP_SRC = None
 def _flagship_input(spark):
     """Materialized synthetic sourcecode table (generation is workload
     prep, not engine throughput — cached so the timed query measures the
-    estimation pipeline)."""
+    estimation pipeline). Element = raw 32-byte sha256 digest."""
     global _FLAGSHIP_SRC
     if _FLAGSHIP_SRC is None:
         from pyspark.sql import functions as F
@@ -55,7 +66,7 @@ def _flagship_input(spark):
 
         src = sourcecode_table(spark, FLAGSHIP_ROWS, partitions=CPUS * 2)
         src = src.select(
-            "lang", F.sha2(F.col("content"), 256).alias("content_sha")
+            "lang", F.unhex(F.sha2(F.col("content"), 256)).alias("content_sha")
         ).persist()
         src.count()
         _FLAGSHIP_SRC = src
@@ -63,9 +74,10 @@ def _flagship_input(spark):
 
 
 def q_flagship_sourcecode(spark, sf_dir):
-    """North query: distinct content-sha256 per lang (HLL v4) over the synthetic (repo,path,commit,lang,content) table —
-    ONE job, ONE logical shuffle. (The global PFMERGE across langs is a
-    driver-side merge of 17 sketches; measured in bench_scaling.py.)"""
+    """North query: distinct content-sha256 per lang (HLL v4) over the
+    synthetic (repo,path,commit,lang,content) table — ONE job, ONE
+    logical shuffle. (The global PFMERGE across langs is a driver-side
+    merge of 17 sketches; measured in bench_scaling.py.)"""
     from pfutil_spark.operators import pf_count_col, pf_merge, pf_partial
 
     src = _flagship_input(spark)
@@ -138,9 +150,9 @@ def _flagship_input_full(spark):
         from pfutil_spark.sources import sourcecode_table
 
         src = sourcecode_table(spark, FLAGSHIP_ROWS, partitions=CPUS * 2)
-        src = src.withColumn("content_sha", F.sha2(F.col("content"), 256)).drop(
-            "content"
-        ).persist()
+        src = src.withColumn(
+            "content_sha", F.unhex(F.sha2(F.col("content"), 256))
+        ).drop("content").persist()
         src.count()
         _FLAGSHIP_FULL = src
     return _FLAGSHIP_FULL
@@ -161,31 +173,26 @@ def main() -> None:
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: numpy SIMD dispatch + python worker pool spin-up (untimed)
-    from pyspark.sql import functions as F
-
-    from pfutil_spark.operators import pf_count_distinct
-    from pfutil_spark.sources import sourcecode_table
-
-    warm = sourcecode_table(spark, 200_000, partitions=CPUS)
-    pf_count_distinct(
-        warm.withColumn("h", F.sha2(F.col("content"), 256)), "h", by=("lang",)
-    ).collect()
-    _flagship_input(spark)  # untimed: generate + persist the bench table
-    # one untimed flagship pass: python workers fork, import numpy/pyarrow,
-    # and fault-in their allocator arenas (this sandbox has ~100MB/s
-    # first-touch page faults) — we measure steady state, as JMH does
-    q_flagship_sourcecode(spark, SF_DIR).collect()
+    # untimed prep: materialize BOTH flagship inputs, then run EVERY query
+    # shape once so python workers fork, import numpy/pyarrow and fault in
+    # their allocator arenas before the clock starts (we measure steady
+    # state, as JMH does; reps are disclosed below)
+    _flagship_input(spark)
+    _flagship_input_full(spark)
+    for fn in QUERIES.values():
+        fn(spark, SF_DIR).collect()
 
     times: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     results: dict[str, int] = {}
     for name, fn in QUERIES.items():
-        best = float("inf")
-        for _ in range(2):  # best of 2: the sandbox VM is noisy
+        reps = []
+        for _ in range(N_REPS):
             t0 = time.time()
             rows = fn(spark, SF_DIR).collect()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            reps.append(round(time.time() - t0, 3))
+        times[name] = min(reps)
+        all_reps[name] = reps
         results[name] = len(rows)
 
     total = round(sum(times.values()), 3)
@@ -199,6 +206,8 @@ def main() -> None:
         "cpus": CPUS,
         "flagship_rows": FLAGSHIP_ROWS,
         "rows_per_sec_flagship": round(FLAGSHIP_ROWS / times["flagship_sourcecode_hll"]),
+        "element": "sha256-digest-32B",
+        "reps": all_reps,
         "result_rows": results,
     }
     spark.stop()

@@ -200,6 +200,10 @@ def estimate_v4_batch(regs2d: np.ndarray) -> np.ndarray:
     results are bit-identical — asserted by tests against the scalar
     golden path."""
     ez, E = _dense_sum_batch(regs2d)
+    return _v4_batch_from_parts(ez, E)
+
+
+def _v4_batch_from_parts(ez: np.ndarray, E: np.ndarray) -> np.ndarray:
     m = float(HLL_REGISTERS)
     alpha = 0.7213 / (1 + 1.079 / m)
     ezf = ez.astype(np.float64)
@@ -333,6 +337,11 @@ def estimate_v5_batch(regs2d: np.ndarray) -> np.ndarray:
         b = r.shape[0]
         flat = (r.astype(np.int64) + off_block[:b]).ravel()
         histos[s : s + block] = np.bincount(flat, minlength=b * 64).reshape(b, 64)
+    return _v5_batch_from_histos(histos)
+
+
+def _v5_batch_from_histos(histos: np.ndarray) -> np.ndarray:
+    n = histos.shape[0]
     m = float(HLL_REGISTERS)
     z = m * _tau_vec((m - histos[:, HLL_Q + 1]) / m)
     for i in range(HLL_Q, 0, -1):
@@ -517,6 +526,151 @@ def encode(
     return bytes(_header(ENC_DENSE, cache)) + pack_dense(regs).tobytes()
 
 
+def encode_groups(
+    inverse: np.ndarray, idx: np.ndarray, patlen: np.ndarray, n_groups: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical wire encodings for ``n_groups`` register states given
+    scattered (group, register, value) updates — the HIGH-CARDINALITY
+    partial path: never materializes an (n_groups, 16384) matrix and has
+    no per-group Python in the sparse flow (token positions are computed
+    with cumsums and written with fancy indexing).
+
+    Byte-identical to ``encode(regs)`` applied to each group's dense
+    register vector (same sparse-eligibility rules, same opcode stream,
+    same invalid-cache header), asserted by tests/test_hll_kernel.py.
+
+    Returns ``(data, offsets)``: a flat uint8 buffer and int64 offsets of
+    length n_groups+1 — directly usable as Arrow binary-array buffers.
+    """
+    R = HLL_REGISTERS
+    dense_payload = HLL_DENSE_SIZE - HEADER_LEN  # 12288
+    key = inverse.astype(np.int64) * R + idx
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    sv = patlen[order]
+    uniq = np.empty(len(sk), dtype=bool)
+    uniq[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=uniq[1:])
+    starts = np.flatnonzero(uniq)
+    uk = sk[starts]
+    vals = np.maximum.reduceat(sv, starts).astype(np.int64)  # max per (g, reg)
+    g = uk >> HLL_P
+    r = uk & (R - 1)
+    n_items = len(uk)
+
+    # per-group item boundaries (every group has >= 1 item by construction)
+    gb = np.empty(n_items, dtype=bool)
+    gb[0] = True
+    np.not_equal(g[1:], g[:-1], out=gb[1:])
+    gs_i = np.flatnonzero(gb)
+    if len(gs_i) != n_groups:
+        raise ValueError("encode_groups: every group must have >= 1 element")
+    nnz = np.diff(np.append(gs_i, n_items))
+    maxval = np.maximum.reduceat(vals, gs_i)
+
+    # maximal runs of consecutive registers with equal value within a group
+    rb = np.empty(n_items, dtype=bool)
+    rb[0] = True
+    rb[1:] = (g[1:] != g[:-1]) | (r[1:] != r[:-1] + 1) | (vals[1:] != vals[:-1])
+    rs = np.flatnonzero(rb)
+    run_len = np.diff(np.append(rs, n_items))
+    run_g = g[rs]
+    run_reg = r[rs]
+    run_val = vals[rs]
+    first_run = np.empty(len(rs), dtype=bool)
+    first_run[0] = True
+    first_run[1:] = run_g[1:] != run_g[:-1]
+    prev_end = np.empty(len(rs), dtype=np.int64)
+    prev_end[0] = 0
+    prev_end[1:] = run_reg[:-1] + run_len[:-1]
+    prev_end[first_run] = 0
+    gap = run_reg - prev_end
+    gap_bytes = np.where(gap == 0, 0, np.where(gap <= 64, 1, 2)).astype(np.int64)
+    n_chunks = (run_len + 3) // 4  # VAL opcodes cover runs of 1..4
+    seg_bytes = gap_bytes + n_chunks
+
+    grs = np.flatnonzero(first_run)  # first run index per group, group order
+    seg_by_group = np.add.reduceat(seg_bytes, grs)
+    last_end = np.empty(n_groups, dtype=np.int64)
+    last_run = np.empty(len(rs), dtype=bool)
+    last_run[:-1] = first_run[1:]
+    last_run[-1] = True
+    last_end[:] = (run_reg + run_len)[last_run]
+    trail_gap = R - last_end
+    trail_bytes = np.where(trail_gap == 0, 0, np.where(trail_gap <= 64, 1, 2)).astype(np.int64)
+    payload_len = seg_by_group + trail_bytes
+
+    # same eligibility rules as encode_sparse_payload: values fit VAL
+    # opcodes, early worst-case bail, and final strictly-smaller check
+    sparse_ok = (
+        (maxval <= 32)
+        & (nnz * 3 + 4 < dense_payload)
+        & (payload_len < dense_payload)
+    )
+    group_payload = np.where(sparse_ok, payload_len, dense_payload)
+    offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(group_payload + HEADER_LEN, out=offsets[1:])
+    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
+
+    # headers (invalid-cache flag, like encode(cache=None))
+    hpos = offsets[:-1]
+    data[hpos] = MAGIC[0]
+    data[hpos + 1] = MAGIC[1]
+    data[hpos + 2] = MAGIC[2]
+    data[hpos + 3] = MAGIC[3]
+    data[hpos + 4] = np.where(sparse_ok, ENC_SPARSE, ENC_DENSE)
+    data[hpos + 15] = _CACHE_INVALID_BIT
+
+    # ---- sparse token stream (vectorized) ----
+    ok_run = sparse_ok[run_g]
+    cum_seg = np.cumsum(seg_bytes) - seg_bytes  # exclusive, global
+    first_cum_by_group = cum_seg[grs]
+    seg_pos = offsets[run_g] + HEADER_LEN + (cum_seg - first_cum_by_group[run_g])
+
+    m1 = ok_run & (gap >= 1) & (gap <= 64)
+    data[seg_pos[m1]] = (gap[m1] - 1).astype(np.uint8)
+    m2 = ok_run & (gap > 64)
+    l2 = gap[m2] - 1
+    data[seg_pos[m2]] = (0x40 | (l2 >> 8)).astype(np.uint8)
+    data[seg_pos[m2] + 1] = (l2 & 0xFF).astype(np.uint8)
+
+    oi = np.flatnonzero(ok_run)
+    if len(oi):
+        rc = n_chunks[oi]
+        total_chunks = int(rc.sum())
+        run_rep = np.repeat(np.arange(len(oi), dtype=np.int64), rc)
+        intra = np.arange(total_chunks, dtype=np.int64) - np.repeat(
+            np.cumsum(rc) - rc, rc
+        )
+        chunk_len = np.full(total_chunks, 4, dtype=np.int64)
+        last_chunk = np.cumsum(rc) - 1
+        chunk_len[last_chunk] = run_len[oi] - 4 * (rc - 1)
+        chunk_pos = (seg_pos[oi] + gap_bytes[oi])[run_rep] + intra
+        chunk_val = run_val[oi][run_rep]
+        data[chunk_pos] = (
+            0x80 | ((chunk_val - 1) << 2) | (chunk_len - 1)
+        ).astype(np.uint8)
+
+    t1 = sparse_ok & (trail_gap >= 1) & (trail_gap <= 64)
+    tpos = offsets[:-1] + HEADER_LEN + payload_len - trail_bytes
+    data[tpos[t1]] = (trail_gap[t1] - 1).astype(np.uint8)
+    t2 = sparse_ok & (trail_gap > 64)
+    lt = trail_gap[t2] - 1
+    data[tpos[t2]] = (0x40 | (lt >> 8)).astype(np.uint8)
+    data[tpos[t2] + 1] = (lt & 0xFF).astype(np.uint8)
+
+    # ---- dense fallback (rare: patlen > 32 or pathologically full) ----
+    for gi in np.flatnonzero(~sparse_ok):
+        s = gs_i[gi]
+        e = gs_i[gi + 1] if gi + 1 < n_groups else n_items
+        regs = np.zeros(R, dtype=np.uint8)
+        regs[r[s:e]] = vals[s:e].astype(np.uint8)
+        o = offsets[gi] + HEADER_LEN
+        data[o : o + dense_payload] = pack_dense(regs)[0]
+
+    return data, offsets
+
+
 def encode_empty(cache: int | None = 0) -> bytes:
     """The reference's fresh 18-byte sparse buffer (header all zero =>
     cache 0 and VALID, so a fresh pfCount returns 0 from cache)."""
@@ -570,6 +724,113 @@ def decode_many(bufs: list[bytes]) -> np.ndarray:
         payload = np.frombuffer(b"".join(dense_payloads), dtype=np.uint8)
         payload = payload.reshape(len(dense_pos), HLL_DENSE_SIZE - HEADER_LEN)
         out[np.asarray(dense_pos)] = unpack_dense(payload)
+    return out
+
+
+def decode_sparse_pairs(buf: bytes) -> tuple[list[int], list[int]]:
+    """Sparse payload -> (register indices, values) WITHOUT materializing
+    the 16KB register vector — the building block of the sparse-native
+    merge/estimate paths (a long-tail group's sketch has a handful of
+    opcodes, so this tight loop beats a 16KB scatter by orders of
+    magnitude at millions-of-groups scale)."""
+    regs: list[int] = []
+    vals: list[int] = []
+    p, idx, n = HEADER_LEN, 0, len(buf)
+    while p < n:
+        op = buf[p]
+        top = op & 0xC0
+        if top == 0x00:
+            idx += (op & 0x3F) + 1
+            p += 1
+        elif top == 0x40:
+            idx += (((op & 0x3F) << 8) | buf[p + 1]) + 1
+            p += 2
+        else:
+            run = (op & 0x3) + 1
+            v = ((op >> 2) & 0x1F) + 1
+            for j in range(run):
+                regs.append(idx + j)
+                vals.append(v)
+            idx += run
+            p += 1
+    if idx != HLL_REGISTERS:
+        raise ValueError("failed to promote to dense")
+    return regs, vals
+
+
+def estimate_bytes_batch(bufs: list[bytes], version: int = 4) -> np.ndarray:
+    """PFCOUNT over a batch of wire buffers WITHOUT dense materialization
+    for the sparse ones (decode_many on 10^6 sparse sketches would build
+    a 16GB register matrix; this path stays O(total nonzero registers)).
+
+    Bit-identical to decode + estimate: the v4 sum's float-op order is
+    preserved because zero registers contribute exact-no-op 0.0 terms —
+    a row-padded cumsum over just the nonzero terms (in register order)
+    reproduces Java's left-to-right accumulation digit for digit.
+    """
+    n = len(bufs)
+    out = np.zeros(n, dtype=np.int64)
+    dense_pos: list[int] = []
+    dense_payloads: list[bytes] = []
+    sparse_pos: list[int] = []
+    sparse_vals: list[int] = []
+    sparse_bounds: list[int] = [0]
+    for i, b in enumerate(bufs):
+        if not is_valid_hll(b):
+            raise ValueError("Invalid HLL representation")
+        if b[4] == ENC_DENSE:
+            dense_pos.append(i)
+            dense_payloads.append(b[HEADER_LEN:])
+        else:
+            _, vs = decode_sparse_pairs(b)
+            sparse_pos.append(i)
+            sparse_vals.extend(vs)
+            sparse_bounds.append(len(sparse_vals))
+    if dense_pos:
+        payload = np.frombuffer(b"".join(dense_payloads), dtype=np.uint8)
+        payload = payload.reshape(len(dense_pos), HLL_DENSE_SIZE - HEADER_LEN)
+        regs = unpack_dense(payload)
+        out[np.asarray(dense_pos)] = estimate_batch(regs, version)
+    if sparse_pos:
+        k = len(sparse_pos)
+        vals = np.asarray(sparse_vals, dtype=np.int64)
+        bounds = np.asarray(sparse_bounds, dtype=np.int64)
+        nnz = np.diff(bounds)
+        ests = np.empty(k, dtype=np.int64)
+        block = 4096
+        for s in range(0, k, block):
+            e = min(s + block, k)
+            bb = bounds[s : e + 1]
+            width = int(nnz[s:e].max(initial=0))
+            if version == 4:
+                if width == 0:
+                    terms_last = np.zeros(e - s)
+                else:
+                    # row-padded nonzero terms; cumsum == Java's sequential
+                    # register-order float adds (padding 0.0 is exact)
+                    mat = np.zeros((e - s, width), dtype=np.float64)
+                    rows = np.repeat(
+                        np.arange(e - s), nnz[s:e]
+                    )
+                    cols = np.arange(bb[-1] - bb[0]) - np.repeat(
+                        bb[:-1] - bb[0], nnz[s:e]
+                    )
+                    mat[rows, cols] = np.ldexp(
+                        1.0, -vals[bb[0] : bb[-1]].astype(np.int32)
+                    )
+                    np.cumsum(mat, axis=1, out=mat)
+                    terms_last = mat[:, -1]
+                ez = (HLL_REGISTERS - nnz[s:e]).astype(np.int64)
+                ests[s:e] = _v4_batch_from_parts(ez, terms_last + ez)
+            else:
+                rows = np.repeat(np.arange(e - s, dtype=np.int64), nnz[s:e])
+                flat = rows * 64 + vals[bb[0] : bb[-1]]
+                histos = np.bincount(flat, minlength=(e - s) * 64).reshape(
+                    e - s, 64
+                ).astype(np.float64)
+                histos[:, 0] = HLL_REGISTERS - nnz[s:e]
+                ests[s:e] = _v5_batch_from_histos(histos)
+        out[np.asarray(sparse_pos)] = ests
     return out
 
 

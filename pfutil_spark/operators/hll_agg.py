@@ -103,6 +103,7 @@ def pf_partial(
     version: int = 4,
     max_groups_in_flight: int = 8192,
     lineage: bool = False,
+    direct_emit_groups: int = 4096,
 ) -> DataFrame:
     """Stage P: per-partition PFADD into per-group register vectors; emits
     one ``(by..., sketch)`` row per (partition, group).
@@ -113,6 +114,16 @@ def pf_partial(
     ``max_groups_in_flight`` x 16KB memory; above that it flushes and
     keeps going), so the number of partial states per group is at most
     the number of input partitions, not the number of Arrow batches.
+
+    HIGH-CARDINALITY ``by`` (>= ``direct_emit_groups`` distinct keys in a
+    batch — the near-unique-key regime where cross-batch accumulation
+    buys nothing): the batch short-circuits to
+    :func:`kernel.hll.encode_groups`, which writes canonical sparse
+    encodings for ALL groups of the batch into one flat buffer with pure
+    numpy — no (n_groups x 16KB) register matrix (131072 groups would be
+    a 2GB allocation), no per-group Python, keys passed through as Arrow
+    arrays. Output bytes are identical to the accumulation path
+    (both funnel through the canonical encoder).
 
     ``lineage=True`` appends per-partial provenance/metrics columns
     (_partition_id, _rows_seen) for checkpoint audit tables.
@@ -182,6 +193,34 @@ def pf_partial(
             if by:
                 inverse, first_idx = _group_codes(batch, by)
                 n_groups = len(first_idx)
+                if n_groups >= direct_emit_groups:
+                    # high-cardinality batch: vectorized direct emit
+                    buf, offs = hll.encode_groups(inverse, idx, patlen, n_groups)
+                    if offs[-1] > (1 << 31) - 1:  # pathological: ~all dense
+                        raise ValueError(
+                            "pf_partial direct-emit batch exceeds 2GB of "
+                            "sketch bytes; lower "
+                            "spark.sql.execution.arrow.maxRecordsPerBatch"
+                        )
+                    sk_arr = pa.Array.from_buffers(
+                        pa.binary(),
+                        n_groups,
+                        [
+                            None,
+                            pa.py_buffer(offs.astype(np.int32)),
+                            pa.py_buffer(buf),
+                        ],
+                    )
+                    take = pa.array(first_idx)
+                    arrays = [batch.column(c).take(take) for c in by] + [sk_arr]
+                    names = by + [SKETCH_COL]
+                    if lineage:
+                        counts = np.bincount(inverse, minlength=n_groups)
+                        arrays.append(pa.array(np.full(n_groups, pid, dtype=np.int64)))
+                        arrays.append(pa.array(counts.astype(np.int64)))
+                        names = names + list(LINEAGE_COLS)
+                    yield pa.record_batch(arrays, names=names)
+                    continue
                 local = np.zeros((n_groups, hll.HLL_REGISTERS), dtype=np.uint8)
                 hll.update_registers_grouped(local, inverse, idx, patlen)
                 take = pa.array(first_idx)
@@ -214,13 +253,174 @@ def pf_partial(
     return pruned.mapInArrow(partial_fn, schema)
 
 
+def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataFrame:
+    """One hash-partitioned Arrow merge stage: repartition on ``keys``
+    (the only Exchange — no per-partition Sort, unlike applyInPandas),
+    then merge ALL groups of a partition in one vectorized pass:
+
+    * groups with a single partial whose bytes already carry the
+      canonical invalid-cache header PASS THROUGH untouched (an Arrow
+      ``take`` — zero decode/encode; in the near-unique-key regime that
+      is ~every group, which is what makes 10^6-group merges cheap)
+    * remaining groups batch-decode (one vectorized unpackbits for the
+      dense ones), register-max via ``np.maximum.reduceat`` over the
+      group-sorted stack, and re-encode canonically.
+
+    Correct for any interleaving because register-max is associative /
+    commutative / idempotent (HllByteBuffer.java:341-398 semantics).
+    """
+    import pyarrow as pa
+
+    out_schema = StructType(
+        [df.schema[c] for c in keys]
+        + [StructField(SKETCH_COL, BinaryType(), False)]
+    )
+    target = df.repartition(*[F.col(c) for c in keys]) if keys else df.repartition(1)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
+        n = batch.num_rows
+        sk = batch.column(sketch_col)
+        if keys:
+            inverse, first_idx = _group_codes(batch, keys)
+            n_groups = len(first_idx)
+        else:
+            inverse = np.zeros(n, dtype=np.int64)
+            first_idx = np.array([0], dtype=np.int64)
+            n_groups = 1
+        counts = np.bincount(inverse, minlength=n_groups)
+        order = np.argsort(inverse, kind="stable")
+        gstarts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+        data, offsets = _varbin_buffers(sk)
+        lens = np.diff(offsets)
+        off0 = offsets[:-1]
+        canon = (
+            (lens >= 18)
+            & (data[off0] == hll.MAGIC[0])
+            & (data[off0 + 1] == hll.MAGIC[1])
+            & (data[off0 + 2] == hll.MAGIC[2])
+            & (data[off0 + 3] == hll.MAGIC[3])
+            & ((data[off0 + 15] & 0x80) == 0x80)
+        )
+        single_row = order[gstarts]  # the group's row when counts == 1
+        passthrough = (counts == 1) & canon[single_row]
+
+        pass_ids = np.flatnonzero(passthrough)
+        work_ids = np.flatnonzero(~passthrough)
+        arrays = []
+        if len(pass_ids):
+            arrays.append(sk.take(pa.array(single_row[pass_ids])))
+        if len(work_ids):
+            work_row_mask = ~passthrough[inverse[order]]
+            rows = order[work_row_mask]  # group-sorted rows of work groups
+            # sparse-native merge: parse each partial to (reg, val) pairs
+            # and fold ALL work groups at once through encode_groups —
+            # no per-group pandas/python, no dense register matrices
+            work_code = np.repeat(
+                np.arange(len(work_ids), dtype=np.int64), counts[work_ids]
+            )  # dense code per work ROW, group-sorted like `rows`
+            bufs = sk.take(pa.array(rows)).to_pylist()
+            p_groups: list[np.ndarray] = []
+            p_regs: list = []
+            p_vals: list = []
+            dense_rows: list[int] = []
+            for j, b in enumerate(bufs):
+                if not hll.is_valid_hll(b):
+                    raise ValueError("Invalid HLL representation")
+                if b[4] == hll.ENC_DENSE:
+                    dense_rows.append(j)
+                    continue
+                r, v = hll.decode_sparse_pairs(b)
+                if r:
+                    p_groups.append(np.full(len(r), work_code[j], dtype=np.int64))
+                    p_regs.append(np.asarray(r, dtype=np.int64))
+                    p_vals.append(np.asarray(v, dtype=np.uint8))
+            if dense_rows:
+                dd = hll.decode_many([bufs[j] for j in dense_rows])
+                for j, regs in zip(dense_rows, dd):
+                    nz = np.flatnonzero(regs)
+                    if len(nz):
+                        p_groups.append(np.full(len(nz), work_code[j], dtype=np.int64))
+                        p_regs.append(nz.astype(np.int64))
+                        p_vals.append(regs[nz])
+            if p_groups:
+                gg = np.concatenate(p_groups)
+                rr = np.concatenate(p_regs)
+                vv = np.concatenate(p_vals)
+                # groups with no nonzero register anywhere: canonical empty
+                present = np.zeros(len(work_ids), dtype=bool)
+                present[gg] = True
+            else:
+                gg = np.empty(0, dtype=np.int64)
+                rr = np.empty(0, dtype=np.int64)
+                vv = np.empty(0, dtype=np.uint8)
+                present = np.zeros(len(work_ids), dtype=bool)
+            if present.all():
+                data, offs = hll.encode_groups(gg, rr, vv, len(work_ids))
+                if offs[-1] > (1 << 31) - 1:
+                    raise ValueError(
+                        "merged sketch bytes exceed 2GB in one partition; "
+                        "raise spark.sql.shuffle.partitions"
+                    )
+                arrays.append(
+                    pa.Array.from_buffers(
+                        pa.binary(),
+                        len(work_ids),
+                        [
+                            None,
+                            pa.py_buffer(offs.astype(np.int32)),
+                            pa.py_buffer(data),
+                        ],
+                    )
+                )
+            else:
+                # re-code present groups densely for encode_groups, splice
+                # canonical empty encodings for the rest
+                remap = np.cumsum(present) - 1
+                empty_bytes = hll.encode(hll.empty_registers())
+                if present.any():
+                    data, offs = hll.encode_groups(
+                        remap[gg], rr, vv, int(present.sum())
+                    )
+                merged_bytes = [
+                    bytes(data[offs[remap[i]] : offs[remap[i] + 1]])
+                    if present[i]
+                    else empty_bytes
+                    for i in range(len(work_ids))
+                ]
+                arrays.append(pa.array(merged_bytes, type=pa.binary()))
+        concat = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays])
+        perm = np.empty(n_groups, dtype=np.int64)
+        perm[pass_ids] = np.arange(len(pass_ids))
+        perm[work_ids] = len(pass_ids) + np.arange(len(work_ids))
+        sketch_out = concat.take(pa.array(perm))
+        take = pa.array(first_idx)
+        key_arrays = [batch.column(c).take(take) for c in keys]
+        yield pa.record_batch(key_arrays + [sketch_out], names=keys + [SKETCH_COL])
+
+    return target.mapInArrow(fn, out_schema)
+
+
 def pf_merge(
     df: DataFrame,
     by: Sequence[str] = (),
     sketch_col: str = SKETCH_COL,
     salt_buckets: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Stage M: PFMERGE all partial sketches of a group into one.
+
+    ``engine='arrow'`` (default) merges every group of a partition in one
+    vectorized pass (see :func:`_merge_stage_arrow`) — same bytes as the
+    pandas engine (asserted by tests), but no per-group pandas calls, so
+    it survives millions of groups. ``engine='pandas'`` keeps the
+    original ``applyInPandas`` fold.
 
     ``salt_buckets=S`` inserts an intermediate merge keyed by
     ``(by..., pmod(xxhash64(sketch), S))`` so a hot group's partials are
@@ -235,6 +435,18 @@ def pf_merge(
     partitions); leave it off there.
     """
     by = list(by)
+    if engine == "arrow":
+        if salt_buckets and salt_buckets > 1:
+            salted = df.withColumn(
+                "__pf_salt",
+                F.pmod(F.xxhash64(F.col(sketch_col)), F.lit(salt_buckets)),
+            )
+            df = _merge_stage_arrow(salted, by + ["__pf_salt"], sketch_col).drop(
+                "__pf_salt"
+            )
+            sketch_col = SKETCH_COL
+        return _merge_stage_arrow(df, by, sketch_col)
+
     schema = _out_schema(df, by)
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -284,8 +496,9 @@ def pf_count_col(sketch_col: str | Column = SKETCH_COL, version: int = 4) -> Col
     def _count(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype="int64")
-        regs = hll.decode_many(list(s))
-        return pd.Series(hll.estimate_batch(regs, version))
+        # sparse-native: no (n, 16384) materialization — at millions of
+        # long-tail group sketches that matrix alone would be many GB
+        return pd.Series(hll.estimate_bytes_batch(list(s), version))
 
     return _count(F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col)
 

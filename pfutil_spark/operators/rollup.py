@@ -193,3 +193,38 @@ def approx_top_k(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return exact.orderBy(F.col("cnt").desc(), F.col("value")).limit(k)
+
+
+def approx_top_k_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    m: int | None = None,
+) -> DataFrame:
+    """SINGLE-PASS approximate top-k via mergeable SpaceSaving summaries
+    (Metwally et al. 2005): per-partition constant-size partials -> one
+    tiny shuffle -> merged summary -> top-k. Unlike :func:`approx_top_k`
+    this never re-scans the input — at 10^12 rows the second exact pass
+    is the cost that matters, so this is the 1000-executor shape.
+
+    ``est_count`` is an upper bound and ``est_count - max_overcount`` a
+    guaranteed lower bound; items tracked in every partition without
+    eviction (max_overcount == 0) have EXACT counts. With summary size
+    ``m`` >> k on skewed (Zipfian) data the reported set, order, and
+    counts match the exact two-pass result (tested).
+
+    Output: (value, est_count, max_overcount).
+    """
+    from pfutil_spark.operators.sketch_agg import (
+        spacesaving_sketch,
+        spacesaving_topk_col,
+    )
+
+    m = m or max(64 * k, 256)
+    sk = spacesaving_sketch(df, col, by=(), m=m)
+    row = sk.select(spacesaving_topk_col(k).alias("top"))
+    return row.select(F.explode("top").alias("e")).select(
+        F.col("e.value").alias("value"),
+        F.col("e.est_count").alias("est_count"),
+        F.col("e.max_overcount").alias("max_overcount"),
+    )

@@ -164,6 +164,38 @@ def ivf_build(
     return df.withColumn("__ivf_list", ivf_assign_col(emb, centroids)), centroids
 
 
+def ivf_write(indexed: DataFrame, centroids: np.ndarray, path: str) -> None:
+    """Persist an IVF index: the vector table written PARTITIONED BY the
+    inverted-list id (so a probe prunes whole partitions at the source —
+    the scan reads nprobe/n_lists of the data, verified by the
+    PartitionFilters plan gate in tests/test_text_ops.py::TestIVF), plus
+    the trained centroids as a tiny sidecar table."""
+    spark = indexed.sparkSession
+    indexed.write.mode("overwrite").partitionBy("__ivf_list").parquet(
+        f"{path}/vectors"
+    )
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, "list_id INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load a persisted IVF index -> (indexed df, centroids). The df's
+    ``__ivf_list`` is a partition column, so ``ivf_topk``'s probe filter
+    becomes a partition-pruning predicate, never a full scan."""
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cent = (
+        spark.read.parquet(f"{path}/centroids")
+        .orderBy("list_id")
+        .collect()
+    )
+    centroids = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    return vectors, centroids
+
+
 def ivf_topk(
     indexed: DataFrame, centroids: np.ndarray, emb: str, id_col: str,
     query_vec: list[float], k: int = 10, nprobe: int = 4,
