@@ -186,11 +186,20 @@ def main() -> None:
     all_reps: dict[str, list[float]] = {}
     results: dict[str, int] = {}
     for name, fn in QUERIES.items():
-        reps = []
-        for _ in range(N_REPS):
+        # adaptive reps: this sandbox shares a physical host (loadavg > 10
+        # observed with ZERO local processes running — external noisy
+        # neighbors slow runs up to ~3x at random); keep repeating until
+        # the two best reps agree within 15% (a quiet window), capped.
+        max_reps = N_REPS + 3
+        reps: list[float] = []
+        while True:
             t0 = time.time()
             rows = fn(spark, SF_DIR).collect()
             reps.append(round(time.time() - t0, 3))
+            if len(reps) >= N_REPS:
+                best2 = sorted(reps)[:2]
+                if best2[1] <= best2[0] * 1.15 or len(reps) >= max_reps:
+                    break
         times[name] = min(reps)
         all_reps[name] = reps
         results[name] = len(rows)
@@ -208,6 +217,7 @@ def main() -> None:
         "rows_per_sec_flagship": round(FLAGSHIP_ROWS / times["flagship_sourcecode_hll"]),
         "element": "sha256-digest-32B",
         "reps": all_reps,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
         "result_rows": results,
     }
     spark.stop()
