@@ -530,6 +530,60 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", meta_ok.alias("meta_ok")).orderBy("media_id")
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection via LSH bucket equi-join (never
+    a cross join). The sf corpus has no organic near-dups (max pair cosine
+    0.51 at sf0.01), so 20 deterministic scaled copies are injected —
+    scaling preserves hyperplane signs, so LSH recall is structural, and
+    the DuckDB oracle enumerates the same pairs exactly."""
+    from pfutil_spark.operators.similarity import all_pairs_above
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    aug = e.unionByName(dup)
+    pairs = all_pairs_above(aug, "embedding", "vec_id", min_cosine=0.95, n_planes=12)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def _q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly distinct-user sketches (bucket = group key,
+    ONE scan + ONE shuffle), vs exact per bucket — bound boolean oracle."""
+    from pfutil_spark.operators.rollup import pf_time_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    est = pf_time_rollup(ev, "ts", "uid", bucket="1 hour").select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        "estimate",
+    )
+    exact = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket_s")
+    ).agg(F.countDistinct("uid").alias("exact_users"))
+    return _bound_check(est, exact, ["bucket_s"], "exact_users").orderBy("bucket_s")
+
+
+def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: every-10th-frame explode over the
+    deterministic synthetic media table; per-media sampled-frame count
+    and distinct frame hashes are exact functions of media_id, so the
+    oracle enumerates them in closed form."""
+    from pfutil_spark.operators.multimodal import sample_video_frames, synthetic_media_table
+
+    t = synthetic_media_table(spark, n=64)
+    fr = sample_video_frames(t, every_n=10, n_frames_col="n_frames")
+    return (
+        fr.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.countDistinct("frame_sha").alias("n_unique_sha"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operator Spark lacks natively; DuckDB ASOF JOIN oracle)."""
     from pfutil_spark.operators.asof import asof_join
@@ -670,6 +724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "multimodal_features": _q_multimodal_features,
         "multi_distinct_report": _q_multi_distinct_report,
+        # round-2 additions
+        "embedding_near_dups": _q_embedding_near_dups,
+        "hll_time_rollup": _q_hll_time_rollup,
+        "video_frame_sample": _q_video_frame_sample,
     }
 
 
@@ -907,6 +965,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_features": (
             "SELECT CAST(i AS BIGINT) AS media_id, TRUE AS meta_ok"
+            " FROM range(64) t(i) ORDER BY media_id"
+        ),
+        "embedding_near_dups": (
+            "WITH aug AS ("
+            " SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
+            " UNION ALL SELECT vec_id + 100000,"
+            "  list_transform(embedding::DOUBLE[], x -> x * 1.001)"
+            " FROM embeddings WHERE vec_id < 20)"
+            " SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+            " FROM aug a JOIN aug b ON a.vec_id < b.vec_id"
+            " WHERE list_cosine_similarity(a.e, b.e) >= 0.95"
+            " ORDER BY id_a, id_b"
+        ),
+        "hll_time_rollup": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
+            "  AS bucket_s,"
+            " count(DISTINCT user_id) AS exact_users, TRUE AS within_bound"
+            " FROM events GROUP BY date_trunc('hour', ts) ORDER BY bucket_s"
+        ),
+        "video_frame_sample": (
+            "SELECT CAST(i AS BIGINT) AS media_id,"
+            " CAST((i % 5) * 3 + 3 AS BIGINT) AS n_sampled,"
+            " CAST((i % 5) * 3 + 3 AS BIGINT) AS n_unique_sha"
             " FROM range(64) t(i) ORDER BY media_id"
         ),
     }
