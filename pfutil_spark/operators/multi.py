@@ -35,10 +35,18 @@ def pf_partial_multi(
     by: Sequence[str] = (),
     version: int = 4,
     max_groups_in_flight: int = 4096,
+    direct_emit_groups: int = 4096,
 ) -> DataFrame:
     """Stage P over several element columns at once: one pass over the
     Arrow batches updates one register vector per (group, element col);
-    emits (by..., metric, sketch)."""
+    emits (by..., metric, sketch).
+
+    High-cardinality ``by`` (>= ``direct_emit_groups`` keys per batch):
+    same vectorized sparse direct-emit as :func:`hll_agg.pf_partial` —
+    one :func:`kernel.hll.encode_groups` call per element column, no
+    (groups x 16KB x elements) matrices, no per-group Python. Groups
+    whose elements are all NULL for a column still emit the canonical
+    empty sketch (matching the accumulation path's semantics)."""
     import pyarrow as pa
 
     by = list(by)
@@ -83,6 +91,51 @@ def pf_partial_multi(
             if by:
                 inverse, first_idx = _group_codes(batch, by)
                 n_groups = len(first_idx)
+                if n_groups >= direct_emit_groups:
+                    take = pa.array(first_idx)
+                    key_arrays = [batch.column(c).take(take) for c in by]
+                    for e in elements:
+                        elem = batch.column(e)
+                        inv = inverse
+                        if elem.null_count:
+                            mask = pc.is_valid(elem)
+                            np_mask = mask.to_numpy(zero_copy_only=False)
+                            elem = elem.filter(mask)
+                            inv = inverse[np_mask]
+                        empty_bytes = hll.encode(hll.empty_registers())
+                        if len(elem):
+                            data8, offs8 = _varbin_buffers(elem)
+                            idx, patlen = hll.hash_and_patlen_flat(data8, offs8, version)
+                            present = np.zeros(n_groups, dtype=bool)
+                            present[inv] = True
+                            if present.all():
+                                data, offs = hll.encode_groups(inv, idx, patlen, n_groups)
+                                sk_arr = pa.Array.from_buffers(
+                                    pa.binary(), n_groups,
+                                    [None, pa.py_buffer(offs.astype(np.int32)),
+                                     pa.py_buffer(data)],
+                                )
+                            else:
+                                remap = np.cumsum(present) - 1
+                                data, offs = hll.encode_groups(
+                                    remap[inv], idx, patlen, int(present.sum())
+                                )
+                                sk_arr = pa.array(
+                                    [
+                                        bytes(data[offs[remap[g]] : offs[remap[g] + 1]])
+                                        if present[g] else empty_bytes
+                                        for g in range(n_groups)
+                                    ],
+                                    type=pa.binary(),
+                                )
+                        else:
+                            sk_arr = pa.array([empty_bytes] * n_groups, type=pa.binary())
+                        yield pa.record_batch(
+                            key_arrays
+                            + [pa.array([e] * n_groups, type=pa.string()), sk_arr],
+                            names=by + ["metric", SKETCH_COL],
+                        )
+                    continue
                 take = pa.array(first_idx)
                 key_cols = [batch.column(c).take(take).to_pylist() for c in by]
                 group_keys = [

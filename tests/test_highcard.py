@@ -145,3 +145,32 @@ def test_near_unique_1m_within_3x_of_low_card(spark):
     # every group's distincts sum close to 1M both ways (sanity)
     assert abs(tot_hi - 1_000_000) < 10_000
     assert t_hi <= 3.0 * t_lo + 2.0, f"near-unique {t_hi:.1f}s vs low-card {t_lo:.1f}s"
+
+
+def test_multi_direct_emit_matches_accumulation(spark):
+    """pf_partial_multi's high-cardinality direct emit == accumulation
+    path, byte-for-byte after merge, including all-NULL-element groups
+    (which must still yield the canonical empty sketch)."""
+    from pfutil_spark.operators.hll_agg import pf_merge
+    from pfutil_spark.operators.multi import pf_partial_multi
+
+    df = (
+        spark.range(40_000)
+        .select(
+            F.concat(F.lit("k"), (F.col("id") % 25_000).cast("string")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("e1"),
+            # e2 is NULL for a third of rows -> some groups all-NULL
+            F.when(F.col("id") % 3 != 0, F.col("id").cast("string")).alias("e2"),
+        )
+        .repartition(4)
+    )
+
+    def merged(direct):
+        p = pf_partial_multi(df, ["e1", "e2"], by=("k",), direct_emit_groups=direct)
+        rows = pf_merge(p, ["k", "metric"]).collect()
+        return {(r["k"], r["metric"]): bytes(r[SKETCH_COL]) for r in rows}
+
+    a = merged(1)
+    b = merged(10**9)
+    assert a.keys() == b.keys()
+    assert a == b

@@ -153,3 +153,82 @@ def test_tdigest_quantiles_within_range_any_input(values):
         v = td.quantile(q)
         assert lo <= v <= hi
     assert td.quantile(0.0) == lo and td.quantile(1.0) == hi
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),      # group
+            st.integers(min_value=0, max_value=hll.HLL_REGISTERS - 1),
+            st.integers(min_value=1, max_value=63),      # patlen (incl >32 dense)
+        ),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_encode_groups_matches_canonical_encoder(updates):
+    """The vectorized multi-group encoder (round-2 high-cardinality path)
+    is byte-identical to encode() per group on ARBITRARY scattered
+    updates, including >32 values (dense fallback) and duplicate
+    (group, register) pairs (max-wins)."""
+    inv = np.array([u[0] for u in updates], dtype=np.int64)
+    idx = np.array([u[1] for u in updates], dtype=np.int64)
+    pl = np.array([u[2] for u in updates], dtype=np.uint8)
+    _, inv = np.unique(inv, return_inverse=True)
+    n_groups = int(inv.max()) + 1
+    data, offs = hll.encode_groups(inv, idx, pl, n_groups)
+    for g in range(n_groups):
+        regs = hll.empty_registers()
+        m = inv == g
+        np.maximum.at(regs, idx[m], pl[m])
+        assert bytes(data[offs[g] : offs[g + 1]]) == hll.encode(regs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=hll.HLL_REGISTERS - 1),
+            st.integers(min_value=1, max_value=63),
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([4, 5]),
+)
+def test_estimate_bytes_batch_bit_identical(sketch_defs, version):
+    """The opcode-level estimator (round-2, no dense materialization) is
+    bit-identical to decode + estimate on arbitrary mixed sparse/dense
+    buffers — the padded-cumsum float-order argument, property-tested."""
+    bufs = []
+    for d in sketch_defs:
+        regs = hll.empty_registers()
+        for k, v in d.items():
+            regs[k] = v
+        bufs.append(hll.encode(regs))
+    fast = hll.estimate_bytes_batch(bufs, version)
+    slow = hll.estimate_batch(hll.decode_many(bufs), version)
+    np.testing.assert_array_equal(fast, slow)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=hll.HLL_REGISTERS - 1),
+        st.integers(min_value=1, max_value=32),
+        max_size=200,
+    )
+)
+def test_decode_sparse_pairs_roundtrip(d):
+    regs = hll.empty_registers()
+    for k, v in d.items():
+        regs[k] = v
+    buf = hll.encode(regs)
+    if buf[4] != hll.ENC_SPARSE:
+        return  # encoder chose dense; pairs path not applicable
+    r, v = hll.decode_sparse_pairs(buf)
+    back = hll.empty_registers()
+    back[np.array(r, dtype=np.int64)] = np.array(v, dtype=np.uint8)
+    np.testing.assert_array_equal(back, regs)
