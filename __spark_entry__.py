@@ -308,6 +308,26 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality-scoring feature set (token counts, BPE-ish word
+    tokens, punct/digit/upper/stopword ratios) — every expression is a
+    JVM codegen built-in, and every one is mirrored exactly in the
+    DuckDB oracle (same regexes, same double divisions)."""
+    from pfutil_spark.functions.text import quality_features, word_like_token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_features(d)
+    return q.select(
+        "doc_id",
+        word_like_token_count_col("text").alias("n_word_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+    )
+
+
 def _q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pfutil_spark.operators.dedup import exact_dedup_groups
 
@@ -728,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "hll_time_rollup": _q_hll_time_rollup,
         "video_frame_sample": _q_video_frame_sample,
+        "text_stats": _q_text_stats,
     }
 
 
@@ -989,5 +1010,29 @@ def oracle_sql() -> dict[str, str]:
             " CAST((i % 5) * 3 + 3 AS BIGINT) AS n_sampled,"
             " CAST((i % 5) * 3 + 3 AS BIGINT) AS n_unique_sha"
             " FROM range(64) t(i) ORDER BY media_id"
+        ),
+        "text_stats": (
+            # word-like tokens: the lookaround split counts alnum runs
+            # plus every non-alnum non-space char (RE2 has no lookarounds,
+            # so the oracle states that closed form directly)
+            "WITH f AS (SELECT doc_id, text, length(text) AS n_chars,"
+            " CASE WHEN length(trim(text)) = 0 THEN 0"
+            "  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok"
+            " FROM documents)"
+            " SELECT doc_id,"
+            " len(regexp_extract_all(text, '[A-Za-z0-9]+'))"
+            "  + length(regexp_replace(text, '[A-Za-z0-9]|\\s', '', 'g'))"
+            "  AS n_word_tokens,"
+            " n_chars::DOUBLE / greatest(n_tok::DOUBLE, 1.0) AS avg_token_len,"
+            " (n_chars - length(regexp_replace(text, '[.,;:!?\"''`]', '', 'g')))"
+            "  ::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS punct_ratio,"
+            " (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))"
+            "  ::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS digit_ratio,"
+            " (n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')))"
+            "  ::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS upper_ratio,"
+            " len(regexp_extract_all(text, '(?i)\\b(the|a|an|and|or|of|to|in"
+            "|is|are|was|were|it|that|this|for|on|with|as)\\b'))"
+            "  ::DOUBLE / greatest(n_tok::DOUBLE, 1.0) AS stopword_ratio"
+            " FROM f"
         ),
     }
