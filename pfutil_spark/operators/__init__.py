@@ -7,3 +7,14 @@ from pfutil_spark.operators.hll_agg import (  # noqa: F401
     pf_restore_col,
     pf_sketch,
 )
+from pfutil_spark.operators.multi import (  # noqa: F401
+    pf_count_distinct_multi,
+    pf_partial_multi,
+)
+from pfutil_spark.operators.rollup import (  # noqa: F401
+    approx_top_k,
+    approx_top_k_sketch,
+    pf_cube,
+    pf_rollup,
+    pf_time_rollup,
+)

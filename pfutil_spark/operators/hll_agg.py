@@ -275,7 +275,10 @@ def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataF
         [df.schema[c] for c in keys]
         + [StructField(SKETCH_COL, BinaryType(), False)]
     )
-    target = df.repartition(*[F.col(c) for c in keys]) if keys else df.repartition(1)
+    pruned = df.select(*keys, sketch_col)  # only keys + sketch cross the shuffle
+    target = (
+        pruned.repartition(*[F.col(c) for c in keys]) if keys else pruned.repartition(1)
+    )
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
