@@ -302,15 +302,21 @@ def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataF
 
         data, offsets = _varbin_buffers(sk)
         lens = np.diff(offsets)
-        off0 = offsets[:-1]
-        canon = (
-            (lens >= 18)
-            & (data[off0] == hll.MAGIC[0])
-            & (data[off0 + 1] == hll.MAGIC[1])
-            & (data[off0 + 2] == hll.MAGIC[2])
-            & (data[off0 + 3] == hll.MAGIC[3])
-            & ((data[off0 + 15] & 0x80) == 0x80)
-        )
+        # clamp so a (corrupt) short trailing buffer can't index past the
+        # end of the values buffer — such rows fail `lens >= 18` and fall
+        # through to the decode path, which raises the proper error
+        if len(data) < 16:
+            canon = np.zeros(n, dtype=bool)
+        else:
+            off0 = np.minimum(offsets[:-1], len(data) - 16)
+            canon = (
+                (lens >= 18)
+                & (data[off0] == hll.MAGIC[0])
+                & (data[off0 + 1] == hll.MAGIC[1])
+                & (data[off0 + 2] == hll.MAGIC[2])
+                & (data[off0 + 3] == hll.MAGIC[3])
+                & ((data[off0 + 15] & 0x80) == 0x80)
+            )
         single_row = order[gstarts]  # the group's row when counts == 1
         passthrough = (counts == 1) & canon[single_row]
 

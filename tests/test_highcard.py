@@ -174,3 +174,16 @@ def test_multi_direct_emit_matches_accumulation(spark):
     b = merged(10**9)
     assert a.keys() == b.keys()
     assert a == b
+
+
+def test_arrow_merge_rejects_corrupt_sketches(spark):
+    """Corrupt/short buffers must fail with the library's validation
+    error (not an IndexError from the vectorized header probe)."""
+    from pfutil_spark.operators import pf_merge
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"JUNK")), ("b", bytearray(b"xy"))],
+        "k string, sketch binary",
+    )
+    with pytest.raises(Exception, match="Invalid HLL representation"):
+        pf_merge(df, ["k"]).collect()
