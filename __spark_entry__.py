@@ -367,30 +367,34 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cms_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point estimates vs exact counts: never undercounts, and
-    overcount <= 3*eps*N — boolean per event_type, oracle-checkable."""
+    overcount <= 3*eps*N — boolean per event_type, oracle-checkable.
+    Fully declarative: items, N, and estimates all live in the plan
+    (no driver-side collect/count during query construction)."""
     import math
 
-    from pfutil_spark.operators.sketch_agg import cms_counts_col, cms_sketch
+    from pyspark.sql.window import Window
+
+    from pfutil_spark.operators.sketch_agg import cms_count_for_hash_col, cms_sketch
 
     ev = _t(spark, sf_dir, "events")
-    sk = cms_sketch(ev, "event_type", by=())
-    items = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
-    n = ev.count()
-    eps = math.e / 2048
-    est_row = sk.select(cms_counts_col(sk, items).alias("counts"))
-    est = est_row.select(
-        F.posexplode(F.col("counts")).alias("pos", "est")
-    ).withColumn("event_type", F.array(*[F.lit(i) for i in items])[F.col("pos")])
-    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact"))
-    return (
-        est.join(exact, "event_type")
-        .select(
-            "event_type",
-            (
-                (F.col("est") >= F.col("exact"))
-                & ((F.col("est") - F.col("exact")) <= F.lit(3 * eps * n))
-            ).alias("within_bound"),
-        )
+    sk = cms_sketch(ev, "event_type", by=())  # one row
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .withColumn("n_total", F.sum("exact").over(Window.partitionBy()))
+    )
+    eps = math.e / 2048  # kernel default width
+    est = (
+        exact.crossJoin(F.broadcast(sk))
+        .withColumn("h", F.xxhash64(F.col("event_type")))
+        .withColumn("est", cms_count_for_hash_col("sketch", "h"))
+    )
+    return est.select(
+        "event_type",
+        (
+            (F.col("est") >= F.col("exact"))
+            & ((F.col("est") - F.col("exact")) <= F.lit(3 * eps) * F.col("n_total"))
+        ).alias("within_bound"),
     )
 
 
@@ -677,22 +681,32 @@ def _q_hll_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         pf_union_estimate_col,
     )
 
+    from pyspark.sql.window import Window
+
     ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
-    types = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
-    a_t, b_t = types[0], types[1]
-    sk = pf_sketch(ev.filter(F.col("event_type").isin([a_t, b_t])), "uid", by=("event_type",))
-    a = sk.filter(F.col("event_type") == a_t).select(F.col("sketch").alias("sa"))
-    b = sk.filter(F.col("event_type") == b_t).select(F.col("sketch").alias("sb"))
+    # the two lexicographically-first event types, picked IN the plan
+    # (no driver-side collect during query construction)
+    two = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.partitionBy().orderBy("event_type")))
+        .filter(F.col("rn") <= 2)
+    )
+    sub = ev.join(F.broadcast(two.select("event_type")), "event_type", "left_semi")
+    sk = pf_sketch(sub, "uid", by=("event_type",)).join(F.broadcast(two), "event_type")
+    a = sk.filter(F.col("rn") == 1).select(F.col("sketch").alias("sa"))
+    b = sk.filter(F.col("rn") == 2).select(F.col("sketch").alias("sb"))
     est = a.crossJoin(b).select(
         pf_union_estimate_col("sa", "sb").alias("u_est"),
         pf_intersect_estimate_col("sa", "sb").alias("i_est"),
     )
-    ua = ev.filter(F.col("event_type").isin([a_t, b_t]))
-    exact_u = ua.select(F.countDistinct("uid").alias("u"))
+    exact_u = sub.select(F.countDistinct("uid").alias("u"))
     exact_i = (
-        ev.filter(F.col("event_type") == a_t)
-        .select("uid")
-        .intersect(ev.filter(F.col("event_type") == b_t).select("uid"))
+        sub.select("event_type", "uid")
+        .distinct()
+        .groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == 2)
         .agg(F.count(F.lit(1)).alias("i"))
     )
     return (

@@ -290,6 +290,35 @@ def _hash_literals(df: DataFrame, items: Sequence) -> np.ndarray:
     return np.array([rows[f"h{i}"] for i in range(len(items))], dtype=np.int64)
 
 
+def cms_count_for_hash_col(
+    sketch: str | Column = SKETCH_COL, hashed: str | Column = "h"
+) -> Column:
+    """CMS point estimate for a pre-hashed item column — fully plan-side
+    (NO driver actions: pair the sketch with its items via a broadcast
+    cross join and hash the items with codegen ``xxhash64`` in the same
+    plan). Decodes the sketch per row, so intended for small
+    sketch-x-items frames (the usual evaluation shape)."""
+
+    @F.pandas_udf(LongType())
+    def _q(sk: pd.Series, h: pd.Series) -> pd.Series:
+        if len(sk) == 0:
+            return pd.Series([], dtype="int64")
+        cache: dict[bytes, object] = {}
+        out = np.empty(len(sk), dtype=np.int64)
+        hs = h.to_numpy()
+        for i, b in enumerate(sk):
+            bb = bytes(b)
+            st = cache.get(bb)
+            if st is None:
+                st = cache[bb] = cms.decode(bb)
+            out[i] = cms.query(st, hs[i : i + 1])[0]
+        return pd.Series(out)
+
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    c = F.col(hashed) if isinstance(hashed, str) else hashed
+    return _q(s, c)
+
+
 def cms_counts_col(df: DataFrame, items: Sequence, sketch_col: str = SKETCH_COL) -> Column:
     """array<long> of estimated counts for ``items`` (literals) per sketch."""
     hashes = _hash_literals(df, items)
