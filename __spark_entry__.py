@@ -568,7 +568,11 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
     )
     aug = e.unionByName(dup)
-    pairs = all_pairs_above(aug, "embedding", "vec_id", min_cosine=0.95, n_planes=12)
+    # dim passed explicitly: all_pairs_above would otherwise run a
+    # .first() driver action while BUILDING the query
+    pairs = all_pairs_above(
+        aug, "embedding", "vec_id", min_cosine=0.95, n_planes=12, dim=64
+    )
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
@@ -937,10 +941,11 @@ def oracle_sql() -> dict[str, str]:
         # pairs by exact character-k-gram Jaccard; the Spark queries reach
         # the same set via LSH/pigeonhole candidates + exact verification ---
         "minhash_lsh_pairs": (
-            "WITH sh AS ("
+            "WITH g AS (SELECT unnest(range(1,"
+            "  (SELECT max(length(text)) + 1 FROM documents))) AS i),"
+            " sh AS ("
             " SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS s"
-            " FROM documents d JOIN range(1, 4096) g(i)"
-            "  ON g.i <= length(d.text) - 4),"
+            " FROM documents d JOIN g ON g.i <= length(d.text) - 4),"
             " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
             " inter AS ("
             "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
@@ -954,10 +959,11 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY id_a, id_b"
         ),
         "simhash_near_dups": (
-            "WITH sh AS ("
+            "WITH g AS (SELECT unnest(range(1,"
+            "  (SELECT max(length(text)) + 1 FROM documents))) AS i),"
+            " sh AS ("
             " SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 4) AS s"
-            " FROM documents d JOIN range(1, 4096) g(i)"
-            "  ON g.i <= length(d.text) - 3),"
+            " FROM documents d JOIN g ON g.i <= length(d.text) - 3),"
             " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
             " inter AS ("
             "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"

@@ -197,6 +197,8 @@ def main() -> None:
             rows = fn(spark, SF_DIR).collect()
             reps.append(round(time.time() - t0, 3))
             if len(reps) >= N_REPS:
+                if len(reps) < 2:  # PFUTIL_BENCH_REPS=1: explicit quick mode
+                    break
                 best2 = sorted(reps)[:2]
                 if best2[1] <= best2[0] * 1.15 or len(reps) >= max_reps:
                     break

@@ -563,8 +563,11 @@ def encode_groups(
     gb[0] = True
     np.not_equal(g[1:], g[:-1], out=gb[1:])
     gs_i = np.flatnonzero(gb)
-    if len(gs_i) != n_groups:
-        raise ValueError("encode_groups: every group must have >= 1 element")
+    if len(gs_i) != n_groups or int(g[-1]) != n_groups - 1 or int(g[0]) != 0:
+        raise ValueError(
+            "encode_groups: group codes must be dense 0..n_groups-1 with "
+            ">= 1 element each (use np.unique(..., return_inverse=True))"
+        )
     nnz = np.diff(np.append(gs_i, n_items))
     maxval = np.maximum.reduceat(vals, gs_i)
 
@@ -727,6 +730,32 @@ def decode_many(bufs: list[bytes]) -> np.ndarray:
     return out
 
 
+def sparse_payload_is_valid(buf: bytes) -> bool:
+    """Full structural check of a sparse buffer's opcode stream (covers
+    exactly 16384 registers, no truncated XZERO, no VAL overflow) without
+    materializing anything — the cheap gate that lets the Arrow merge
+    pass single-partial sketches through untouched while still rejecting
+    corrupt bytes like the decode path would."""
+    p, idx, n = HEADER_LEN, 0, len(buf)
+    while p < n:
+        op = buf[p]
+        top = op & 0xC0
+        if top == 0x00:
+            idx += (op & 0x3F) + 1
+            p += 1
+        elif top == 0x40:
+            if p + 1 >= n:
+                return False
+            idx += (((op & 0x3F) << 8) | buf[p + 1]) + 1
+            p += 2
+        else:
+            idx += (op & 0x3) + 1
+            p += 1
+        if idx > HLL_REGISTERS:
+            return False
+    return idx == HLL_REGISTERS
+
+
 def decode_sparse_pairs(buf: bytes) -> tuple[list[int], list[int]]:
     """Sparse payload -> (register indices, values) WITHOUT materializing
     the 16KB register vector — the building block of the sparse-native
@@ -743,18 +772,22 @@ def decode_sparse_pairs(buf: bytes) -> tuple[list[int], list[int]]:
             idx += (op & 0x3F) + 1
             p += 1
         elif top == 0x40:
+            if p + 1 >= n:  # truncated XZERO
+                raise ValueError("Invalid HLL representation")
             idx += (((op & 0x3F) << 8) | buf[p + 1]) + 1
             p += 2
         else:
             run = (op & 0x3) + 1
             v = ((op >> 2) & 0x1F) + 1
+            if idx + run > HLL_REGISTERS:
+                raise ValueError("Invalid HLL representation")
             for j in range(run):
                 regs.append(idx + j)
                 vals.append(v)
             idx += run
             p += 1
     if idx != HLL_REGISTERS:
-        raise ValueError("failed to promote to dense")
+        raise ValueError("Invalid HLL representation")
     return regs, vals
 
 
@@ -797,39 +830,53 @@ def estimate_bytes_batch(bufs: list[bytes], version: int = 4) -> np.ndarray:
         bounds = np.asarray(sparse_bounds, dtype=np.int64)
         nnz = np.diff(bounds)
         ests = np.empty(k, dtype=np.int64)
-        block = 4096
-        for s in range(0, k, block):
-            e = min(s + block, k)
-            bb = bounds[s : e + 1]
-            width = int(nnz[s:e].max(initial=0))
+        # process in nnz-SORTED order so each block's padded width matches
+        # its rows (one wide sketch must not inflate a 4096-row block to
+        # rows x 16384 float64 = 512MB); block size = cell budget / width
+        order = np.argsort(nnz, kind="stable")
+        cell_budget = 1 << 22  # ~32MB of float64 temp
+        s = 0
+        while s < k:
+            width = int(nnz[order[s]])
+            rows_cap = max(1, cell_budget // max(width, 1))
+            e = min(s + rows_cap, k, s + 4096)
+            sel = order[s:e]
+            width = int(nnz[sel].max(initial=0))  # widest in block (sorted: last)
+            n_b = len(sel)
+            # gather this block's values contiguously (register order kept
+            # WITHIN each sketch, which is all the float-order proof needs)
+            seg_starts = bounds[:-1][sel]
+            seg_lens = nnz[sel]
+            gather = np.repeat(seg_starts, seg_lens) + (
+                np.arange(int(seg_lens.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(seg_lens) - seg_lens, seg_lens)
+            )
+            bvals = vals[gather]
             if version == 4:
                 if width == 0:
-                    terms_last = np.zeros(e - s)
+                    terms_last = np.zeros(n_b)
                 else:
                     # row-padded nonzero terms; cumsum == Java's sequential
                     # register-order float adds (padding 0.0 is exact)
-                    mat = np.zeros((e - s, width), dtype=np.float64)
-                    rows = np.repeat(
-                        np.arange(e - s), nnz[s:e]
+                    mat = np.zeros((n_b, width), dtype=np.float64)
+                    rows = np.repeat(np.arange(n_b), seg_lens)
+                    cols = np.arange(len(bvals)) - np.repeat(
+                        np.cumsum(seg_lens) - seg_lens, seg_lens
                     )
-                    cols = np.arange(bb[-1] - bb[0]) - np.repeat(
-                        bb[:-1] - bb[0], nnz[s:e]
-                    )
-                    mat[rows, cols] = np.ldexp(
-                        1.0, -vals[bb[0] : bb[-1]].astype(np.int32)
-                    )
+                    mat[rows, cols] = np.ldexp(1.0, -bvals.astype(np.int32))
                     np.cumsum(mat, axis=1, out=mat)
                     terms_last = mat[:, -1]
-                ez = (HLL_REGISTERS - nnz[s:e]).astype(np.int64)
-                ests[s:e] = _v4_batch_from_parts(ez, terms_last + ez)
+                ez = (HLL_REGISTERS - seg_lens).astype(np.int64)
+                ests[sel] = _v4_batch_from_parts(ez, terms_last + ez)
             else:
-                rows = np.repeat(np.arange(e - s, dtype=np.int64), nnz[s:e])
-                flat = rows * 64 + vals[bb[0] : bb[-1]]
-                histos = np.bincount(flat, minlength=(e - s) * 64).reshape(
-                    e - s, 64
+                rows = np.repeat(np.arange(n_b, dtype=np.int64), seg_lens)
+                flat = rows * 64 + bvals
+                histos = np.bincount(flat, minlength=n_b * 64).reshape(
+                    n_b, 64
                 ).astype(np.float64)
-                histos[:, 0] = HLL_REGISTERS - nnz[s:e]
-                ests[s:e] = _v5_batch_from_histos(histos)
+                histos[:, 0] = HLL_REGISTERS - seg_lens
+                ests[sel] = _v5_batch_from_histos(histos)
+            s = e
         out[np.asarray(sparse_pos)] = ests
     return out
 

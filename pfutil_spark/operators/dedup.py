@@ -330,18 +330,30 @@ def simhash_near_dup_pairs(
             "0 <= max_hamming <= 15 (chunks of >= 4 bits)"
         )
     n_chunks = max_hamming + 1
-    width = -(-64 // n_chunks)  # ceil: first chunks `width` bits, last the rest
-    bounds = [(i * width, min((i + 1) * width, 64)) for i in range(n_chunks)]
+    # distribute 64 bits as evenly as possible: the first (64 % n_chunks)
+    # chunks get one extra bit — every chunk is non-empty for any
+    # n_chunks <= 64 (a ceil-width split would create empty/overshooting
+    # chunks for e.g. 9, 12, 14, 15 chunks)
+    base, extra = divmod(64, n_chunks)
+    bounds = []
+    lo = 0
+    for i in range(n_chunks):
+        hi = lo + base + (1 if i < extra else 0)
+        bounds.append((lo, hi))
+        lo = hi
+
+    def _chunk_col(lo: int, hi: int) -> Column:
+        w = hi - lo
+        shifted = F.shiftrightunsigned("simhash", lo)
+        if w >= 64:  # whole signature: mask (1<<64)-1 overflows LongType
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     sigs = simhash_signatures(df, text, id_col, k).persist()
     chunks = sigs.select(
         id_col,
         "simhash",
-        *[
-            F.shiftrightunsigned("simhash", lo)
-            .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
-            .alias(f"c{i}")
-            for i, (lo, hi) in enumerate(bounds)
-        ],
+        *[_chunk_col(lo, hi).alias(f"c{i}") for i, (lo, hi) in enumerate(bounds)],
     )
     cands = None
     for i in range(n_chunks):

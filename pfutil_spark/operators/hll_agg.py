@@ -319,6 +319,19 @@ def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataF
             )
         single_row = order[gstarts]  # the group's row when counts == 1
         passthrough = (counts == 1) & canon[single_row]
+        # header probe is necessary but not sufficient: walk the opcode
+        # stream (sparse) / check the exact length (dense) so corrupt
+        # bytes behind a canonical-looking header are re-routed to the
+        # decode path (which raises) instead of passing through silently
+        for gi in np.flatnonzero(passthrough):
+            row = single_row[gi]
+            b = bytes(data[offsets[row] : offsets[row + 1]])
+            if b[4] == hll.ENC_DENSE:
+                ok = len(b) == hll.HLL_DENSE_SIZE
+            else:
+                ok = b[4] == hll.ENC_SPARSE and hll.sparse_payload_is_valid(b)
+            if not ok:
+                passthrough[gi] = False
 
         pass_ids = np.flatnonzero(passthrough)
         work_ids = np.flatnonzero(~passthrough)

@@ -187,3 +187,19 @@ def test_arrow_merge_rejects_corrupt_sketches(spark):
     )
     with pytest.raises(Exception, match="Invalid HLL representation"):
         pf_merge(df, ["k"]).collect()
+
+
+def test_arrow_merge_rejects_corrupt_behind_canonical_header(spark):
+    """A buffer with a canonical-looking header but a truncated opcode
+    stream must NOT pass through the singleton fast path silently."""
+    from pfutil_spark.operators import pf_merge
+
+    fake = bytearray(21)
+    fake[0:4] = b"HYLL"
+    fake[4] = 1  # sparse
+    fake[15] = 0x80  # invalid-cache flag: looks canonical
+    fake[16] = 0x40  # truncated XZERO (needs a second byte at the end)
+    fake[17:21] = b"\x00\x00\x00\x40"
+    df = spark.createDataFrame([("a", fake)], "k string, sketch binary")
+    with pytest.raises(Exception, match="Invalid HLL representation"):
+        pf_merge(df, ["k"]).collect()

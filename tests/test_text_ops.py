@@ -333,3 +333,27 @@ class TestOrganicNearDups:
         for r in exact:
             assert r["jaccard"] >= 0.7, (r["id_a"], r["id_b"], r["jaccard"])
             assert abs(r["est_jaccard"] - r["jaccard"]) <= 0.25
+
+
+class TestSimhashChunkBounds:
+    def test_all_allowed_max_hamming_values_build_and_find_identicals(self, spark):
+        """Every permitted max_hamming (0..15) must produce a valid plan
+        with non-degenerate chunks and find identical-text pairs (hamming
+        0 is always within any bound)."""
+        import pandas as pd
+
+        from pfutil_spark.operators.dedup import simhash_near_dup_pairs
+
+        rows = [(i, f"some shared document body number {i % 5} with text") for i in range(10)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        expected = {(a, a + 5) for a in range(5)}
+        for h in (0, 3, 5, 8, 11, 13, 14, 15):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=h).collect()
+            }
+            assert expected <= got, (h, got)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_hamming"):
+            simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=16)
