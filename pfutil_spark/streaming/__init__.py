@@ -2,5 +2,6 @@ from pfutil_spark.streaming.hll_stream import (  # noqa: F401
     StreamingHllState,
     attach_hll_foreach_batch,
     streaming_distinct_with_state,
+    streaming_session_counts,
     streaming_windowed_distinct,
 )

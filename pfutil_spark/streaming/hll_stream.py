@@ -178,6 +178,36 @@ def streaming_windowed_distinct(
     )
 
 
+def streaming_session_counts(
+    stream_df: DataFrame,
+    ts: str,
+    by: Sequence[str],
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization on a STREAM via Spark's native
+    ``session_window`` (dynamic-gap session state, watermark-bounded and
+    merged by the engine — the streaming counterpart of
+    :func:`operators.asof.sessionize`, whose lag+cumsum shape can't run
+    incrementally). Emits one row per closed-or-updated session:
+    (by..., session_start, session_end, n_events)."""
+    from pyspark.sql import functions as F
+
+    by = list(by)
+    stream_df = stream_df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts, watermark)
+        .groupBy(*by, F.session_window(F.col(ts), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *by,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def attach_hll_foreach_batch(
     stream_df: DataFrame,
     state: StreamingHllState,

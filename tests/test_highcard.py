@@ -203,3 +203,25 @@ def test_arrow_merge_rejects_corrupt_behind_canonical_header(spark):
     df = spark.createDataFrame([("a", fake)], "k string, sketch binary")
     with pytest.raises(Exception, match="Invalid HLL representation"):
         pf_merge(df, ["k"]).collect()
+
+
+def test_direct_emit_lineage_counts(spark):
+    """lineage=True on the direct-emit path: per-partial _rows_seen must
+    sum to the non-null row count, and _partition_id must be real."""
+    from pfutil_spark.operators.hll_agg import LINEAGE_COLS
+
+    df = (
+        spark.range(50_000)
+        .select(
+            F.concat(F.lit("k"), (F.col("id") % 30_000).cast("string")).alias("k"),
+            F.col("id").cast("string").alias("e"),
+        )
+        .repartition(4)
+    )
+    p = pf_partial(df, "e", by=("k",), lineage=True, direct_emit_groups=1)
+    agg = p.agg(
+        F.sum(LINEAGE_COLS[1]).alias("rows"),
+        F.countDistinct(LINEAGE_COLS[0]).alias("pids"),
+    ).collect()[0]
+    assert agg["rows"] == 50_000
+    assert agg["pids"] == 4

@@ -369,3 +369,60 @@ class TestTimeRollup:
         for r in exact:
             k = (r["bucket_start"], r["event_type"])
             assert abs(got[k] - r["x"]) <= max(1, round(3 * 0.008125 * r["x"]))
+
+
+class TestStreamingSessions:
+    def test_session_window_stream_matches_batch_sessionize(self, spark, tmp_path):
+        """Native session_window over a stream == batch lag+cumsum
+        sessionize: same number of sessions per user and same per-session
+        event counts (gap semantics agree)."""
+        import pandas as pd
+
+        from pfutil_spark.operators.asof import sessionize
+        from pfutil_spark.streaming import streaming_session_counts
+
+        ev = _events(spark).select("user_id", "ts", "event_id").limit(2000)
+        # sentinel event far in the future: availableNow's final watermark
+        # is max(event time) - delay, so without it sessions in the last
+        # <watermark> of stream time would stay open (unemitted in append
+        # mode) — the standard flush trick for bounded replays
+        sentinel = ev.limit(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.col("ts") + F.expr("INTERVAL 1000 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("event_id"),
+        )
+        src = tmp_path / "sess_src"
+        ev.unionByName(sentinel).write.mode("overwrite").parquet(str(src))
+
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        sess = streaming_session_counts(stream, "ts", ["user_id"], gap="30 minutes")
+        out = str(tmp_path / "sess_out")
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(out).toPandas()
+        got = got[got["user_id"] >= 0]  # drop the watermark-flush sentinel
+
+        batch = sessionize(
+            ev, "ts", ["user_id"], gap_seconds=1800, tiebreak=("event_id",)
+        ).toPandas()
+        exp = (
+            batch.groupby(["user_id", "session_id"])
+            .size()
+            .reset_index(name="n_events")
+        )
+        # sessions per user agree
+        g1 = got.groupby("user_id").size().sort_index()
+        g2 = exp.groupby("user_id").size().sort_index()
+        pd.testing.assert_series_equal(g1, g2, check_names=False)
+        # per-session event-count multisets agree per user
+        for uid, grp in got.groupby("user_id"):
+            a = sorted(grp["n_events"].tolist())
+            b = sorted(exp[exp["user_id"] == uid]["n_events"].tolist())
+            assert a == b, uid
