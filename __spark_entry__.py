@@ -554,6 +554,78 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", meta_ok.alias("meta_ok")).orderBy("media_id")
 
 
+def _q_dump_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format gate IN the graded contract: per-lang sketches dumped
+    to Redis-loadable bytes (cardinality cache stamped), restored, and
+    re-counted — the roundtrip estimate must equal the direct estimate,
+    and every dump must carry a VALID cache equal to the estimate."""
+    from pfutil_spark.operators import (
+        pf_count_col, pf_dump_col, pf_restore_col, pf_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "content_sha", F.sha2(F.col("text"), 256)
+    )
+    sk = pf_sketch(docs, "content_sha", by=("lang",)).localCheckpoint()
+    direct = sk.select("lang", pf_count_col("sketch", 4).alias("direct_est"))
+    dumped = sk.select("lang", pf_dump_col("sketch", 4).alias("d"))
+    restored = dumped.select(
+        "lang",
+        pf_count_col(pf_restore_col("d", 4), 4).alias("rt_est"),
+        # header byte 15 (1-indexed 16) MSB clear == cardinality cache VALID
+        (
+            F.conv(F.hex(F.expr("substring(d, 16, 1)")), 16, 10).cast("int") < 128
+        ).alias("cache_valid"),
+    )
+    return (
+        direct.join(restored, "lang")
+        .select(
+            "lang",
+            (F.col("rt_est") == F.col("direct_est")).alias("roundtrip_ok"),
+            "cache_valid",
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql surface of the sketch library: registered pf_*
+    functions compose in plain SQL (merge a pair of per-type sketches,
+    count the union, validate bytes) — union estimate within the 3-sigma
+    bound of the exact distinct over both types."""
+    from pfutil_spark.functions.sql import register_sql_functions
+    from pfutil_spark.operators import pf_sketch
+
+    register_sql_functions(spark)
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    pf_sketch(ev, "uid", by=("event_type",)).createOrReplaceTempView("type_sketches")
+    ev.createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        WITH two AS (
+          SELECT event_type, sketch,
+                 row_number() OVER (ORDER BY event_type) AS rn
+          FROM type_sketches
+        ),
+        m AS (
+          SELECT pf_merge_pair(a.sketch, b.sketch) AS ms
+          FROM two a JOIN two b ON a.rn = 1 AND b.rn = 2
+        ),
+        est AS (SELECT pf_count(ms) AS u_est, pf_is_valid(ms) AS valid FROM m),
+        exact AS (
+          SELECT count(DISTINCT uid) AS u FROM events_v
+          WHERE event_type IN (
+            SELECT event_type FROM two WHERE rn <= 2)
+        )
+        SELECT exact.u AS exact_union,
+               abs(est.u_est - exact.u) <= greatest(1.0, exact.u * 0.024375)
+                 AS within_bound,
+               est.valid AS bytes_valid
+        FROM est CROSS JOIN exact
+        """
+    )
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection via LSH bucket equi-join (never
     a cross join). The sf corpus has no organic near-dups (max pair cosine
@@ -767,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_time_rollup": _q_hll_time_rollup,
         "video_frame_sample": _q_video_frame_sample,
         "text_stats": _q_text_stats,
+        "dump_restore_roundtrip": _q_dump_restore_roundtrip,
+        "sql_surface": _q_sql_surface,
     }
 
 
@@ -1054,5 +1128,16 @@ def oracle_sql() -> dict[str, str]:
             "|is|are|was|were|it|that|this|for|on|with|as)\\b'))"
             "  ::DOUBLE / greatest(n_tok::DOUBLE, 1.0) AS stopword_ratio"
             " FROM f"
+        ),
+        "dump_restore_roundtrip": (
+            "SELECT lang, TRUE AS roundtrip_ok, TRUE AS cache_valid"
+            " FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "sql_surface": (
+            "WITH two AS (SELECT event_type FROM ("
+            "  SELECT DISTINCT event_type FROM events) ORDER BY event_type LIMIT 2)"
+            " SELECT count(DISTINCT user_id) AS exact_union,"
+            "  TRUE AS within_bound, TRUE AS bytes_valid"
+            " FROM events WHERE event_type IN (SELECT event_type FROM two)"
         ),
     }
