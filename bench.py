@@ -181,6 +181,11 @@ def main() -> None:
     _flagship_input_full(spark)
     for fn in QUERIES.values():
         fn(spark, SF_DIR).collect()
+    # the python-heavy pair keeps speeding up over the first few runs
+    # (JVM JIT ramp, measured 10.8s -> 5.5s across 6 reps even after one
+    # warmup) — give them a second untimed pass
+    q_flagship_sourcecode(spark, SF_DIR).collect()
+    q_north_report(spark, SF_DIR).collect()
 
     times: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
