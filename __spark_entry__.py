@@ -566,7 +566,9 @@ def _q_dump_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "content_sha", F.sha2(F.col("text"), 256)
     )
-    sk = pf_sketch(docs, "content_sha", by=("lang",)).localCheckpoint()
+    # lazy: materialized once at EXECUTION (both branches reuse it); an
+    # eager checkpoint would run a job during query construction
+    sk = pf_sketch(docs, "content_sha", by=("lang",)).localCheckpoint(eager=False)
     direct = sk.select("lang", pf_count_col("sketch", 4).alias("direct_est"))
     dumped = sk.select("lang", pf_dump_col("sketch", 4).alias("d"))
     restored = dumped.select(
