@@ -708,25 +708,25 @@ def decode(buf: bytes) -> np.ndarray:
 def decode_many(bufs: list[bytes]) -> np.ndarray:
     """Decode a batch of wire buffers -> (n, 16384) uint8.
 
-    Dense buffers are unpacked in ONE vectorized unpackbits call; the
-    remaining per-buffer work is per-sketch (per group x partition), never
-    per-row."""
+    Fully vectorized: headers validated flat, dense payloads unpacked in
+    ONE unpackbits call, sparse payloads parsed by the flat opcode
+    scanner and scattered in one fancy-index write — no per-sketch
+    opcode walks (the r2 path decoded sparse buffers one by one)."""
     n = len(bufs)
     out = np.zeros((n, HLL_REGISTERS), dtype=np.uint8)
-    dense_pos: list[int] = []
-    dense_payloads: list[bytes] = []
-    for i, b in enumerate(bufs):
-        if not is_valid_hll(b):
-            raise ValueError("Invalid HLL representation")
-        if b[4] == ENC_DENSE:
-            dense_pos.append(i)
-            dense_payloads.append(b[HEADER_LEN:])
-        else:
-            out[i] = decode_sparse(b)
-    if dense_pos:
-        payload = np.frombuffer(b"".join(dense_payloads), dtype=np.uint8)
-        payload = payload.reshape(len(dense_pos), HLL_DENSE_SIZE - HEADER_LEN)
-        out[np.asarray(dense_pos)] = unpack_dense(payload)
+    if n == 0:
+        return out
+    flat, offs = _flat_views(bufs)
+    enc = validate_headers_flat(flat, offs)
+    dense_pos = np.flatnonzero(enc == ENC_DENSE)
+    sparse_pos = np.flatnonzero(enc == ENC_SPARSE)
+    if len(dense_pos):
+        out[dense_pos] = unpack_dense(gather_dense_payloads(flat, offs, dense_pos))
+    if len(sparse_pos):
+        iseg, ireg, ival = decode_sparse_pairs_flat(
+            flat, offs[:-1][sparse_pos] + HEADER_LEN, offs[1:][sparse_pos]
+        )
+        out[sparse_pos[iseg], ireg] = ival
     return out
 
 
@@ -791,6 +791,192 @@ def decode_sparse_pairs(buf: bytes) -> tuple[list[int], list[int]]:
     return regs, vals
 
 
+# ---------------------------------------------------------------------------
+# vectorized FLAT sparse parsing (the no-per-sketch-Python merge/estimate
+# machinery): many sparse payload windows of one flat uint8 buffer — e.g.
+# the values buffer of an Arrow binary array — are scanned in O(total
+# bytes) of numpy, so a 10^7-group merge task runs zero per-group Python.
+# ---------------------------------------------------------------------------
+
+def _gather_segments(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Copy ``[starts[i], ends[i])`` windows of ``data`` into one contiguous
+    buffer; returns (buffer, exclusive-prefix offsets of len n+1)."""
+    lens = ends - starts
+    pstarts = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=pstarts[1:])
+    total = int(pstarts[-1])
+    gather = np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(pstarts[:-1], lens)
+    )
+    return data[gather], pstarts
+
+
+def _sparse_scan_flat(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Classify every opcode of every sparse payload window in one pass.
+
+    The opcode stream's only sequential dependency is "is this byte an
+    opcode lead or the trailing byte of an XZERO" (XZERO is the sole
+    2-byte opcode, HllByteBuffer.java:209-238). The skip recurrence
+    ``skipped[i] = looks_xzero[i-1] & ~skipped[i-1]`` has the closed form
+    *skipped[i] iff the run of consecutive XZERO-lead-looking bytes ending
+    at i-1 (clipped at the segment start) has odd length* — one
+    ``np.maximum.accumulate`` computes it for all segments at once.
+
+    Returns ``(op_seg, lead, run, idx_before, seg_total, seg_trunc)``:
+    per-opcode segment id / lead byte / register run length / register
+    index before the opcode, plus per-segment register totals and
+    truncated-XZERO flags (segment validity = total==16384 and !trunc).
+    """
+    n_seg = len(starts)
+    data = np.asarray(data, dtype=np.uint8)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    pb, pstarts = _gather_segments(data, starts, ends)
+    N = len(pb)
+    empty_i64 = np.zeros(0, dtype=np.int64)
+    if N == 0:
+        return (
+            empty_i64,
+            empty_i64.astype(np.uint8),
+            empty_i64,
+            empty_i64,
+            np.zeros(n_seg, dtype=np.int64),
+            np.zeros(n_seg, dtype=bool),
+        )
+    looks_xzero = (pb & 0xC0) == 0x40
+    pos = np.arange(N, dtype=np.int64)
+    # position of the most recent run-breaking byte at-or-before p: a
+    # non-XZERO-looking byte, or the virtual break just before each segment
+    marker = np.where(looks_xzero, np.int64(-1), pos)
+    seg_first = pstarts[:-1][np.diff(pstarts) > 0]
+    np.maximum.at(marker, seg_first, seg_first - 1)
+    lastz = np.maximum.accumulate(marker)
+    skipped = np.zeros(N, dtype=bool)
+    skipped[1:] = ((pos[:-1] - lastz[:-1]) & 1).astype(bool)
+    skipped[seg_first] = False  # a segment always starts with an opcode
+    op_pos = np.flatnonzero(~skipped)
+    op_seg = np.searchsorted(pstarts, op_pos, side="right") - 1
+    lead = pb[op_pos]
+    # XZERO trailing byte (0-padded read; garbage only for truncated
+    # opcodes, whose segment is flagged invalid anyway)
+    b2 = np.append(pb, np.uint8(0))[op_pos + 1].astype(np.int64)
+    top = lead & 0xC0
+    is_xzero = top == 0x40
+    run = np.where(
+        top == 0x00,
+        (lead & 0x3F).astype(np.int64) + 1,
+        np.where(
+            is_xzero,
+            (((lead & 0x3F).astype(np.int64) << 8) | b2) + 1,
+            (lead & 0x03).astype(np.int64) + 1,
+        ),
+    )
+    trunc_op = is_xzero & (op_pos + 1 >= pstarts[op_seg + 1])
+    csum = np.cumsum(run)
+    excl = csum - run
+    seg_ids = np.arange(n_seg, dtype=np.int64)
+    first_op = np.searchsorted(op_seg, seg_ids, side="left")
+    last_op = np.searchsorted(op_seg, seg_ids, side="right") - 1
+    has_op = last_op >= first_op
+    seg_base = np.zeros(n_seg, dtype=np.int64)
+    seg_base[has_op] = excl[first_op[has_op]]
+    idx_before = excl - seg_base[op_seg]
+    seg_total = np.zeros(n_seg, dtype=np.int64)
+    seg_total[has_op] = csum[last_op[has_op]] - seg_base[has_op]
+    seg_trunc = np.bincount(op_seg[trunc_op], minlength=n_seg).astype(bool)
+    return op_seg, lead, run, idx_before, seg_total, seg_trunc
+
+
+def sparse_valid_flat(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> np.ndarray:
+    """Vectorized :func:`sparse_payload_is_valid` over many payload windows
+    (header excluded): bool per window. Run totals are monotone, so
+    ``total == 16384`` subsumes every intermediate-overflow case the
+    scalar walk rejects."""
+    _, _, _, _, seg_total, seg_trunc = _sparse_scan_flat(data, starts, ends)
+    return (seg_total == HLL_REGISTERS) & ~seg_trunc
+
+
+def decode_sparse_pairs_flat(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch :func:`decode_sparse_pairs`: ``(item_seg, item_reg, item_val)``
+    numpy arrays across all windows, register order preserved within each
+    segment (what the estimator's float-op-order proof needs). Raises
+    like the scalar walk if ANY segment is structurally invalid."""
+    op_seg, lead, run, idx_before, seg_total, seg_trunc = _sparse_scan_flat(
+        data, starts, ends
+    )
+    if seg_trunc.any() or (seg_total != HLL_REGISTERS).any():
+        raise ValueError("Invalid HLL representation")
+    vo = np.flatnonzero(lead >= 0x80)  # VAL opcodes
+    runl = run[vo]
+    n_items = int(runl.sum())
+    rep = np.repeat(np.arange(len(vo), dtype=np.int64), runl)
+    intra = np.arange(n_items, dtype=np.int64) - np.repeat(
+        np.cumsum(runl) - runl, runl
+    )
+    item_seg = op_seg[vo][rep]
+    item_reg = idx_before[vo][rep] + intra
+    item_val = (((lead[vo] >> 2) & 0x1F) + 1).astype(np.uint8)[rep]
+    return item_seg, item_reg, item_val
+
+
+def _flat_views(bufs) -> tuple[np.ndarray, np.ndarray]:
+    """list/Series of bytes -> (flat uint8 buffer, int64 offsets). The
+    join/len calls are the one unavoidable per-OBJECT cost of receiving
+    Python bytes (already paid by the pandas UDF boundary); everything
+    downstream is flat numpy."""
+    n = len(bufs)
+    lens = np.fromiter(map(len, bufs), dtype=np.int64, count=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.frombuffer(b"".join(bytes(b) for b in bufs), dtype=np.uint8)
+    return flat, offs
+
+
+def validate_headers_flat(flat: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`is_valid_hll` over flat wire buffers: returns the
+    encoding byte per sketch; raises if any header is invalid (short
+    buffer, bad magic, unknown encoding, wrong dense length)."""
+    lens = np.diff(offs)
+    if len(lens) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    if (lens < HEADER_LEN).any():
+        raise ValueError("Invalid HLL representation")
+    h = offs[:-1]
+    magic_ok = (
+        (flat[h] == MAGIC[0])
+        & (flat[h + 1] == MAGIC[1])
+        & (flat[h + 2] == MAGIC[2])
+        & (flat[h + 3] == MAGIC[3])
+    )
+    enc = flat[h + 4]
+    enc_ok = (enc == ENC_DENSE) | (enc == ENC_SPARSE)
+    dense_ok = (enc != ENC_DENSE) | (lens == HLL_DENSE_SIZE)
+    if not (magic_ok & enc_ok & dense_ok).all():
+        raise ValueError("Invalid HLL representation")
+    return enc
+
+
+def gather_dense_payloads(
+    flat: np.ndarray, offs: np.ndarray, rows: np.ndarray
+) -> np.ndarray:
+    """(len(rows), 12288) payload matrix from flat wire buffers. One
+    12KB memcpy per DENSE sketch (never per input row); dense partials
+    only exist for groups with ~4000+ distinct elements in one partition,
+    so this is the low-cardinality regime where sketch counts are tiny."""
+    dense_payload = HLL_DENSE_SIZE - HEADER_LEN
+    out = np.empty((len(rows), dense_payload), dtype=np.uint8)
+    starts = (offs[:-1][rows] + HEADER_LEN).tolist()
+    for k, st in enumerate(starts):
+        out[k] = flat[st : st + dense_payload]
+    return out
+
+
 def estimate_bytes_batch(bufs: list[bytes], version: int = 4) -> np.ndarray:
     """PFCOUNT over a batch of wire buffers WITHOUT dense materialization
     for the sparse ones (decode_many on 10^6 sparse sketches would build
@@ -803,43 +989,46 @@ def estimate_bytes_batch(bufs: list[bytes], version: int = 4) -> np.ndarray:
     """
     n = len(bufs)
     out = np.zeros(n, dtype=np.int64)
-    dense_pos: list[int] = []
-    dense_payloads: list[bytes] = []
-    sparse_pos: list[int] = []
-    sparse_vals: list[int] = []
-    sparse_bounds: list[int] = [0]
-    for i, b in enumerate(bufs):
-        if not is_valid_hll(b):
-            raise ValueError("Invalid HLL representation")
-        if b[4] == ENC_DENSE:
-            dense_pos.append(i)
-            dense_payloads.append(b[HEADER_LEN:])
-        else:
-            _, vs = decode_sparse_pairs(b)
-            sparse_pos.append(i)
-            sparse_vals.extend(vs)
-            sparse_bounds.append(len(sparse_vals))
-    if dense_pos:
-        payload = np.frombuffer(b"".join(dense_payloads), dtype=np.uint8)
-        payload = payload.reshape(len(dense_pos), HLL_DENSE_SIZE - HEADER_LEN)
-        regs = unpack_dense(payload)
-        out[np.asarray(dense_pos)] = estimate_batch(regs, version)
-    if sparse_pos:
+    if n == 0:
+        return out
+    flat, offs = _flat_views(bufs)
+    enc = validate_headers_flat(flat, offs)
+    dense_pos = np.flatnonzero(enc == ENC_DENSE)
+    sparse_pos = np.flatnonzero(enc == ENC_SPARSE)
+    if len(dense_pos):
+        regs = unpack_dense(gather_dense_payloads(flat, offs, dense_pos))
+        out[dense_pos] = estimate_batch(regs, version)
+    if len(sparse_pos):
         k = len(sparse_pos)
-        vals = np.asarray(sparse_vals, dtype=np.int64)
-        bounds = np.asarray(sparse_bounds, dtype=np.int64)
-        nnz = np.diff(bounds)
+        # vectorized opcode parse of ALL sparse payloads (raises on any
+        # structurally invalid stream, like the scalar walk)
+        iseg, _, ival = decode_sparse_pairs_flat(
+            flat, offs[:-1][sparse_pos] + HEADER_LEN, offs[1:][sparse_pos]
+        )
+        vals = ival.astype(np.int64)
+        nnz = np.bincount(iseg, minlength=k)
+        bounds = np.zeros(k + 1, dtype=np.int64)
+        np.cumsum(nnz, out=bounds[1:])
         ests = np.empty(k, dtype=np.int64)
         # process in nnz-SORTED order so each block's padded width matches
         # its rows (one wide sketch must not inflate a 4096-row block to
-        # rows x 16384 float64 = 512MB); block size = cell budget / width
+        # rows x 16384 float64 = 512MB)
         order = np.argsort(nnz, kind="stable")
+        nnz_sorted = nnz[order]
         cell_budget = 1 << 22  # ~32MB of float64 temp
         s = 0
         while s < k:
-            width = int(nnz[order[s]])
-            rows_cap = max(1, cell_budget // max(width, 1))
-            e = min(s + rows_cap, k, s + 4096)
+            # grow the block while rows x WIDEST-in-block fits the cell
+            # budget (binary search — (e-s)*nnz_sorted[e-1] is monotone
+            # in e since nnz_sorted is nondecreasing)
+            lo, hi = s + 1, min(k, s + 4096)
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if (mid - s) * int(nnz_sorted[mid - 1]) <= cell_budget:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            e = lo
             sel = order[s:e]
             width = int(nnz[sel].max(initial=0))  # widest in block (sorted: last)
             n_b = len(sel)

@@ -287,144 +287,187 @@ def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataF
         if not got:
             return
         batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
-        n = batch.num_rows
-        sk = batch.column(sketch_col)
-        if keys:
-            inverse, first_idx = _group_codes(batch, keys)
-            n_groups = len(first_idx)
-        else:
-            inverse = np.zeros(n, dtype=np.int64)
-            first_idx = np.array([0], dtype=np.int64)
-            n_groups = 1
-        counts = np.bincount(inverse, minlength=n_groups)
-        order = np.argsort(inverse, kind="stable")
-        gstarts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        yield merge_record_batch(batch, keys, sketch_col)
 
-        data, offsets = _varbin_buffers(sk)
-        lens = np.diff(offsets)
-        # clamp so a (corrupt) short trailing buffer can't index past the
-        # end of the values buffer — such rows fail `lens >= 18` and fall
-        # through to the decode path, which raises the proper error
-        if len(data) < 16:
-            canon = np.zeros(n, dtype=bool)
-        else:
-            off0 = np.minimum(offsets[:-1], len(data) - 16)
-            canon = (
-                (lens >= 18)
-                & (data[off0] == hll.MAGIC[0])
-                & (data[off0 + 1] == hll.MAGIC[1])
-                & (data[off0 + 2] == hll.MAGIC[2])
-                & (data[off0 + 3] == hll.MAGIC[3])
-                & ((data[off0 + 15] & 0x80) == 0x80)
+    return target.mapInArrow(fn, out_schema)
+
+
+def merge_record_batch(
+    batch: "pa.RecordBatch", keys: list[str], sketch_col: str
+) -> "pa.RecordBatch":
+    """Merge ALL groups of one Arrow batch (a merge task's partition) in a
+    single vectorized pass — module-level so tests can drive it directly
+    and assert the no-per-group-Python property by monkeypatching the
+    scalar opcode walkers (which must never be called here)."""
+    import pyarrow as pa
+
+    n = batch.num_rows
+    sk = batch.column(sketch_col)
+    if keys:
+        inverse, first_idx = _group_codes(batch, keys)
+        n_groups = len(first_idx)
+    else:
+        inverse = np.zeros(n, dtype=np.int64)
+        first_idx = np.array([0], dtype=np.int64)
+        n_groups = 1
+    counts = np.bincount(inverse, minlength=n_groups)
+    order = np.argsort(inverse, kind="stable")
+    gstarts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+    data, offsets = _varbin_buffers(sk)
+    lens = np.diff(offsets)
+    # clamp so a (corrupt) short trailing buffer can't index past the
+    # end of the values buffer — such rows fail `lens >= 18` and fall
+    # through to the decode path, which raises the proper error
+    if len(data) < 16:
+        canon = np.zeros(n, dtype=bool)
+    else:
+        off0 = np.minimum(offsets[:-1], len(data) - 16)
+        canon = (
+            (lens >= 18)
+            & (data[off0] == hll.MAGIC[0])
+            & (data[off0 + 1] == hll.MAGIC[1])
+            & (data[off0 + 2] == hll.MAGIC[2])
+            & (data[off0 + 3] == hll.MAGIC[3])
+            & ((data[off0 + 15] & 0x80) == 0x80)
+        )
+    single_row = order[gstarts]  # the group's row when counts == 1
+    passthrough = (counts == 1) & canon[single_row]
+    # header probe is necessary but not sufficient — and all of the
+    # deeper checks are VECTORIZED (no per-group Python, the r3 fix):
+    # * sparse singles: flat opcode scan must cover exactly 16384
+    #   registers (corrupt bytes re-route to the decode path → raise)
+    # * dense singles: exact length, AND a sparse-eligibility probe —
+    #   a dense-encoded but sparse-ELIGIBLE sketch (encode(
+    #   force_dense=True) or a third-party writer) is re-routed to the
+    #   work path so pf_merge output bytes never depend on which
+    #   partition a partial landed in (canonical re-encode either way)
+    cand = np.flatnonzero(passthrough)
+    if len(cand):
+        rows_c = single_row[cand]
+        enc_c = data[offsets[rows_c] + 4]  # lens >= 18 via canon probe
+        ok = np.zeros(len(cand), dtype=bool)
+        d = np.flatnonzero(
+            (enc_c == hll.ENC_DENSE) & (lens[rows_c] == hll.HLL_DENSE_SIZE)
+        )
+        if len(d):
+            regs_d = hll.unpack_dense(
+                hll.gather_dense_payloads(data, offsets, rows_c[d])
             )
-        single_row = order[gstarts]  # the group's row when counts == 1
-        passthrough = (counts == 1) & canon[single_row]
-        # header probe is necessary but not sufficient: walk the opcode
-        # stream (sparse) / check the exact length (dense) so corrupt
-        # bytes behind a canonical-looking header are re-routed to the
-        # decode path (which raises) instead of passing through silently
-        for gi in np.flatnonzero(passthrough):
-            row = single_row[gi]
-            b = bytes(data[offsets[row] : offsets[row + 1]])
-            if b[4] == hll.ENC_DENSE:
-                ok = len(b) == hll.HLL_DENSE_SIZE
-            else:
-                ok = b[4] == hll.ENC_SPARSE and hll.sparse_payload_is_valid(b)
-            if not ok:
-                passthrough[gi] = False
+            nnz_d = (regs_d != 0).sum(axis=1)
+            sparse_eligible = (regs_d.max(axis=1) <= 32) & (
+                nnz_d * 3 + 4 < hll.HLL_DENSE_SIZE - hll.HEADER_LEN
+            )
+            ok[d[~sparse_eligible]] = True  # canonical dense: pass
+        sp = np.flatnonzero(enc_c == hll.ENC_SPARSE)
+        if len(sp):
+            rs = rows_c[sp]
+            ok[sp] = hll.sparse_valid_flat(
+                data, offsets[rs] + hll.HEADER_LEN, offsets[rs + 1]
+            )
+        passthrough[cand[~ok]] = False
 
-        pass_ids = np.flatnonzero(passthrough)
-        work_ids = np.flatnonzero(~passthrough)
-        arrays = []
-        if len(pass_ids):
-            arrays.append(sk.take(pa.array(single_row[pass_ids])))
-        if len(work_ids):
-            work_row_mask = ~passthrough[inverse[order]]
-            rows = order[work_row_mask]  # group-sorted rows of work groups
-            # sparse-native merge: parse each partial to (reg, val) pairs
-            # and fold ALL work groups at once through encode_groups —
-            # no per-group pandas/python, no dense register matrices
-            work_code = np.repeat(
-                np.arange(len(work_ids), dtype=np.int64), counts[work_ids]
-            )  # dense code per work ROW, group-sorted like `rows`
-            bufs = sk.take(pa.array(rows)).to_pylist()
-            p_groups: list[np.ndarray] = []
-            p_regs: list = []
-            p_vals: list = []
-            dense_rows: list[int] = []
-            for j, b in enumerate(bufs):
-                if not hll.is_valid_hll(b):
-                    raise ValueError("Invalid HLL representation")
-                if b[4] == hll.ENC_DENSE:
-                    dense_rows.append(j)
-                    continue
-                r, v = hll.decode_sparse_pairs(b)
-                if r:
-                    p_groups.append(np.full(len(r), work_code[j], dtype=np.int64))
-                    p_regs.append(np.asarray(r, dtype=np.int64))
-                    p_vals.append(np.asarray(v, dtype=np.uint8))
-            if dense_rows:
-                dd = hll.decode_many([bufs[j] for j in dense_rows])
-                for j, regs in zip(dense_rows, dd):
-                    nz = np.flatnonzero(regs)
-                    if len(nz):
-                        p_groups.append(np.full(len(nz), work_code[j], dtype=np.int64))
-                        p_regs.append(nz.astype(np.int64))
-                        p_vals.append(regs[nz])
-            if p_groups:
-                gg = np.concatenate(p_groups)
-                rr = np.concatenate(p_regs)
-                vv = np.concatenate(p_vals)
-                # groups with no nonzero register anywhere: canonical empty
-                present = np.zeros(len(work_ids), dtype=bool)
-                present[gg] = True
-            else:
-                gg = np.empty(0, dtype=np.int64)
-                rr = np.empty(0, dtype=np.int64)
-                vv = np.empty(0, dtype=np.uint8)
-                present = np.zeros(len(work_ids), dtype=bool)
-            if present.all():
-                data, offs = hll.encode_groups(gg, rr, vv, len(work_ids))
-                if offs[-1] > (1 << 31) - 1:
-                    raise ValueError(
-                        "merged sketch bytes exceed 2GB in one partition; "
-                        "raise spark.sql.shuffle.partitions"
-                    )
-                arrays.append(
-                    pa.Array.from_buffers(
-                        pa.binary(),
-                        len(work_ids),
-                        [
-                            None,
-                            pa.py_buffer(offs.astype(np.int32)),
-                            pa.py_buffer(data),
-                        ],
-                    )
+    pass_ids = np.flatnonzero(passthrough)
+    work_ids = np.flatnonzero(~passthrough)
+    arrays = []
+    if len(pass_ids):
+        arrays.append(sk.take(pa.array(single_row[pass_ids])))
+    if len(work_ids):
+        work_row_mask = ~passthrough[inverse[order]]
+        rows = order[work_row_mask]  # group-sorted rows of work groups
+        # sparse-native merge: parse ALL partials to (group, reg, val)
+        # items with the flat opcode scanner and fold every work group
+        # at once through encode_groups — zero per-group Python, no
+        # dense register matrices for sparse inputs
+        work_code = np.repeat(
+            np.arange(len(work_ids), dtype=np.int64), counts[work_ids]
+        )  # dense code per work ROW, group-sorted like `rows`
+        wdata, woffs = _varbin_buffers(sk.take(pa.array(rows)))
+        enc_w = hll.validate_headers_flat(wdata, woffs)
+        dense_rows = np.flatnonzero(enc_w == hll.ENC_DENSE)
+        sparse_rows = np.flatnonzero(enc_w == hll.ENC_SPARSE)
+        iseg, rr_s, vv_s = hll.decode_sparse_pairs_flat(
+            wdata,
+            woffs[:-1][sparse_rows] + hll.HEADER_LEN,
+            woffs[1:][sparse_rows],
+        )
+        gg_parts = [work_code[sparse_rows[iseg]]]
+        rr_parts = [rr_s]
+        vv_parts = [vv_s]
+        if len(dense_rows):
+            regs_w = hll.unpack_dense(
+                hll.gather_dense_payloads(wdata, woffs, dense_rows)
+            )
+            rnz, cnz = np.nonzero(regs_w)
+            gg_parts.append(work_code[dense_rows[rnz]])
+            rr_parts.append(cnz.astype(np.int64))
+            vv_parts.append(regs_w[rnz, cnz])
+        gg = np.concatenate(gg_parts)
+        rr = np.concatenate(rr_parts)
+        vv = np.concatenate(vv_parts)
+        # groups with no nonzero register anywhere: canonical empty
+        present = np.zeros(len(work_ids), dtype=bool)
+        present[gg] = True
+        n_present = int(present.sum())
+        if n_present:
+            remap = np.cumsum(present) - 1  # identity when all present
+            mdata, moffs = hll.encode_groups(
+                remap[gg] if n_present < len(work_ids) else gg,
+                rr,
+                vv,
+                n_present,
+            )
+            if moffs[-1] > (1 << 31) - 1:
+                raise ValueError(
+                    "merged sketch bytes exceed 2GB in one partition; "
+                    "raise spark.sql.shuffle.partitions"
                 )
-            else:
-                # re-code present groups densely for encode_groups, splice
-                # canonical empty encodings for the rest
-                remap = np.cumsum(present) - 1
-                empty_bytes = hll.encode(hll.empty_registers())
-                if present.any():
-                    data, offs = hll.encode_groups(
-                        remap[gg], rr, vv, int(present.sum())
-                    )
-                merged_bytes = [
-                    bytes(data[offs[remap[i]] : offs[remap[i] + 1]])
-                    if present[i]
-                    else empty_bytes
-                    for i in range(len(work_ids))
-                ]
-                arrays.append(pa.array(merged_bytes, type=pa.binary()))
-        concat = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays])
-        perm = np.empty(n_groups, dtype=np.int64)
-        perm[pass_ids] = np.arange(len(pass_ids))
-        perm[work_ids] = len(pass_ids) + np.arange(len(work_ids))
-        sketch_out = concat.take(pa.array(perm))
-        take = pa.array(first_idx)
-        key_arrays = [batch.column(c).take(take) for c in keys]
-        yield pa.record_batch(key_arrays + [sketch_out], names=keys + [SKETCH_COL])
+            arrays.append(
+                pa.Array.from_buffers(
+                    pa.binary(),
+                    n_present,
+                    [
+                        None,
+                        pa.py_buffer(moffs.astype(np.int32)),
+                        pa.py_buffer(mdata),
+                    ],
+                )
+            )
+        n_empty = len(work_ids) - n_present
+        if n_empty:
+            # canonical empty sketches for all-empty groups, built as
+            # one tiled buffer (no per-group list)
+            empty_np = np.frombuffer(
+                hll.encode(hll.empty_registers()), dtype=np.uint8
+            )
+            eoffs = (
+                np.arange(n_empty + 1, dtype=np.int32) * np.int32(len(empty_np))
+            )
+            arrays.append(
+                pa.Array.from_buffers(
+                    pa.binary(),
+                    n_empty,
+                    [
+                        None,
+                        pa.py_buffer(eoffs),
+                        pa.py_buffer(np.tile(empty_np, n_empty)),
+                    ],
+                )
+            )
+    concat = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays])
+    perm = np.empty(n_groups, dtype=np.int64)
+    perm[pass_ids] = np.arange(len(pass_ids))
+    if len(work_ids):
+        # work section order: present groups first (encode_groups
+        # output order), then the all-empty groups
+        wperm = np.empty(len(work_ids), dtype=np.int64)
+        wperm[present] = np.arange(n_present)
+        wperm[~present] = n_present + np.arange(len(work_ids) - n_present)
+        perm[work_ids] = len(pass_ids) + wperm
+    sketch_out = concat.take(pa.array(perm))
+    take = pa.array(first_idx)
+    key_arrays = [batch.column(c).take(take) for c in keys]
+    return pa.record_batch(key_arrays + [sketch_out], names=keys + [SKETCH_COL])
 
     return target.mapInArrow(fn, out_schema)
 

@@ -1,0 +1,125 @@
+"""Differential tests for the vectorized flat sparse-opcode machinery
+(kernel/hll.py: _sparse_scan_flat / sparse_valid_flat /
+decode_sparse_pairs_flat / validate_headers_flat) against the scalar
+walkers, which remain the readable reference implementation. The flat
+parser is what removes per-sketch Python from the merge/estimate hot
+paths (VERDICT r2 top item), so its parity is load-bearing."""
+
+import numpy as np
+import pytest
+
+from pfutil_spark.kernel import hll
+
+
+def _random_sketches(seed=7, n=400):
+    rng = np.random.default_rng(seed)
+    bufs = []
+    for i in range(n):
+        regs = hll.empty_registers()
+        k = int(rng.integers(0, 60))
+        if i % 7 == 0:
+            k = int(rng.integers(1000, 5000))  # some dense-eligible
+        idx = rng.integers(0, 16384, k)
+        val = rng.integers(1, 33 if i % 5 else 51, max(k, 1))[:k].astype(np.uint8)
+        if k:
+            np.maximum.at(regs, idx, val)
+        bufs.append(hll.encode(regs))
+    bufs.append(hll.encode_empty())
+    bufs.append(hll.encode(hll.empty_registers(), force_dense=True))
+    return bufs
+
+
+def test_decode_many_matches_scalar_decode():
+    bufs = _random_sketches()
+    got = hll.decode_many(bufs)
+    for i, b in enumerate(bufs):
+        assert np.array_equal(got[i], hll.decode(b)), i
+
+
+def test_decode_sparse_pairs_flat_matches_scalar():
+    bufs = _random_sketches(seed=11)
+    flat, offs = hll._flat_views(bufs)
+    enc = hll.validate_headers_flat(flat, offs)
+    sp = np.flatnonzero(enc == hll.ENC_SPARSE)
+    iseg, ireg, ival = hll.decode_sparse_pairs_flat(
+        flat, offs[:-1][sp] + hll.HEADER_LEN, offs[1:][sp]
+    )
+    assert len(iseg) == len(ireg) == len(ival)
+    # item_seg must be nondecreasing (register order within each segment)
+    assert (np.diff(iseg) >= 0).all()
+    for j, i in enumerate(sp.tolist()):
+        r, v = hll.decode_sparse_pairs(bufs[i])
+        m = iseg == j
+        assert ireg[m].tolist() == r, i
+        assert ival[m].tolist() == v, i
+
+
+def test_sparse_valid_flat_matches_scalar_on_corrupt_streams():
+    """Every opcode-stream corruption class: truncated XZERO (mid and at
+    the very end), short totals, overflowing totals, VAL overflow past
+    register 16384, empty payload, plus all valid payloads."""
+    payloads = [bytes(b[hll.HEADER_LEN:]) for b in _random_sketches(seed=13, n=120)
+                if b[4] == hll.ENC_SPARSE]
+    corrupt = [
+        b"\x40",                      # truncated XZERO at end
+        b"",                          # empty payload (covers 0 registers)
+        b"\x3f" * 10,                 # ZERO runs, total 640 != 16384
+        bytes([0x43, 0xFF]) * 4 + b"\x00" * 3,   # trailing junk changes total
+        b"\x7f\xff\x00",              # XZERO 16384 + 1 more ZERO: overflow
+        b"\x7f\xfe\x87",              # XZERO 16383 + VAL run 4: overflow
+        b"\x7f\xfb\x87",              # XZERO 16380 + VAL run 4 = 16384: valid
+        b"\x87\x7f\xfb" + b"\x40",    # VAL 4 + XZERO 16380, trailing truncated XZERO
+        hll._empty_sparse_payload(),  # canonical empty: valid
+    ]
+    cases = payloads + corrupt
+    flat = np.frombuffer(b"".join(cases), dtype=np.uint8)
+    lens = np.array([len(c) for c in cases], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    got = hll.sparse_valid_flat(flat, offs[:-1], offs[1:])
+    for i, c in enumerate(cases):
+        expected = hll.sparse_payload_is_valid(b"\x00" * hll.HEADER_LEN + c)
+        assert bool(got[i]) == expected, (i, c)
+    # the two hand-built valid cases really are valid (test the test)
+    assert got[len(payloads) + 6] and got[len(payloads) + 8]
+    assert not got[len(payloads) + 7]
+
+
+def test_decode_sparse_pairs_flat_raises_on_any_invalid_segment():
+    ok = hll.encode_empty()
+    bad = bytearray(ok)
+    bad += b"\x00"  # extra ZERO run -> covers > 16384
+    flat, offs = hll._flat_views([ok, bytes(bad)])
+    with pytest.raises(ValueError, match="Invalid HLL representation"):
+        hll.decode_sparse_pairs_flat(flat, offs[:-1] + hll.HEADER_LEN, offs[1:])
+
+
+def test_validate_headers_flat_rejects_each_header_corruption():
+    good = hll.encode_empty()
+    for mutant in [
+        b"JUNK" + good[4:],                 # magic
+        good[:4] + b"\x02" + good[5:],      # unknown encoding
+        good[:10],                           # short buffer
+        good[:4] + b"\x00" + good[5:],      # dense claim, wrong length
+    ]:
+        flat, offs = hll._flat_views([good, mutant])
+        with pytest.raises(ValueError, match="Invalid HLL representation"):
+            hll.validate_headers_flat(flat, offs)
+    flat, offs = hll._flat_views([good, good])
+    assert hll.validate_headers_flat(flat, offs).tolist() == [1, 1]
+
+
+def test_estimate_bytes_batch_empty_and_order():
+    assert hll.estimate_bytes_batch([], 4).shape == (0,)
+    # interleaved dense/sparse keeps positional alignment
+    rng = np.random.default_rng(5)
+    bufs = []
+    for i in range(40):
+        regs = hll.empty_registers()
+        k = 5000 if i % 2 else 3
+        np.maximum.at(regs, rng.integers(0, 16384, k),
+                      rng.integers(1, 30, k).astype(np.uint8))
+        bufs.append(hll.encode(regs))
+    for ver in (4, 5):
+        fast = hll.estimate_bytes_batch(bufs, ver)
+        slow = hll.estimate_batch(hll.decode_many(bufs), ver)
+        assert np.array_equal(fast, slow)
