@@ -37,11 +37,12 @@ def asof_join(
     (nulls when no match). One shuffle per side, merge_asof per group.
 
     Keyless (``by=()``): rows are RANGE-partitioned on ``on`` into
-    ``keyless_buckets`` tasks; each bucket additionally receives the
-    single latest right row before its range start (the "carry"), so
-    backward as-of is exact across bucket boundaries while the merge
-    stays parallel. Only direction='backward' supports the parallel
-    path; 'forward'/'nearest' fall back to a single merge task.
+    parallel merge tasks; each bucket additionally receives boundary
+    "carry" rows (latest right row before its range for backward,
+    earliest after for forward, both for nearest), so the as-of match is
+    exact across bucket boundaries while the merge stays parallel — all
+    three directions, since r3. Bucket edges derive lazily inside the
+    job (no driver action at plan-construction time).
     """
     by = list(by)
     l_cols = left.columns
@@ -81,17 +82,7 @@ def asof_join(
             .cogroup(right.groupBy(*by))
             .applyInPandas(lambda l, r: merge(l, r), out_schema)
         )
-    if direction == "backward":
-        return _asof_keyless_ranged(left, right, on, merge, out_schema)
-    # forward/nearest keyless: single merge task (documented small-input
-    # path — the carry trick below is backward-specific)
-    lk = left.withColumn("__k", F.lit(1))
-    rk = right.withColumn("__k", F.lit(1))
-    return (
-        lk.groupBy("__k")
-        .cogroup(rk.groupBy("__k"))
-        .applyInPandas(lambda l, r: merge(l.drop(columns="__k"), r.drop(columns="__k")), out_schema)
-    )
+    return _asof_keyless_ranged(left, right, on, merge, out_schema, direction)
 
 
 def _asof_keyless_ranged(
@@ -100,60 +91,99 @@ def _asof_keyless_ranged(
     on: str,
     merge,
     out_schema: StructType,
+    direction: str = "backward",
     buckets: int | None = None,
 ) -> DataFrame:
-    """Parallel keyless backward as-of: range-bucket both sides on ``on``
-    (boundaries from approx quantiles of the left side — one cheap pass),
-    and duplicate into each bucket the latest right row BEFORE its range
-    start so every left row's backward match is locally available. The
-    merge runs with one task per bucket instead of one task total."""
+    """Parallel keyless as-of for ALL directions: range-bucket both sides
+    on ``on`` and duplicate boundary rows ("carries") into each bucket so
+    every left row's match is locally available — backward carries the
+    latest right row before each bucket, forward the earliest right row
+    after it, nearest both. Any right row in an earlier (later) bucket is
+    farther from a left value than that bucket's latest (earliest) row,
+    so one carry per side per bucket is sufficient for exactness. The
+    merge runs with one task per bucket instead of one task total.
+
+    Bucket edges are approximate percentiles of the left side computed
+    INSIDE the job (``percentile_approx`` + a broadcast 1-row array +
+    a JVM array-filter bucket expression) — constructing the plan runs
+    no driver action, unlike an ``approxQuantile`` pre-pass."""
     spark = left.sparkSession
     if buckets is None:
         buckets = spark.sparkContext.defaultParallelism
     on_num = F.col(on).cast("double")
     probs = [i / buckets for i in range(1, buckets)]
-    edges = left.select(on_num.alias("__v")).approxQuantile("__v", probs, 0.01)
-    # dedupe + sort: approxQuantile can repeat edges on skewed data
-    edges = sorted(set(edges))
-    if not edges:
-        edges = [float("inf")]
-
-    def bucket_of(c: Column) -> Column:
-        b = F.lit(len(edges))  # > last edge
-        for i in range(len(edges) - 1, -1, -1):
-            b = F.when(c <= F.lit(edges[i]), F.lit(i)).otherwise(b)
-        return b
-
-    lb = left.withColumn("__bucket", bucket_of(on_num))
-    rb = right.withColumn("__bucket", bucket_of(on_num))
-    # carry: latest right row per bucket, replicated into every LATER
-    # bucket, keeping only the latest carry per target bucket. The
-    # last-rows frame is <= buckets rows, so the replication join is a
-    # broadcast of a tiny table.
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("__bucket").orderBy(F.col(on).desc())
-    last_per_bucket = (
-        rb.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    targets = spark.range(len(edges) + 1).select(F.col("id").cast("int").alias("__tgt"))
-    carries = (
-        last_per_bucket.join(
-            F.broadcast(targets), F.col("__bucket") < F.col("__tgt")
-        )
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("__tgt").orderBy(F.col(on).desc())
+    edges = left.agg(
+        F.coalesce(
+            F.array_distinct(
+                F.array_sort(F.percentile_approx(on_num, F.lit(probs)))
             ),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__bucket", "__rn")
-        .withColumnRenamed("__tgt", "__bucket")
+            F.array().cast("array<double>"),
+        ).alias("__edges")
     )
-    rb_all = rb.unionByName(carries.select(*rb.columns))
+
+    def with_bucket(df: DataFrame) -> DataFrame:
+        # bucket id = number of edges strictly below the value; same
+        # expression on both sides keeps the partitioning consistent
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .withColumn(
+                "__bucket",
+                F.size(F.filter(F.col("__edges"), lambda e: on_num > e)).cast("int"),
+            )
+            .drop("__edges")
+        )
+
+    lb = with_bucket(left)
+    rb = with_bucket(right)
+    # carries: <= `buckets` rows per side, so the replication join is a
+    # broadcast of a tiny table
+    targets = spark.range(buckets).select(F.col("id").cast("int").alias("__tgt"))
+    carry_frames = []
+    if direction in ("backward", "nearest"):
+        w = Window.partitionBy("__bucket").orderBy(F.col(on).desc())
+        last_per_bucket = (
+            rb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        carry_frames.append(
+            last_per_bucket.join(
+                F.broadcast(targets), F.col("__bucket") < F.col("__tgt")
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__tgt").orderBy(F.col(on).desc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__bucket", "__rn")
+            .withColumnRenamed("__tgt", "__bucket")
+        )
+    if direction in ("forward", "nearest"):
+        w = Window.partitionBy("__bucket").orderBy(F.col(on).asc())
+        first_per_bucket = (
+            rb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        carry_frames.append(
+            first_per_bucket.join(
+                F.broadcast(targets), F.col("__bucket") > F.col("__tgt")
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__tgt").orderBy(F.col(on).asc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__bucket", "__rn")
+            .withColumnRenamed("__tgt", "__bucket")
+        )
+    rb_all = rb
+    for cf in carry_frames:
+        rb_all = rb_all.unionByName(cf.select(*rb.columns))
     return (
         lb.groupBy("__bucket")
         .cogroup(rb_all.groupBy("__bucket"))

@@ -132,26 +132,46 @@ def sample_video_frames(
     n_frames_col: str | None = None, decoder: str = "fake",
 ) -> DataFrame:
     """Frame-sample stub: explodes each video into every_n-th frame rows
-    (frame count from metadata column or derived deterministically)."""
+    (frame count from metadata column or derived deterministically).
+
+    PURE-JVM plan (r3, VERDICT item): ``explode(sequence(...))`` for the
+    frame selection and ``sha2(concat(payload, frame_no as 4 LE bytes))``
+    for the frame fingerprint — no mapInPandas, no Python at all. Frame
+    SELECTION never needs Python even once a real decoder (which would,
+    for pixel work) is plugged in. Derived frame count without metadata:
+    30 + first byte of sha256(payload), same contract as before."""
     if decoder == "real":
         _require_real_decoder("video")
     cols = [media_id, payload] + ([n_frames_col] if n_frames_col else [])
     pruned = df.select(*cols)
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, frames, shas = [], [], []
-            for _, row in pdf.iterrows():  # per-MEDIA (coarse), not per-frame
-                b = bytes(row[payload])
-                h = hashlib.sha256(b).digest()
-                n_frames = int(row[n_frames_col]) if n_frames_col else 30 + h[0]
-                for f in range(0, n_frames, every_n):
-                    ids.append(row[media_id])
-                    frames.append(f)
-                    shas.append(hashlib.sha256(b + f.to_bytes(4, "little")).hexdigest())
-            yield pd.DataFrame({"media_id": ids, "frame_no": frames, "frame_sha": shas})
-
-    return pruned.mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
+    if n_frames_col:
+        n_frames = F.col(n_frames_col).cast("int")
+    else:
+        n_frames = (
+            F.lit(30)
+            + F.conv(F.substring(F.sha2(F.col(payload), 256), 1, 2), 16, 10).cast("int")
+        )
+    seq = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0), n_frames - F.lit(1), F.lit(int(every_n))),
+    ).otherwise(F.array().cast("array<int>"))
+    frames = pruned.select(
+        F.col(media_id), F.col(payload), F.explode(seq).alias("frame_no")
+    )
+    le4 = F.unhex(
+        F.format_string(
+            "%02x%02x%02x%02x",
+            F.pmod(F.col("frame_no"), F.lit(256)),
+            F.pmod(F.shiftright(F.col("frame_no"), 8), F.lit(256)),
+            F.pmod(F.shiftright(F.col("frame_no"), 16), F.lit(256)),
+            F.pmod(F.shiftright(F.col("frame_no"), 24), F.lit(256)),
+        )
+    )
+    return frames.select(
+        F.col(media_id).cast("long").alias("media_id"),
+        F.col("frame_no"),
+        F.sha2(F.concat(F.col(payload), le4), 256).alias("frame_sha"),
+    )
 
 
 def synthetic_media_table(spark, n: int = 64, payload_bytes: int = 4096) -> DataFrame:

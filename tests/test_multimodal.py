@@ -43,6 +43,32 @@ def test_frame_sampling_explodes(spark):
         assert grp["frame_sha"].nunique() == expected
 
 
+def test_frame_sampling_is_pure_jvm_and_sha_exact(spark):
+    """VERDICT r2 item 3: frame sampling must be a pure-JVM plan (no
+    Python-eval node of any kind) and the frame fingerprint must equal
+    sha256(payload || frame_no as 4 little-endian bytes)."""
+    import hashlib
+
+    media = synthetic_media_table(spark, n=6)
+    frames = sample_video_frames(media, every_n=10, n_frames_col="n_frames")
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert node not in plan, f"python node {node} in frame-sampling plan"
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in frames.collect():
+        exp = hashlib.sha256(
+            payloads[r["media_id"]] + int(r["frame_no"]).to_bytes(4, "little")
+        ).hexdigest()
+        assert r["frame_sha"] == exp
+    # derived-n_frames variant (no metadata column) also explodes
+    derived = sample_video_frames(media, every_n=16)
+    counts = {r["media_id"]: r["n"] for r in
+              derived.groupBy("media_id").count().withColumnRenamed("count", "n").collect()}
+    for mid, b in payloads.items():
+        nf = 30 + hashlib.sha256(b).digest()[0]
+        assert counts[mid] == len(range(0, nf, 16))
+
+
 def test_real_decoder_gated(spark):
     media = synthetic_media_table(spark, n=2)
     with pytest.raises(NotImplementedError):

@@ -234,6 +234,52 @@ class TestAsofAndSessions:
         assert len(got) == n
         pd.testing.assert_series_equal(got["ref"], exp["ref"], check_names=False)
 
+    def test_keyless_asof_forward_nearest_parallel_and_lazy(self, spark):
+        """VERDICT r2 item 2 + ADVICE: keyless forward/nearest as-of run
+        the same range-bucket + carry plan as backward (one task per
+        bucket, not one task total), match a global pandas merge_asof,
+        and constructing the plan runs NO Spark job (bucket edges derive
+        lazily inside the job via percentile_approx)."""
+        import pandas as pd
+
+        n = 100_000
+        # +0.25 on the left makes every |left-right| distance unique, so
+        # nearest has no equidistant ties to resolve
+        left = spark.range(n).select(
+            ((F.col("id") * 7 % 1_000_003).cast("double") + 0.25).alias("t"),
+            F.col("id").alias("lid"),
+        )
+        right = spark.range(n // 10).select(
+            (F.col("id") * 71 % 1_000_003).cast("double").alias("t"),
+            (F.col("id") % 1000).cast("double").alias("ref"),
+        )
+        from pfutil_spark.operators.asof import asof_join
+
+        lp = left.toPandas().sort_values("t", kind="stable")
+        rp = right.toPandas().sort_values("t", kind="stable")
+        sc = spark.sparkContext
+        for direction in ("forward", "nearest"):
+            sc.setJobGroup("asof-construct", "construction must be lazy")
+            out = asof_join(left, right, on="t", direction=direction)
+            plan = out._jdf.queryExecution().toString()
+            sc.setJobGroup("asof-run", "the actual job")
+            assert (
+                len(sc.statusTracker().getJobIdsForGroup("asof-construct")) == 0
+            ), "asof_join construction triggered a Spark job"
+            assert "__bucket" in plan  # parallel merge, not a single task
+            got = (
+                out.toPandas().sort_values(["t", "lid"]).reset_index(drop=True)
+            )
+            exp = (
+                pd.merge_asof(lp, rp, on="t", direction=direction)
+                .sort_values(["t", "lid"])
+                .reset_index(drop=True)
+            )
+            assert len(got) == n
+            pd.testing.assert_series_equal(
+                got["ref"], exp["ref"], check_names=False
+            )
+
     def test_asof_right_column_collision_raises(self, spark):
         from pfutil_spark.operators.asof import asof_join
 
