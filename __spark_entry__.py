@@ -108,13 +108,12 @@ def _q_orders_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q1-shaped; decimal-exact sums cast to double for oracle hashing.
-    # Pin UTC so the timestamp-literal filter matches DuckDB regardless of
-    # the host session timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The shipdate column is timestamp_ntz; an ntz literal keeps the
+    # comparison tz-free (no session-conf mutation — r2 ADVICE).
     li = _t(spark, sf_dir, "lineitem")
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
@@ -125,8 +124,9 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-shaped: 3-way join, date filters, grouped revenue."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """TPC-H Q3-shaped: 3-way join, date filters, grouped revenue.
+    Date columns are timestamp_ntz; ntz literals + date_format-on-ntz are
+    tz-free, so no session timezone mutation is needed."""
     cst = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -139,8 +139,8 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cst), orders.o_custkey == cst.c_custkey)
         .filter(
             (F.col("c_mktsegment") == "BUILDING")
-            & (F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz"))
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -655,7 +655,8 @@ def _q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE scan + ONE shuffle), vs exact per bucket — bound boolean oracle."""
     from pfutil_spark.operators.rollup import pf_time_rollup
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ts is timestamp_ntz: pf_time_rollup buckets it without a session-tz
+    # cast and date_format on ntz is tz-free (no conf mutation, r2 ADVICE)
     ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
     est = pf_time_rollup(ev, "ts", "uid", bucket="1 hour").select(
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),

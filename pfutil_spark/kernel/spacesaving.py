@@ -34,16 +34,19 @@ class SpaceSaving:
 
     def update_batch(self, values: list[str] | np.ndarray, weights=None) -> None:
         """Add a batch: exact batch counts via C-level factorize/bincount,
-        then ONE keyed ``Series.add`` fold into the summary (hash-join on
-        the index) and a vectorized truncate — no per-distinct Python
-        loop (r3; the r2 path walked every distinct value in a dict
-        loop). New items enter at theta + c (the SS overestimate)."""
+        a C-level hash join of the batch distincts against the <=m summary
+        keys (``pd.Index.get_indexer``), and a partition-based truncate
+        that only value-sorts the count ties straddling the boundary — no
+        per-distinct Python loop (r3; the r2 path walked every distinct
+        value in a dict loop). New items enter at theta + c (the SS
+        overestimate); the kept set and theta are identical to a full
+        (-count, value) sort."""
         import pandas as pd
 
-        s = pd.Series(values, dtype="object")
-        if len(s) == 0:
+        vals = np.asarray(values, dtype=object)
+        if len(vals) == 0:
             return
-        codes, uniq = pd.factorize(s, sort=False)
+        codes, uniq = pd.factorize(vals, sort=False)
         if (codes < 0).any():  # drop nulls, like value_counts did
             keep = codes >= 0
             codes = codes[keep]
@@ -58,20 +61,38 @@ class SpaceSaving:
                 minlength=len(uniq),
             ).astype(np.int64)
         self.n += int(bc.sum())
-        add = pd.Series(bc, index=pd.Index(uniq, dtype="object"))
-        cur = pd.Series(self.counts, dtype="int64")
-        combined = cur.add(add, fill_value=0).astype("int64")
-        if self.theta:
-            combined[combined.index.difference(cur.index)] += self.theta
-        if len(combined) > self.m:
-            # sort by (-count, value): stable value sort, then stable
-            # count sort — same total order as _truncate
-            combined = combined.sort_index(kind="stable").sort_values(
-                ascending=False, kind="stable"
-            )
-            self.theta = max(self.theta, int(combined.iloc[self.m]))
-            combined = combined.iloc[: self.m]
-        self.counts = {str(k): int(v) for k, v in combined.items()}  # <= m entries
+        cur_k = np.array(list(self.counts.keys()), dtype=object)
+        cur_c = np.fromiter(self.counts.values(), dtype=np.int64, count=len(cur_k))
+        if len(cur_k):
+            pos = pd.Index(cur_k).get_indexer(uniq)
+        else:
+            pos = np.full(len(uniq), -1, dtype=np.int64)
+        hit = pos >= 0
+        cur_c[pos[hit]] += bc[hit]  # uniq is distinct -> positions unique
+        keys = np.concatenate([cur_k, uniq[~hit]])
+        cnts = np.concatenate([cur_c, bc[~hit] + self.theta])
+        n_tot = len(keys)
+        if n_tot <= self.m:
+            kept_idx = np.arange(n_tot)
+        else:
+            # (m+1)-th / m-th largest counts via partition (no full sort)
+            c_evict = np.partition(cnts, n_tot - self.m - 1)[n_tot - self.m - 1]
+            c_keep = np.partition(cnts, n_tot - self.m)[n_tot - self.m]
+            self.theta = max(self.theta, int(c_evict))
+            if c_keep > c_evict:
+                kept_idx = np.nonzero(cnts >= c_keep)[0]  # exactly m items
+            else:
+                # ties at the boundary: keep smallest values first, the
+                # same total order as sorting by (-count, value)
+                sure = np.nonzero(cnts > c_keep)[0]
+                ties = np.nonzero(cnts == c_keep)[0]
+                order = np.argsort(keys[ties].astype("U"), kind="stable")
+                kept_idx = np.concatenate(
+                    [sure, ties[order[: self.m - len(sure)]]]
+                )
+        self.counts = dict(
+            zip(keys[kept_idx].tolist(), cnts[kept_idx].tolist())
+        )  # <= m entries
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
         """Mergeable-summaries combine: absent items contribute the other

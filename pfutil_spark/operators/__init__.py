@@ -1,3 +1,7 @@
+from pfutil_spark.operators._cache import (  # noqa: F401
+    CacheScope,
+    release_cached,
+)
 from pfutil_spark.operators.hll_agg import (  # noqa: F401
     pf_count_col,
     pf_count_distinct,

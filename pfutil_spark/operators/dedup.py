@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from pfutil_spark.kernel.sketch_common import splitmix64
+from pfutil_spark.operators._cache import CacheScope
 
 _B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for k-gram hashing
 
@@ -203,6 +204,7 @@ def minhash_lsh_pairs(
     df: DataFrame, text: str, id_col: str,
     num_hashes: int = 64, bands: int = 16, k: int = 5,
     min_jaccard: float = 0.5, method: str = "classic",
+    cache: "CacheScope | None" = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b, est_jaccard) via LSH
     banding: docs sharing any band bucket become candidates; their full
@@ -212,10 +214,15 @@ def minhash_lsh_pairs(
     band bucket (equi-join, broadcast-able statistics, AQE-skew-safe) ->
     distinct pairs -> signature re-check. Never quadratic in corpus size,
     only in per-bucket membership.
+
+    The signature frame is persisted (the plan reads it three times);
+    pass ``cache=CacheScope()`` and release it after the action, or call
+    ``release_cached(result)`` — see operators/_cache.py.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text, id_col, num_hashes, k, method).persist()
+    scope = cache if cache is not None else CacheScope()
+    sigs = scope.persist(minhash_signatures(df, text, id_col, num_hashes, k, method))
 
     band_cols = [
         F.xxhash64(
@@ -261,7 +268,10 @@ def minhash_lsh_pairs(
             ).alias("est_jaccard"),
         )
     )
-    return est.filter(F.col("est_jaccard") >= min_jaccard)
+    out = est.filter(F.col("est_jaccard") >= min_jaccard)
+    if cache is None:
+        out._pfutil_cache_scope = scope
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -312,6 +322,7 @@ def simhash_signatures(df: DataFrame, text: str, id_col: str, k: int = 4) -> Dat
 def simhash_near_dup_pairs(
     df: DataFrame, text: str, id_col: str,
     max_hamming: int = 3, k: int = 4,
+    cache: "CacheScope | None" = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming,
     found via pigeonhole chunking (Manku et al.): split the 64-bit
@@ -349,7 +360,8 @@ def simhash_near_dup_pairs(
             return shifted
         return shifted.bitwiseAND(F.lit((1 << w) - 1))
 
-    sigs = simhash_signatures(df, text, id_col, k).persist()
+    scope = cache if cache is not None else CacheScope()
+    sigs = scope.persist(simhash_signatures(df, text, id_col, k))
     chunks = sigs.select(
         id_col,
         "simhash",
@@ -371,11 +383,14 @@ def simhash_near_dup_pairs(
         )
         cands = c if cands is None else cands.unionByName(c)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         cands.distinct()
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    if cache is None:
+        out._pfutil_cache_scope = scope
+    return out
 
 
 # ---------------------------------------------------------------------------

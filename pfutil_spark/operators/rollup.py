@@ -101,7 +101,12 @@ def pf_time_rollup(
     whole thing is still ONE scan + ONE shuffle, and the per-bucket
     sketches remain mergeable upward into coarser windows."""
     by = list(by)
-    win = F.window(F.col(ts).cast("timestamp"), bucket)
+    # Preserve timestamp_ntz: casting NTZ -> session-tz timestamp would
+    # shift bucket boundaries for non-whole-hour zones (tz-explicitness,
+    # r2 ADVICE). F.window accepts both timestamp flavors directly.
+    ts_t = df.schema[ts].dataType.typeName()
+    ts_col = F.col(ts) if ts_t.startswith("timestamp") else F.col(ts).cast("timestamp")
+    win = F.window(ts_col, bucket)
     bucketed = df.withColumn("bucket_start", win.start)
     keys = ["bucket_start", *by]
     from pfutil_spark.operators.hll_agg import pf_count_distinct

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from pfutil_spark.operators._cache import CacheScope
+
 
 def cosine_to_query_col(emb: str | Column, query_vec: list[float]) -> Column:
     """cosine(embedding, literal query) as a pure Spark expression."""
@@ -213,14 +215,18 @@ def ivf_topk(
 def all_pairs_above(
     df: DataFrame, emb: str, id_col: str,
     min_cosine: float = 0.95, n_planes: int = 12, seed: int = 42, dim: int | None = None,
+    cache: CacheScope | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH bucket equi-join (never a cross
-    join) -> exact cosine filter at ``min_cosine``."""
+    join) -> exact cosine filter at ``min_cosine``. The bucketed frame is
+    persisted (both join sides read it); pass ``cache=CacheScope()`` and
+    release after the action, or call ``release_cached(result)``."""
     if dim is None:
         dim = len(df.select(emb).first()[0])
-    bucketed = df.select(
+    scope = cache if cache is not None else CacheScope()
+    bucketed = scope.persist(df.select(
         F.col(id_col), F.col(emb), lsh_bucket_col(emb, dim, n_planes, seed).alias("__b")
-    ).persist()
+    ))
     l = bucketed.alias("l")
     r = bucketed.alias("r")
     pairs = l.join(
@@ -235,7 +241,7 @@ def all_pairs_above(
     norm = lambda side: F.sqrt(  # noqa: E731
         F.aggregate(F.col(f"{side}.{emb}"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
     )
-    return (
+    out = (
         pairs.select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
@@ -244,3 +250,6 @@ def all_pairs_above(
         .filter(F.col("cosine") >= min_cosine)
         .distinct()
     )
+    if cache is None:
+        out._pfutil_cache_scope = scope
+    return out

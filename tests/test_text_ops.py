@@ -357,3 +357,45 @@ class TestSimhashChunkBounds:
 
         with _pytest.raises(ValueError, match="max_hamming"):
             simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=16)
+
+
+class TestCacheScope:
+    """VERDICT r2 item 5: persisted signature frames must be releasable —
+    no executor-storage residue after candidate generation in a reused
+    session (explicit CacheScope) and via release_cached on the default
+    path (operator-internal scope attached to the result)."""
+
+    @staticmethod
+    def _n_cached_rdds(spark):
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    def test_explicit_scope_releases_storage(self, spark):
+        from pfutil_spark.operators import CacheScope
+
+        d = docs(spark).limit(50)
+        before = self._n_cached_rdds(spark)
+        with CacheScope() as cs:
+            pairs = minhash_lsh_pairs(d, "text", "doc_id", cache=cs)
+            pairs.count()  # action while signatures are cached
+            assert self._n_cached_rdds(spark) > before, "signatures not cached"
+            cs.release(blocking=True)
+            assert self._n_cached_rdds(spark) == before
+        # double release (context exit after explicit release) is a no-op
+
+    def test_release_cached_on_default_path(self, spark):
+        from pfutil_spark.operators import release_cached
+
+        d = docs(spark).limit(50)
+        e = embs(spark).limit(50)
+        before = self._n_cached_rdds(spark)
+        p1 = simhash_near_dup_pairs(d, "text", "doc_id")
+        p1.count()
+        p2 = all_pairs_above(e, "embedding", "vec_id", min_cosine=0.9, dim=64)
+        p2.count()
+        assert self._n_cached_rdds(spark) > before
+        release_cached(p1, blocking=True)
+        release_cached(p2, blocking=True)
+        assert self._n_cached_rdds(spark) == before
+        # plans still run (recompute, just uncached)
+        p1.count(), p2.count()
+        release_cached(p1, blocking=True), release_cached(p2, blocking=True)
