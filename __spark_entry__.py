@@ -751,6 +751,54 @@ def _q_rollup_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bound_check(est, exact, ["event_type"], "exact_users").orderBy("event_type")
 
 
+def _q_kmv_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set operations (kernel/kmv.py): intersection /
+    difference / Jaccard estimated on the k-minimum-values sample with
+    error relative to the threshold-scaled sample — NOT HLL's
+    inclusion-exclusion, whose error is relative to the union. Sets:
+    A = open orders, B = orders over 150k, over o_orderkey. k=1024 puts
+    sf0.01 (|A∪B| ~ 12k) well into the sampled regime; the exact side is
+    conditional countDistinct in the same plan (one scan each side)."""
+    from pfutil_spark.operators.sketch_agg import kmv_set_ops_col, kmv_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    in_a = F.col("o_orderstatus") == "O"
+    in_b = F.col("o_totalprice") > 150000
+    sa = kmv_sketch(o.filter(in_a), "o_orderkey", k=1024).select(
+        F.col("sketch").alias("sa")
+    )
+    sb = kmv_sketch(o.filter(in_b), "o_orderkey", k=1024).select(
+        F.col("sketch").alias("sb")
+    )
+    est = sa.crossJoin(sb).select(kmv_set_ops_col("sa", "sb").alias("ops")).select("ops.*")
+    key = F.col("o_orderkey")
+    exact = o.agg(
+        F.countDistinct(F.when(in_a | in_b, key)).alias("exact_union"),
+        F.countDistinct(F.when(in_a & in_b, key)).alias("exact_intersect"),
+        F.countDistinct(F.when(in_a & ~in_b, key)).alias("exact_diff"),
+    )
+    # 5-sigma-ish bounds: union RSE ~ 1/sqrt(k-2) ~ 3.1%; the op samples
+    # shrink by their selectivity (intersect keeps ~k*i/u points), so
+    # their relative bounds are wider
+    return (
+        est.crossJoin(exact)
+        .select(
+            "exact_union",
+            "exact_intersect",
+            "exact_diff",
+            (F.abs(F.col("union_est") - F.col("exact_union"))
+             <= 0.16 * F.col("exact_union")).alias("union_ok"),
+            (F.abs(F.col("intersect_est") - F.col("exact_intersect"))
+             <= 0.35 * F.col("exact_intersect")).alias("intersect_ok"),
+            (F.abs(F.col("diff_est") - F.col("exact_diff"))
+             <= 0.35 * F.col("exact_diff")).alias("diff_ok"),
+            (F.abs(F.col("jaccard")
+                   - F.col("exact_intersect") / F.col("exact_union"))
+             <= 0.35 * F.col("exact_intersect") / F.col("exact_union")).alias("jaccard_ok"),
+        )
+    )
+
+
 def _q_hll_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union/intersection estimates vs exact within the union-relative
     bound — boolean, oracle-checkable."""
@@ -823,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": _q_window_rank,
         "approx_topk": _q_approx_topk,
         "hll_set_ops_bound": _q_hll_set_ops_bound,
+        "kmv_set_ops_bound": _q_kmv_set_ops_bound,
         "rollup_estimates": _q_rollup_estimates,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
@@ -981,6 +1030,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_set_ops_bound": (
             "SELECT TRUE AS union_ok, TRUE AS intersect_ok"
+        ),
+        "kmv_set_ops_bound": (
+            "SELECT"
+            " count(DISTINCT CASE WHEN o_orderstatus = 'O' OR o_totalprice > 150000"
+            "   THEN o_orderkey END) AS exact_union,"
+            " count(DISTINCT CASE WHEN o_orderstatus = 'O' AND o_totalprice > 150000"
+            "   THEN o_orderkey END) AS exact_intersect,"
+            " count(DISTINCT CASE WHEN o_orderstatus = 'O' AND NOT o_totalprice > 150000"
+            "   THEN o_orderkey END) AS exact_diff,"
+            " TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS diff_ok,"
+            " TRUE AS jaccard_ok"
+            " FROM orders"
         ),
         # --- bound-boolean oracles: DuckDB recomputes the EXACT side and
         # states the bound holds; the Spark query computes both the sketch

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BinaryType, DoubleType, LongType, StructField, StructType
 
-from pfutil_spark.kernel import bloom, cms, kll, tdigest
+from pfutil_spark.kernel import bloom, cms, kll, kmv, tdigest
 
 SKETCH_COL = "sketch"
 _ELEM = "__pf_elem"
@@ -92,6 +92,19 @@ def spacesaving_spec(m: int = 256) -> KernelSpec:
         merge=ss.merge_all,
         encode=lambda s: s.encode(),
         decode=ss.decode,
+    )
+
+
+def kmv_spec(k: int = kmv.DEFAULT_K) -> KernelSpec:
+    def update(state, values):
+        return state.update(values)
+
+    return KernelSpec(
+        zero=lambda: kmv.KmvSketch(k),
+        update=update,
+        merge=kmv.merge_all,
+        encode=lambda s: s.encode(),
+        decode=kmv.decode,
     )
 
 
@@ -214,12 +227,21 @@ def sketch_agg(
 # public sketch builders
 # ---------------------------------------------------------------------------
 
+def _null_safe_hash(col: str) -> Column:
+    """xxhash64 that propagates NULL: Spark's xxhash64(NULL) returns the
+    SEED (42), which would smuggle null rows into hash-keyed sketches as
+    a phantom element; sketch_agg drops null elements, so keep them
+    null."""
+    c = F.col(col)
+    return F.when(c.isNotNull(), F.xxhash64(c))
+
+
 def cms_sketch(
     df: DataFrame, col: str, by: Sequence[str] = (),
     depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH,
 ) -> DataFrame:
     """Count-min over ``col`` (any type — hashed JVM-side via xxhash64)."""
-    return sketch_agg(df, F.xxhash64(F.col(col)), cms_spec(depth, width), by)
+    return sketch_agg(df, _null_safe_hash(col), cms_spec(depth, width), by)
 
 
 def bloom_sketch(
@@ -229,7 +251,7 @@ def bloom_sketch(
 ) -> DataFrame:
     if m_bits is None or k is None:
         m_bits, k = bloom.params_for(expected_n or 1_000_000, fpr)
-    return sketch_agg(df, F.xxhash64(F.col(col)), bloom_spec(m_bits, k), by)
+    return sketch_agg(df, _null_safe_hash(col), bloom_spec(m_bits, k), by)
 
 
 def kll_sketch(
@@ -249,6 +271,60 @@ def spacesaving_sketch(
 ) -> DataFrame:
     """Mergeable SpaceSaving heavy-hitters summary over ``col``."""
     return sketch_agg(df, F.col(col).cast("string"), spacesaving_spec(m), by)
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, by: Sequence[str] = (), k: int = kmv.DEFAULT_K
+) -> DataFrame:
+    """KMV/theta distinct sketch over ``col`` (hashed JVM-side via
+    xxhash64). Use when you need set OPERATIONS on the results —
+    intersection / difference / Jaccard with error relative to the
+    sample, not the union (HLL's inclusion-exclusion weakness)."""
+    return sketch_agg(df, _null_safe_hash(col), kmv_spec(k), by)
+
+
+def kmv_estimate_col(sketch_col: str | Column = SKETCH_COL) -> Column:
+    @F.pandas_udf(DoubleType())
+    def _est(s: pd.Series) -> pd.Series:
+        return pd.Series([kmv.decode(bytes(b)).estimate() for b in s])
+
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return _est(c)
+
+
+def kmv_set_ops_col(a: str | Column, b: str | Column) -> Column:
+    """struct<union_est, intersect_est, diff_est, jaccard> for two KMV
+    sketch columns. Decodes per row — meant for the usual tiny
+    evaluation frames (one row per sketch pair)."""
+    out_t = StructType(
+        [
+            StructField("union_est", DoubleType()),
+            StructField("intersect_est", DoubleType()),
+            StructField("diff_est", DoubleType()),
+            StructField("jaccard", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _ops(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for ba, bb in zip(sa, sb):
+            A, B = kmv.decode(bytes(ba)), kmv.decode(bytes(bb))
+            rows.append(
+                (
+                    kmv.union_estimate([A, B]),
+                    kmv.intersect_estimate(A, B),
+                    kmv.a_not_b_estimate(A, B),
+                    kmv.jaccard_estimate(A, B),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["union_est", "intersect_est", "diff_est", "jaccard"]
+        )
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _ops(ca, cb)
 
 
 def spacesaving_topk_col(k: int, sketch_col: str = SKETCH_COL) -> Column:

@@ -196,3 +196,92 @@ class TestTDigest:
         td2 = tdigest.decode(td.encode())
         np.testing.assert_allclose(td2.quantile([0.1, 0.9]), td.quantile([0.1, 0.9]))
         assert td2.vmin == td.vmin and td2.vmax == td.vmax
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta
+# ---------------------------------------------------------------------------
+
+class TestKMV:
+    def test_exact_regime_below_k(self):
+        from pfutil_spark.kernel import kmv
+
+        s = kmv.KmvSketch(256)
+        s.update(hashes_of(np.arange(200)))
+        s.update(hashes_of(np.arange(100, 200)))  # re-adds are no-ops
+        assert s.estimate() == 200.0
+        assert kmv.decode(s.encode()).encode() == s.encode()
+
+    def test_estimate_within_published_rse(self):
+        from pfutil_spark.kernel import kmv
+
+        k, n = 1024, 500_000
+        s = kmv.KmvSketch(k)
+        h = hashes_of(np.arange(n))
+        for i in range(0, n, 50_000):
+            s.update(h[i : i + 50_000])
+        rse = 1 / np.sqrt(k - 2)
+        assert abs(s.estimate() - n) <= 5 * rse * n
+
+    def test_bytes_invariant_across_partitioning_and_merge_order(self):
+        from pfutil_spark.kernel import kmv
+
+        h = hashes_of(np.arange(100_000))
+        whole = kmv.KmvSketch(512).update(h).encode()
+        rng = np.random.default_rng(5)
+        for splits in (3, 7, 16):
+            parts = np.array_split(rng.permutation(h), splits)
+            sks = [kmv.KmvSketch(512).update(p) for p in parts]
+            order = rng.permutation(splits)
+            out = sks[order[0]]
+            for i in order[1:]:
+                out.merge(sks[i])
+            assert out.encode() == whole
+
+    def test_set_ops_vs_exact(self):
+        from pfutil_spark.kernel import kmv
+
+        k = 2048
+        a_ids = np.arange(0, 300_000)
+        b_ids = np.arange(280_000, 500_000)
+        A = kmv.KmvSketch(k).update(hashes_of(a_ids))
+        B = kmv.KmvSketch(k).update(hashes_of(b_ids))
+        rse = 1 / np.sqrt(k - 2)
+        assert abs(kmv.union_estimate([A, B]) - 500_000) <= 5 * rse * 500_000
+        # intersection error is relative to its own sample (~k*i/u points),
+        # NOT the union — the whole reason this sketch exists next to HLL
+        i_sample = k * 20_000 / 500_000
+        assert abs(kmv.intersect_estimate(A, B) - 20_000) <= 5 / np.sqrt(i_sample) * 20_000
+        assert abs(kmv.a_not_b_estimate(A, B) - 280_000) <= 5 * rse * 280_000 * 2
+        j = kmv.jaccard_estimate(A, B)
+        assert abs(j - 0.04) <= 5 / np.sqrt(i_sample) * 0.04
+
+    def test_disjoint_and_identical_sets(self):
+        from pfutil_spark.kernel import kmv
+
+        A = kmv.KmvSketch(256).update(hashes_of(np.arange(0, 50_000)))
+        B = kmv.KmvSketch(256).update(hashes_of(np.arange(50_000, 100_000)))
+        # disjoint: intersection sample is empty -> estimate exactly 0
+        assert kmv.intersect_estimate(A, B) == 0.0
+        assert kmv.jaccard_estimate(A, B) == 0.0
+        # identical: jaccard exactly 1, a_not_b exactly 0
+        C = kmv.KmvSketch(256).update(hashes_of(np.arange(0, 50_000)))
+        assert kmv.jaccard_estimate(A, C) == 1.0
+        assert kmv.a_not_b_estimate(A, C) == 0.0
+
+    def test_corrupt_and_mismatched_rejected(self):
+        from pfutil_spark.kernel import kmv
+
+        s = kmv.KmvSketch(64).update(hashes_of(np.arange(40)))
+        for bad in (b"XXXX" + bytes(20), s.encode()[:10], s.encode() + b"\x00"):
+            with pytest.raises(ValueError, match="Invalid KMV"):
+                kmv.decode(bad)
+        # unsorted entry stream rejected (not a valid canonical sketch)
+        good = bytearray(s.encode())
+        good[16:24], good[24:32] = good[24:32], good[16:24]
+        with pytest.raises(ValueError, match="Invalid KMV"):
+            kmv.decode(bytes(good))
+        with pytest.raises(ValueError, match="k mismatch"):
+            kmv.KmvSketch(64).merge(kmv.KmvSketch(128))
+        with pytest.raises(ValueError, match="k >= 3"):
+            kmv.KmvSketch(2)

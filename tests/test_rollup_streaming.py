@@ -242,15 +242,15 @@ class TestAsofAndSessions:
         lazily inside the job via percentile_approx)."""
         import pandas as pd
 
-        n = 100_000
+        n = 1_000_000  # VERDICT r2 item 2 asks the gate at 1M rows
         # +0.25 on the left makes every |left-right| distance unique, so
         # nearest has no equidistant ties to resolve
         left = spark.range(n).select(
-            ((F.col("id") * 7 % 1_000_003).cast("double") + 0.25).alias("t"),
+            ((F.col("id") * 7 % 10_000_019).cast("double") + 0.25).alias("t"),
             F.col("id").alias("lid"),
         )
         right = spark.range(n // 10).select(
-            (F.col("id") * 71 % 1_000_003).cast("double").alias("t"),
+            (F.col("id") * 71 % 10_000_019).cast("double").alias("t"),
             (F.col("id") % 1000).cast("double").alias("ref"),
         )
         from pfutil_spark.operators.asof import asof_join
@@ -267,6 +267,19 @@ class TestAsofAndSessions:
                 len(sc.statusTracker().getJobIdsForGroup("asof-construct")) == 0
             ), "asof_join construction triggered a Spark job"
             assert "__bucket" in plan  # parallel merge, not a single task
+            # >1 NON-EMPTY merge group: the operator's own bucket edges
+            # split this left side into many ranges
+            n_edges = left.agg(
+                F.size(
+                    F.array_distinct(
+                        F.percentile_approx(
+                            F.col("t"),
+                            F.lit([i / 32 for i in range(1, 32)]),
+                        )
+                    )
+                ).alias("n")
+            ).collect()[0]["n"]
+            assert n_edges >= 2, "bucket edges degenerate to one merge task"
             got = (
                 out.toPandas().sort_values(["t", "lid"]).reset_index(drop=True)
             )

@@ -132,3 +132,86 @@ class TestBloomJoin:
         assert sorted(r["event_id"] for r in pre.collect()) == sorted(
             r["event_id"] for r in plain.collect()
         )
+
+
+class TestKMVSpark:
+    def test_exact_regime_matches_countdistinct(self, spark):
+        from pfutil_spark.operators.sketch_agg import kmv_estimate_col, kmv_sketch
+
+        ev = events(spark)
+        est = (
+            kmv_sketch(ev, "user_id", by=("event_type",), k=1024)
+            .select("event_type", kmv_estimate_col().alias("est"))
+            .collect()
+        )
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert len(est) == len(exact)
+        for r in est:  # < k distincts -> the sketch IS the set
+            assert r["est"] == float(exact[r["event_type"]])
+
+    @pytest.mark.parametrize("partitions", [1, 3, 16])
+    def test_bytes_partition_invariant(self, spark, partitions):
+        from pfutil_spark.operators.sketch_agg import kmv_sketch
+
+        ev = events(spark).repartition(partitions)
+        sk = bytes(kmv_sketch(ev, "user_id", k=512).collect()[0]["sketch"])
+        base = bytes(kmv_sketch(events(spark).coalesce(1), "user_id", k=512).collect()[0]["sketch"])
+        assert sk == base
+
+    def test_sampled_regime_set_ops_vs_exact(self, spark):
+        from pfutil_spark.operators.sketch_agg import kmv_set_ops_col, kmv_sketch
+
+        o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        in_a = F.col("o_orderstatus") == "O"
+        in_b = F.col("o_totalprice") > 150000
+        sa = kmv_sketch(o.filter(in_a), "o_orderkey", k=1024).select(
+            F.col("sketch").alias("sa")
+        )
+        sb = kmv_sketch(o.filter(in_b), "o_orderkey", k=1024).select(
+            F.col("sketch").alias("sb")
+        )
+        got = (
+            sa.crossJoin(sb)
+            .select(kmv_set_ops_col("sa", "sb").alias("ops"))
+            .select("ops.*")
+            .collect()[0]
+        )
+        ex = o.agg(
+            F.countDistinct(F.when(in_a | in_b, F.col("o_orderkey"))).alias("u"),
+            F.countDistinct(F.when(in_a & in_b, F.col("o_orderkey"))).alias("i"),
+            F.countDistinct(F.when(in_a & ~in_b, F.col("o_orderkey"))).alias("d"),
+        ).collect()[0]
+        assert ex["u"] > 1024, "not in the sampled regime"
+        assert abs(got["union_est"] - ex["u"]) <= 0.16 * ex["u"]
+        assert abs(got["intersect_est"] - ex["i"]) <= 0.35 * ex["i"]
+        assert abs(got["diff_est"] - ex["d"]) <= 0.35 * ex["d"]
+        assert abs(got["jaccard"] - ex["i"] / ex["u"]) <= 0.35 * ex["i"] / ex["u"]
+
+    def test_null_elements_ignored(self, spark):
+        from pfutil_spark.operators.sketch_agg import kmv_estimate_col, kmv_sketch
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("b",), (None,), ("a",)], "v string"
+        )
+        got = kmv_sketch(df, "v", k=64).select(kmv_estimate_col().alias("e")).collect()
+        assert got[0]["e"] == 2.0
+
+    def test_cms_bloom_null_elements_ignored(self, spark):
+        """xxhash64(NULL) = seed regression gate: nulls must not enter
+        hash-keyed sketches as a phantom element."""
+        from pfutil_spark.kernel import cms as cms_k
+        from pfutil_spark.operators.sketch_agg import cms_sketch
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("b",), (None,), ("a",)], "v string"
+        )
+        sk = bytes(cms_sketch(df, "v").collect()[0]["sketch"])
+        assert cms_k.total(cms_k.decode(sk)) == 3  # only non-null rows
+        blm = bytes(bloom_sketch(df, "v", expected_n=100).collect()[0]["sketch"])
+        state, kk = bloom_k.decode(blm)
+        assert int(np.unpackbits(state).sum()) <= 2 * kk  # <= 2 items' bits
