@@ -27,6 +27,8 @@ os.environ["PYTHONPATH"] = (
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pfutil_spark.operators import sampling as _sampling
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -751,6 +753,31 @@ def _q_rollup_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bound_check(est, exact, ["event_type"], "exact_users").orderBy("event_type")
 
 
+def _q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed sampling + train/val/test split
+    (operators/sampling.py): sha256-prefix draws are reproducible across
+    engines, so the oracle reproduces the EXACT row sets (not a bound).
+    Output: per (lang, split) doc counts and the count surviving an
+    additional rate-0.25 sample under a different seed."""
+    from pfutil_spark.operators.sampling import hash_frac_hex_col, hash_split_col
+
+    d = _t(spark, sf_dir, "documents")
+    thr25 = _sampling._threshold_hex(0.25)
+    return (
+        d.select(
+            "lang",
+            hash_split_col("doc_id", seed=7).alias("split"),
+            (hash_frac_hex_col("doc_id", seed=11) < F.lit(thr25)).alias("in_sample"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("in_sample").cast("long")).alias("n_sampled"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 def _q_kmv_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta sketch set operations (kernel/kmv.py): intersection /
     difference / Jaccard estimated on the k-minimum-values sample with
@@ -872,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_topk": _q_approx_topk,
         "hll_set_ops_bound": _q_hll_set_ops_bound,
         "kmv_set_ops_bound": _q_kmv_set_ops_bound,
+        "hash_sample_split": _q_hash_sample_split,
         "rollup_estimates": _q_rollup_estimates,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
@@ -1030,6 +1058,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_set_ops_bound": (
             "SELECT TRUE AS union_ok, TRUE AS intersect_ok"
+        ),
+        # sql_split_expr/sql_frac_expr are the single source of truth for
+        # the thresholds: they accumulate the split weights with the SAME
+        # float ops as hash_split_col, so the hex threshold strings are
+        # bit-identical (0.8+0.1 != 0.9 exactly in binary floats)
+        "hash_sample_split": (
+            "SELECT lang,"
+            f" {_sampling.sql_split_expr('doc_id', seed=7)} AS split,"
+            " count(*) AS n_docs,"
+            " CAST(sum(CASE WHEN"
+            f" {_sampling.sql_frac_expr('doc_id', seed=11)}"
+            f" < '{_sampling._threshold_hex(0.25)}' THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_sampled"
+            " FROM documents GROUP BY lang, split ORDER BY lang, split"
         ),
         "kmv_set_ops_bound": (
             "SELECT"

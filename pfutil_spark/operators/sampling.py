@@ -1,0 +1,117 @@
+"""Deterministic content-keyed sampling for training-data pipelines.
+
+Sampling by a cryptographic hash of a KEY instead of an RNG gives, at
+100-TB scale, exactly the properties a training pipeline needs:
+
+* **reproducible** — the same row set regardless of run, partitioning,
+  executor count, or Spark version (no RNG, no seed-per-task drift);
+* **referentially consistent** — sampling two tables on a shared key
+  (customers and their orders on ``custkey``) keeps the join closed:
+  a sampled order's customer is always sampled;
+* **all-or-nothing per key** — keying by a dedup-cluster or document id
+  keeps near-duplicate groups entirely in one split (no train/test
+  leakage);
+* **pure JVM** — the plan is ``sha2 + substring + string compare``
+  inside whole-stage codegen; rows drop before any shuffle.
+
+Mechanics: ``frac(x) = int(sha256(key '#' seed)[:15], 16) / 16^15`` is
+uniform on [0,1); a rate-r sample keeps rows with frac < r. The
+comparison happens directly on the fixed-width lowercase hex prefix
+against a precomputed threshold string — lexicographic order on
+fixed-width hex equals numeric order, so ANY engine with sha256 (DuckDB,
+Trino, Snowflake) reproduces the exact row set; the driver oracle
+exploits this for exact (not bound-boolean) parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_W = 15  # 60 bits of the sha256 hex prefix: ample rate resolution
+
+
+def _threshold_hex(rate: float) -> str:
+    """rate in [0,1] -> fixed-width lowercase hex threshold string."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate={rate}: must be in [0, 1]")
+    return format(min(int(rate * 16**_HEX_W), 16**_HEX_W - 1), f"0{_HEX_W}x")
+
+
+def hash_frac_hex_col(key: str | Column, seed: int = 0) -> Column:
+    """The 15-hex-char uniform draw for ``key`` (string-compare it to
+    ``_threshold_hex(rate)``). Null keys yield null (never sampled)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.sha2(F.concat(c.cast("string"), F.lit(f"#{seed}")), 256), 1, _HEX_W)
+
+
+def sql_frac_expr(key_sql: str, seed: int = 0) -> str:
+    """The ANSI/DuckDB mirror of :func:`hash_frac_hex_col` — for oracles
+    and cross-engine reproduction of the exact sample."""
+    return f"substr(sha256(concat(CAST({key_sql} AS VARCHAR), '#{seed}')), 1, {_HEX_W})"
+
+
+def hash_sample(
+    df: DataFrame, key: str | Column, rate: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed by ``key``. All rows
+    sharing a key are kept or dropped together; the same (key, seed,
+    rate) always selects the same keys — across tables too."""
+    return df.filter(hash_frac_hex_col(key, seed) < F.lit(_threshold_hex(rate)))
+
+
+def hash_split_col(
+    key: str | Column,
+    weights: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: int = 0,
+) -> Column:
+    """Split-name column assigning each key to exactly one split by
+    cumulative hash ranges — disjoint, exhaustive (weights must sum to
+    1), deterministic, leakage-free when keyed by a dedup-cluster id."""
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights sum to {total}, need 1.0")
+    frac = hash_frac_hex_col(key, seed)
+    expr: Column | None = None
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        cond = frac < F.lit(_threshold_hex(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(weights[-1][0])
+    return last if expr is None else expr.otherwise(last)
+
+
+def sql_split_expr(
+    key_sql: str,
+    weights: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: int = 0,
+) -> str:
+    """CASE-expression mirror of :func:`hash_split_col` for oracles."""
+    frac = sql_frac_expr(key_sql, seed)
+    parts, acc = [], 0.0
+    for name, w in list(weights)[:-1]:
+        acc += w
+        parts.append(f"WHEN {frac} < '{_threshold_hex(acc)}' THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{weights[-1][0]}' END"
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str | Column,
+    strata: str | Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language-balanced corpus
+    downsampling: keep 100% of low-resource langs, 5% of English). One
+    codegen'd CASE over the strata column — one scan, no shuffle."""
+    s = F.col(strata) if isinstance(strata, str) else strata
+    frac = hash_frac_hex_col(key, seed)
+    thr: Column = F.lit(_threshold_hex(default_rate))
+    for name, r in sorted(rates.items()):  # deterministic plan
+        thr = F.when(s == F.lit(name), F.lit(_threshold_hex(r))).otherwise(thr)
+    return df.filter(frac < thr)

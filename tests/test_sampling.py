@@ -1,0 +1,154 @@
+"""Deterministic content-keyed sampling (operators/sampling.py): exact
+reproducibility across partitionings, referential consistency across
+tables, split disjointness, per-stratum rates, pure-JVM plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pfutil_spark.operators.sampling import (
+    hash_frac_hex_col,
+    hash_sample,
+    hash_split_col,
+    sql_frac_expr,
+    sql_split_expr,
+    stratified_hash_sample,
+)
+
+
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+class TestHashSample:
+    def test_deterministic_across_partitionings_and_runs(self, spark):
+        d = docs(spark)
+        ids1 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3).select("doc_id").collect()}
+        ids2 = {
+            r["doc_id"]
+            for r in hash_sample(d.repartition(13), "doc_id", 0.3).select("doc_id").collect()
+        }
+        assert ids1 == ids2
+        assert 0 < len(ids1) < 500
+
+    def test_rate_monotone_nested_samples(self, spark):
+        """Smaller rate => a SUBSET of the larger rate's rows (same seed):
+        the hash draw per key is fixed, only the threshold moves."""
+        d = docs(spark)
+        small = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.1).select("doc_id").collect()}
+        big = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.5).select("doc_id").collect()}
+        assert small <= big
+
+    def test_referential_consistency_across_tables(self, spark):
+        """Sampling customers and orders on the shared custkey keeps the
+        join closed: every sampled order's customer is sampled."""
+        cst = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        kept_c = {
+            r["c_custkey"]
+            for r in hash_sample(cst, "c_custkey", 0.2, seed=3).select("c_custkey").collect()
+        }
+        kept_o = hash_sample(orders, "o_custkey", 0.2, seed=3)
+        o_keys = {r["o_custkey"] for r in kept_o.select("o_custkey").distinct().collect()}
+        assert o_keys <= kept_c
+        # and it is all-or-nothing per key: every order of a sampled
+        # customer is kept
+        n_expected = orders.filter(F.col("o_custkey").isin(list(kept_c))).count()
+        assert kept_o.count() == n_expected
+
+    def test_rate_edges_and_validation(self, spark):
+        d = docs(spark)
+        assert hash_sample(d, "doc_id", 0.0).count() == 0
+        assert hash_sample(d, "doc_id", 1.0).count() == 500
+        with pytest.raises(ValueError, match="rate"):
+            hash_sample(d, "doc_id", 1.5)
+
+    def test_null_keys_never_sampled(self, spark):
+        df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+        assert hash_sample(df, "k", 1.0).count() == 2
+
+    def test_pure_jvm_plan(self, spark):
+        plan = (
+            hash_sample(docs(spark), "doc_id", 0.2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "MapInArrow"):
+            assert node not in plan
+
+
+class TestHashSplit:
+    def test_split_disjoint_exhaustive_and_proportional(self, spark):
+        d = docs(spark)
+        got = (
+            d.select(hash_split_col("doc_id").alias("s"))
+            .groupBy("s").count().collect()
+        )
+        counts = {r["s"]: r["count"] for r in got}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == 500  # exhaustive, disjoint
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+        # binomial 3-sigma on 500 draws
+        assert abs(counts["train"] - 400) < 3 * (500 * 0.8 * 0.2) ** 0.5 + 1
+
+    def test_weights_must_sum_to_one(self, spark):
+        with pytest.raises(ValueError, match="sum"):
+            docs(spark).select(hash_split_col("doc_id", [("a", 0.5), ("b", 0.6)]))
+
+    def test_sql_mirror_thresholds_bit_identical(self, spark):
+        """The DuckDB mirror must use the same accumulated-float
+        thresholds as the Spark column (0.8+0.1 != 0.9 exactly)."""
+        import duckdb
+
+        d = docs(spark)
+        got = {
+            r["doc_id"]: r["s"]
+            for r in d.select("doc_id", hash_split_col("doc_id", seed=7).alias("s")).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.01/documents.parquet'"
+        )
+        oracle = dict(
+            con.execute(
+                f"SELECT doc_id, {sql_split_expr('doc_id', seed=7)} FROM documents"
+            ).fetchall()
+        )
+        assert got == oracle
+        # frac mirror too
+        gf = {
+            r["doc_id"]: r["h"]
+            for r in d.select("doc_id", hash_frac_hex_col("doc_id", 5).alias("h")).collect()
+        }
+        of = dict(
+            con.execute(
+                f"SELECT doc_id, {sql_frac_expr('doc_id', 5)} FROM documents"
+            ).fetchall()
+        )
+        assert gf == of
+
+
+class TestStratified:
+    def test_per_stratum_rates(self, spark):
+        d = docs(spark)
+        out = stratified_hash_sample(
+            d, "doc_id", "lang", {"zh": 1.0, "en": 0.0}, default_rate=0.5, seed=2
+        )
+        counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+        totals = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+        assert counts["zh"] == totals["zh"]  # rate 1.0 keeps everything
+        assert "en" not in counts  # rate 0.0 drops everything
+        for lang in ("de", "es", "fr"):  # default rate ~0.5, binomial 4-sigma
+            n, tot = counts[lang], totals[lang]
+            assert abs(n - 0.5 * tot) < 4 * (tot * 0.25) ** 0.5 + 1
+
+    def test_stratified_consistent_with_plain_sample(self, spark):
+        """A stratum at rate r keeps exactly the rows plain hash_sample
+        at rate r keeps (same seed): the draw depends only on the key."""
+        d = docs(spark)
+        strat = stratified_hash_sample(
+            d, "doc_id", "lang", {"en": 0.3}, default_rate=0.0, seed=9
+        )
+        plain = hash_sample(d.filter(F.col("lang") == "en"), "doc_id", 0.3, seed=9)
+        a = {r["doc_id"] for r in strat.select("doc_id").collect()}
+        b = {r["doc_id"] for r in plain.select("doc_id").collect()}
+        assert a == b
