@@ -190,12 +190,17 @@ def main() -> None:
     times: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     results: dict[str, int] = {}
+    heavy = {"flagship_sourcecode_hll", "north_report_4metrics"}
     for name, fn in QUERIES.items():
         # adaptive reps: this sandbox shares a physical host (loadavg > 10
         # observed with ZERO local processes running — external noisy
         # neighbors slow runs up to ~3x at random); keep repeating until
         # the two best reps agree within 15% (a quiet window), capped.
-        max_reps = N_REPS + 3
+        # The two python-heavy queries get a higher cap and must also
+        # PLATEAU (no new best in the last two reps) before stopping:
+        # noise bursts last minutes, so extra ~10-30s reps are the only
+        # way to span one (r2 verdict item 8).
+        max_reps = N_REPS + (7 if name in heavy else 3)
         reps: list[float] = []
         while True:
             t0 = time.time()
@@ -204,8 +209,14 @@ def main() -> None:
             if len(reps) >= N_REPS:
                 if len(reps) < 2:  # PFUTIL_BENCH_REPS=1: explicit quick mode
                     break
+                if len(reps) >= max_reps:
+                    break
                 best2 = sorted(reps)[:2]
-                if best2[1] <= best2[0] * 1.15 or len(reps) >= max_reps:
+                # plateau = the last two reps brought no new best
+                plateaued = len(reps) >= 3 and min(reps[:-2]) <= min(reps[-2:])
+                if best2[1] <= best2[0] * 1.15 and (
+                    name not in heavy or plateaued
+                ):
                     break
         times[name] = min(reps)
         all_reps[name] = reps

@@ -105,7 +105,12 @@ def pf_time_rollup(
     # shift bucket boundaries for non-whole-hour zones (tz-explicitness,
     # r2 ADVICE). F.window accepts both timestamp flavors directly.
     ts_t = df.schema[ts].dataType.typeName()
-    ts_col = F.col(ts) if ts_t.startswith("timestamp") else F.col(ts).cast("timestamp")
+    if ts_t.startswith("timestamp"):
+        ts_col = F.col(ts)
+    elif ts_t == "date":  # date -> session-tz timestamp would shift too
+        ts_col = F.col(ts).cast("timestamp_ntz")
+    else:
+        ts_col = F.col(ts).cast("timestamp")
     win = F.window(ts_col, bucket)
     bucketed = df.withColumn("bucket_start", win.start)
     keys = ["bucket_start", *by]

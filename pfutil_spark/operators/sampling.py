@@ -42,7 +42,12 @@ def _threshold_hex(rate: float) -> str:
 
 def hash_frac_hex_col(key: str | Column, seed: int = 0) -> Column:
     """The 15-hex-char uniform draw for ``key`` (string-compare it to
-    ``_threshold_hex(rate)``). Null keys yield null (never sampled)."""
+    ``_threshold_hex(rate)``). Null keys yield null (never sampled).
+
+    Key columns should be string or integer: the draw hashes
+    ``CAST(key AS STRING)``, and floating-point-to-string formatting is
+    not guaranteed identical across engines (determinism WITHIN Spark
+    holds for any type)."""
     c = F.col(key) if isinstance(key, str) else key
     return F.substring(F.sha2(F.concat(c.cast("string"), F.lit(f"#{seed}")), 256), 1, _HEX_W)
 
