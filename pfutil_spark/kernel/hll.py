@@ -900,6 +900,45 @@ def sparse_valid_flat(
     return (seg_total == HLL_REGISTERS) & ~seg_trunc
 
 
+def sparse_valid_canonical_flat(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(valid, canonical) bool arrays per payload window, ONE flat scan.
+
+    Canonical == the bytes :func:`encode_sparse_payload` itself would
+    emit for these registers: every maximal zero gap is exactly one
+    opcode (ZERO if <= 64, else XZERO — gaps never exceed 16384, so one
+    XZERO always suffices), and a same-value VAL chain only carries a
+    short (< 4) run in FINAL position. Violations: adjacent zero-type
+    opcodes, an XZERO whose run fits a ZERO, or a short VAL followed by
+    a same-value VAL. The merge passthrough needs this so a valid but
+    non-canonically-encoded (third-party) sparse single re-encodes
+    instead of leaking its partition placement into pf_merge's output
+    bytes (bytes-identical-across-partitionings invariant)."""
+    op_seg, lead, run, _, seg_total, seg_trunc = _sparse_scan_flat(
+        data, starts, ends
+    )
+    valid = (seg_total == HLL_REGISTERS) & ~seg_trunc
+    bad = np.zeros(len(starts), dtype=bool)
+    if len(lead):
+        is_xzero = (lead & 0xC0) == 0x40
+        zero_type = lead < 0x80
+        bad[op_seg[is_xzero & (run <= 64)]] = True
+        same = op_seg[1:] == op_seg[:-1]
+        adj_zero = zero_type[:-1] & zero_type[1:] & same
+        is_val = lead >= 0x80
+        vv = (lead >> 2) & 0x1F
+        adj_val = (
+            is_val[:-1]
+            & is_val[1:]
+            & same
+            & (run[:-1] < 4)
+            & (vv[:-1] == vv[1:])
+        )
+        bad[op_seg[:-1][adj_zero | adj_val]] = True
+    return valid, valid & ~bad
+
+
 def decode_sparse_pairs_flat(
     data: np.ndarray, starts: np.ndarray, ends: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

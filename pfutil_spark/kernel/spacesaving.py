@@ -60,6 +60,19 @@ class SpaceSaving:
                 weights=np.asarray(weights, dtype=np.float64),
                 minlength=len(uniq),
             ).astype(np.int64)
+        if len(uniq) and not all(isinstance(u, str) for u in uniq):
+            # items are STRINGS everywhere (summary dict, wire format,
+            # merge/_truncate tie-break via Python str order == numpy U
+            # order) — coerce non-string inputs here so the update-path
+            # boundary tie-break below agrees with the merge path's.
+            # Re-factorize afterwards: distinct inputs with equal str()
+            # (e.g. 5 and "5") must collapse to ONE summary item.
+            codes2, uniq = pd.factorize(
+                np.asarray(uniq.astype("U"), dtype=object), sort=False
+            )
+            bc = np.bincount(
+                codes2, weights=bc.astype(np.float64), minlength=len(uniq)
+            ).astype(np.int64)
         self.n += int(bc.sum())
         cur_k = np.array(list(self.counts.keys()), dtype=object)
         cur_c = np.fromiter(self.counts.values(), dtype=np.int64, count=len(cur_k))

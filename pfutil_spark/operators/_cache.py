@@ -26,11 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-try:  # location is stable, but keep the operator importable regardless
-    from pyspark.storagelevel import StorageLevel
-except ImportError:  # pragma: no cover
-    StorageLevel = None  # type: ignore[assignment]
-
 
 class CacheScope:
     """Tracks frames persisted while building a plan; ``release()``

@@ -110,16 +110,32 @@ def _asof_keyless_ranged(
     spark = left.sparkSession
     if buckets is None:
         buckets = spark.sparkContext.defaultParallelism
-    on_num = F.col(on).cast("double")
+    # type-aware numeric view of `on` for BUCKETING only (merge_asof sees
+    # the original values): timestamp_ntz/date cannot cast to double
+    # directly — go through timestamp first. The session-tz cast is fine
+    # here because bucket ids only need a consistent non-decreasing
+    # mapping within this one job, applied identically to both sides.
+    on_t = left.schema[on].dataType.typeName()
+    if on_t in ("timestamp_ntz", "date"):
+        on_num = F.col(on).cast("timestamp").cast("double")
+    else:
+        on_num = F.col(on).cast("double")
     probs = [i / buckets for i in range(1, buckets)]
-    edges = left.agg(
+    # persisted lazily: no job at construction, but the percentile scan
+    # of the left side computes ONCE at first action even though the
+    # 1-row edge frame is referenced by both sides' bucket expressions
+    # (release via release_cached(result) if the session is long-lived)
+    from pfutil_spark.operators._cache import CacheScope
+
+    scope = CacheScope()
+    edges = scope.persist(left.agg(
         F.coalesce(
             F.array_distinct(
                 F.array_sort(F.percentile_approx(on_num, F.lit(probs)))
             ),
             F.array().cast("array<double>"),
         ).alias("__edges")
-    )
+    ))
 
     def with_bucket(df: DataFrame) -> DataFrame:
         # bucket id = number of edges strictly below the value; same
@@ -184,7 +200,7 @@ def _asof_keyless_ranged(
     rb_all = rb
     for cf in carry_frames:
         rb_all = rb_all.unionByName(cf.select(*rb.columns))
-    return (
+    out = (
         lb.groupBy("__bucket")
         .cogroup(rb_all.groupBy("__bucket"))
         .applyInPandas(
@@ -194,6 +210,8 @@ def _asof_keyless_ranged(
             out_schema,
         )
     )
+    out._pfutil_cache_scope = scope  # release_cached(out) frees the edge row
+    return out
 
 
 def sessionize(

@@ -362,9 +362,15 @@ def merge_record_batch(
         sp = np.flatnonzero(enc_c == hll.ENC_SPARSE)
         if len(sp):
             rs = rows_c[sp]
-            ok[sp] = hll.sparse_valid_flat(
+            # pass through only valid AND canonical sparse bytes: a valid
+            # but non-canonical encoding (third-party writer) re-routes to
+            # the work path and re-encodes canonically, matching what the
+            # same sketch produces when its group has >1 partial — the
+            # dense probe above enforces the same for dense singles
+            _, canon_sp = hll.sparse_valid_canonical_flat(
                 data, offsets[rs] + hll.HEADER_LEN, offsets[rs + 1]
             )
+            ok[sp] = canon_sp
         passthrough[cand[~ok]] = False
 
     pass_ids = np.flatnonzero(passthrough)
@@ -468,8 +474,6 @@ def merge_record_batch(
     take = pa.array(first_idx)
     key_arrays = [batch.column(c).take(take) for c in keys]
     return pa.record_batch(key_arrays + [sketch_out], names=keys + [SKETCH_COL])
-
-    return target.mapInArrow(fn, out_schema)
 
 
 def pf_merge(

@@ -123,3 +123,75 @@ def test_estimate_bytes_batch_empty_and_order():
         fast = hll.estimate_bytes_batch(bufs, ver)
         slow = hll.estimate_batch(hll.decode_many(bufs), ver)
         assert np.array_equal(fast, slow)
+
+
+class TestSparseCanonicality:
+    """r3 review finding: the merge passthrough must only pass bytes the
+    canonical encoder itself would produce — a VALID but non-canonical
+    sparse encoding re-routes and re-encodes, so pf_merge output bytes
+    never depend on which partition a partial landed in."""
+
+    @staticmethod
+    def _flags(payloads):
+        data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        offs = np.zeros(len(payloads) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum([len(p) for p in payloads])
+        return hll.sparse_valid_canonical_flat(data, offs[:-1], offs[1:])
+
+    def test_canonical_encoder_outputs_flagged_canonical(self):
+        rng = np.random.default_rng(0)
+        payloads = []
+        for _ in range(300):
+            regs = hll.empty_registers()
+            n = int(rng.integers(0, 60))
+            if n:
+                idx = rng.integers(0, 16384, n)
+                regs[idx] = rng.integers(1, 33, n).astype(np.uint8)
+                s = int(rng.integers(0, 16300))
+                regs[s : s + int(rng.integers(1, 14))] = int(rng.integers(1, 33))
+            p = hll.encode_sparse_payload(regs)
+            if p is not None:
+                payloads.append(p)
+        v, c = self._flags(payloads)
+        assert v.all() and c.all()
+
+    def test_non_canonical_valid_payloads_detected(self):
+        val = lambda v, r: bytes([0x80 | ((v - 1) << 2) | (r - 1)])  # noqa: E731
+        zero = lambda r: bytes([r - 1])  # noqa: E731
+        xzero = lambda r: bytes([0x40 | ((r - 1) >> 8), (r - 1) & 0xFF])  # noqa: E731
+        cases = [
+            (val(5, 1) + xzero(8192) + xzero(8191), False),  # split XZERO
+            (zero(64) + zero(64) + xzero(16384 - 128), False),  # adj ZEROs
+            (val(7, 2) + val(7, 4) + xzero(16384 - 6), False),  # short VAL first
+            (xzero(60) + val(3, 1) + xzero(16384 - 61), False),  # XZERO fits ZERO
+            (val(7, 4) + val(7, 2) + xzero(16384 - 6), True),  # canonical chain
+            (val(7, 4) + val(3, 2) + xzero(16384 - 6), True),  # diff-value VALs
+        ]
+        v, c = self._flags([p for p, _ in cases])
+        assert v.all()
+        assert c.tolist() == [exp for _, exp in cases]
+
+    def test_merge_bytes_partition_independent_for_noncanonical_input(self):
+        import pyarrow as pa
+
+        from pfutil_spark.operators.hll_agg import SKETCH_COL, merge_record_batch
+
+        val = lambda v, r: bytes([0x80 | ((v - 1) << 2) | (r - 1)])  # noqa: E731
+        xzero = lambda r: bytes([0x40 | ((r - 1) >> 8), (r - 1) & 0xFF])  # noqa: E731
+        h = bytearray(16)
+        h[0:4] = b"HYLL"
+        h[4] = 1
+        h[15] = 0x80
+        nc = bytes(h) + val(5, 1) + xzero(8192) + xzero(8191)
+        empty = hll.encode(hll.empty_registers())
+        one = pa.record_batch(
+            [pa.array(["g"]), pa.array([nc], type=pa.binary())],
+            names=["k", SKETCH_COL],
+        )
+        split = pa.record_batch(
+            [pa.array(["g", "g"]), pa.array([nc, empty], type=pa.binary())],
+            names=["k", SKETCH_COL],
+        )
+        o1 = merge_record_batch(one, ["k"], SKETCH_COL).column(SKETCH_COL)[0].as_py()
+        o2 = merge_record_batch(split, ["k"], SKETCH_COL).column(SKETCH_COL)[0].as_py()
+        assert o1 == o2 == hll.encode(hll.decode(nc))

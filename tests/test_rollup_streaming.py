@@ -485,3 +485,33 @@ class TestStreamingSessions:
             a = sorted(grp["n_events"].tolist())
             b = sorted(exp[exp["user_id"] == uid]["n_events"].tolist())
             assert a == b, uid
+
+    def test_keyless_asof_on_timestamp_ntz(self, spark):
+        """r3 review finding: all keyless directions must accept the
+        repo's standard time type (timestamp_ntz parquet columns) — the
+        bucket expression casts through timestamp, never ntz->double."""
+        import pandas as pd
+
+        from pfutil_spark.operators.asof import asof_join
+
+        left = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+            "ts", "event_id"
+        )
+        right = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select(F.col("ts"), F.col("user_id").cast("double").alias("ref"))
+            .limit(100)
+        )
+        assert left.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        lp = left.toPandas().sort_values(["ts", "event_id"], kind="stable")
+        rp = right.toPandas().sort_values("ts", kind="stable")
+        for direction in ("backward", "forward", "nearest"):
+            got = (
+                asof_join(left, right, on="ts", direction=direction)
+                .toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+            )
+            exp = (
+                pd.merge_asof(lp, rp, on="ts", direction=direction)
+                .sort_values(["ts", "event_id"]).reset_index(drop=True)
+            )
+            pd.testing.assert_series_equal(got["ref"], exp["ref"], check_names=False)

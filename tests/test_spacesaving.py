@@ -149,3 +149,20 @@ def test_update_batch_matches_full_sort_semantics():
         c_ref, t_ref = ref_update(c_ref, t_ref, batch)
         assert ss.theta == t_ref
         assert ss.counts == c_ref
+
+
+def test_non_string_keys_consistent_between_update_and_merge_paths():
+    """r3 review finding: the update path's numpy-string tie-break must
+    agree with merge/_truncate's Python-str tie-break — non-string keys
+    are coerced to str at the fold, and equal-str inputs collapse."""
+    a = SpaceSaving(2)
+    a.update_batch([2] * 5 + [10] * 5 + [7] * 5)
+    b1 = SpaceSaving(2)
+    b1.update_batch(["2"] * 5 + ["7"] * 5)
+    b2 = SpaceSaving(2)
+    b2.update_batch(["10"] * 5)
+    b1.merge(b2)
+    assert a.counts == b1.counts and a.theta == b1.theta
+    c = SpaceSaving(8)
+    c.update_batch([5, "5", 5])
+    assert c.counts == {"5": 3} and c.n == 3
