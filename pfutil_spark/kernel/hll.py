@@ -908,18 +908,29 @@ def sparse_valid_canonical_flat(
     Canonical == the bytes :func:`encode_sparse_payload` itself would
     emit for these registers: every maximal zero gap is exactly one
     opcode (ZERO if <= 64, else XZERO — gaps never exceed 16384, so one
-    XZERO always suffices), and a same-value VAL chain only carries a
-    short (< 4) run in FINAL position. Violations: adjacent zero-type
-    opcodes, an XZERO whose run fits a ZERO, or a short VAL followed by
-    a same-value VAL. The merge passthrough needs this so a valid but
-    non-canonically-encoded (third-party) sparse single re-encodes
-    instead of leaking its partition placement into pf_merge's output
-    bytes (bytes-identical-across-partitionings invariant)."""
+    XZERO always suffices), a same-value VAL chain only carries a
+    short (< 4) run in FINAL position, AND the register state is one
+    the encoder would emit SPARSE at all: :func:`encode_sparse_payload`
+    bails to dense when ``nnz*3 + 4 >= 12288``, so an opcode-canonical
+    stream above that nnz (e.g. all 16384 registers = 1 as 4096 VAL(4)
+    opcodes) is still non-canonical — without this gate such a sketch
+    would pass through merge untouched as a single-partial group but
+    re-encode DENSE when its group has >1 partial, making pf_merge
+    bytes partition-dependent. (The encoder's final strictly-smaller
+    length check is implied: canonical opcodes cost <= 3*nnz + 2
+    bytes, which nnz*3 + 4 < 12288 already bounds below dense.)
+    Violations: adjacent zero-type opcodes, an XZERO whose run fits a
+    ZERO, or a short VAL followed by a same-value VAL. The merge
+    passthrough needs this so a valid but non-canonically-encoded
+    (third-party) sparse single re-encodes instead of leaking its
+    partition placement into pf_merge's output bytes
+    (bytes-identical-across-partitionings invariant)."""
     op_seg, lead, run, _, seg_total, seg_trunc = _sparse_scan_flat(
         data, starts, ends
     )
+    n_seg = len(starts)
     valid = (seg_total == HLL_REGISTERS) & ~seg_trunc
-    bad = np.zeros(len(starts), dtype=bool)
+    bad = np.zeros(n_seg, dtype=bool)
     if len(lead):
         is_xzero = (lead & 0xC0) == 0x40
         zero_type = lead < 0x80
@@ -936,6 +947,13 @@ def sparse_valid_canonical_flat(
             & (vv[:-1] == vv[1:])
         )
         bad[op_seg[:-1][adj_zero | adj_val]] = True
+        # encoder nnz-eligibility bail (encode_sparse_payload): per-segment
+        # nnz = total VAL-run coverage
+        nnz = np.bincount(
+            op_seg[is_val], weights=run[is_val].astype(np.float64),
+            minlength=n_seg,
+        )
+        bad[nnz * 3 + 4 >= HLL_DENSE_SIZE - HEADER_LEN] = True
     return valid, valid & ~bad
 
 

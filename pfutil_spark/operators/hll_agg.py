@@ -329,8 +329,15 @@ def merge_record_batch(
             & (data[off0 + 1] == hll.MAGIC[1])
             & (data[off0 + 2] == hll.MAGIC[2])
             & (data[off0 + 3] == hll.MAGIC[3])
-            & ((data[off0 + 15] & 0x80) == 0x80)
+            & (data[off0 + 15] == 0x80)
         )
+        # bytes 5-14 must be zero and byte 15 exactly 0x80 — precisely the
+        # _header(enc, None) bytes a stage-P partial carries. A third-party
+        # single with stale cache bytes / extra flag bits re-routes to the
+        # work path (canonical re-encode), so pf_merge output bytes can't
+        # depend on whether that sketch shared a group with another partial
+        for j in range(5, 15):
+            canon &= data[off0 + j] == 0
     single_row = order[gstarts]  # the group's row when counts == 1
     passthrough = (counts == 1) & canon[single_row]
     # header probe is necessary but not sufficient — and all of the

@@ -58,13 +58,28 @@ def sql_frac_expr(key_sql: str, seed: int = 0) -> str:
     return f"substr(sha256(concat(CAST({key_sql} AS VARCHAR), '#{seed}')), 1, {_HEX_W})"
 
 
+def _keep_cond(frac: Column, rate: float) -> Column:
+    """Keep-condition for a rate against a frac column. rate >= 1.0 keeps
+    every NON-NULL key outright: the top threshold is clamped to
+    16^15 - 1 and the compare is strict, so without the short-circuit a
+    key whose 60-bit draw is exactly 0xfffffffffffffff would drop from a
+    "keep everything" sample (2^-60 per key — real rows at 100-TB key
+    counts). Null keys stay never-sampled either way."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate={rate}: must be in [0, 1]")
+    if rate >= 1.0:
+        return frac.isNotNull()
+    return frac < F.lit(_threshold_hex(rate))
+
+
 def hash_sample(
     df: DataFrame, key: str | Column, rate: float, seed: int = 0
 ) -> DataFrame:
     """Deterministic Bernoulli(rate) sample keyed by ``key``. All rows
     sharing a key are kept or dropped together; the same (key, seed,
-    rate) always selects the same keys — across tables too."""
-    return df.filter(hash_frac_hex_col(key, seed) < F.lit(_threshold_hex(rate)))
+    rate) always selects the same keys — across tables too.
+    ``rate=1.0`` is the identity on non-null keys."""
+    return df.filter(_keep_cond(hash_frac_hex_col(key, seed), rate))
 
 
 def hash_split_col(
@@ -116,7 +131,7 @@ def stratified_hash_sample(
     codegen'd CASE over the strata column — one scan, no shuffle."""
     s = F.col(strata) if isinstance(strata, str) else strata
     frac = hash_frac_hex_col(key, seed)
-    thr: Column = F.lit(_threshold_hex(default_rate))
+    cond: Column = _keep_cond(frac, default_rate)
     for name, r in sorted(rates.items()):  # deterministic plan
-        thr = F.when(s == F.lit(name), F.lit(_threshold_hex(r))).otherwise(thr)
-    return df.filter(frac < thr)
+        cond = F.when(s == F.lit(name), _keep_cond(frac, r)).otherwise(cond)
+    return df.filter(cond)

@@ -195,3 +195,69 @@ class TestSparseCanonicality:
         o1 = merge_record_batch(one, ["k"], SKETCH_COL).column(SKETCH_COL)[0].as_py()
         o2 = merge_record_batch(split, ["k"], SKETCH_COL).column(SKETCH_COL)[0].as_py()
         assert o1 == o2 == hll.encode(hll.decode(nc))
+
+    def test_encoder_dense_regime_not_canonical(self):
+        """ADVICE r3 (medium): an opcode-canonical sparse stream whose nnz
+        exceeds the encoder's sparse-eligibility bail (nnz*3+4 >= 12288)
+        must be flagged NON-canonical — encode() would emit that register
+        state DENSE, so passing it through the merge untouched would make
+        pf_merge bytes depend on partition placement."""
+        val4 = bytes([0x80 | (0 << 2) | 3])  # VAL val=1 run=4
+        all_ones = val4 * 4096  # all 16384 registers = 1 -> nnz 16384
+        v, c = self._flags([all_ones])
+        assert v[0] and not c[0]
+        # sanity: the encoder indeed refuses sparse for this state
+        assert hll.encode_sparse_payload(np.ones(16384, dtype=np.uint8)) is None
+        # a state just UNDER the bail (nnz*3+4 = 12004 < 12288) stays
+        # canonical when the encoder itself produced it
+        regs = hll.empty_registers()
+        regs[:4000] = 1
+        p = hll.encode_sparse_payload(regs)
+        assert p is not None
+        v, c = self._flags([p])
+        assert v[0] and c[0]
+
+    def _merge_single_vs_split(self, nc):
+        """Merge ``nc`` alone vs split across two partials of one group;
+        both must yield the canonical re-encode of its registers."""
+        import pyarrow as pa
+
+        from pfutil_spark.operators.hll_agg import SKETCH_COL, merge_record_batch
+
+        empty = hll.encode(hll.empty_registers())
+        one = pa.record_batch(
+            [pa.array(["g"]), pa.array([nc], type=pa.binary())],
+            names=["k", SKETCH_COL],
+        )
+        split = pa.record_batch(
+            [pa.array(["g", "g"]), pa.array([nc, empty], type=pa.binary())],
+            names=["k", SKETCH_COL],
+        )
+        o1 = merge_record_batch(one, ["k"], SKETCH_COL).column(SKETCH_COL)[0].as_py()
+        o2 = merge_record_batch(split, ["k"], SKETCH_COL).column(SKETCH_COL)[0].as_py()
+        assert o1 == o2 == hll.encode(hll.decode(nc))
+
+    def test_merge_partition_independent_for_dense_regime_sparse_single(self):
+        h = bytearray(16)
+        h[0:4] = b"HYLL"
+        h[4] = hll.ENC_SPARSE
+        h[15] = 0x80
+        val4 = bytes([0x80 | (0 << 2) | 3])
+        nc = bytes(h) + val4 * 4096  # valid sparse, encoder-dense regime
+        self._merge_single_vs_split(nc)
+
+    def test_merge_partition_independent_for_stale_header_bytes(self):
+        """ADVICE r3 (low): invalid-cache flag set but junk in header
+        bytes 5-14, or extra bits in byte 15 — the passthrough probe must
+        reject these so the junk can't survive in single-partial groups
+        while vanishing in multi-partial ones."""
+        regs = hll.empty_registers()
+        regs[7] = 3
+        base = hll.encode(regs)
+        assert base[4] == hll.ENC_SPARSE and base[15] == 0x80
+        for mutant in (
+            base[:8] + b"\x07" + base[9:],   # stale cache byte alongside flag
+            base[:15] + b"\x81" + base[16:], # extra bit in byte 15
+            base[:5] + b"\x01" + base[6:],   # junk in reserved byte 5
+        ):
+            self._merge_single_vs_split(mutant)

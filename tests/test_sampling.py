@@ -66,6 +66,23 @@ class TestHashSample:
         df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
         assert hash_sample(df, "k", 1.0).count() == 2
 
+    def test_rate_one_keeps_maximal_draw(self, spark):
+        """ADVICE r3: rate=1.0 must be the identity on non-null keys even
+        for a key whose 60-bit draw is exactly 0xfffffffffffffff (the
+        clamped threshold + strict compare would drop it)."""
+        from pfutil_spark.operators.sampling import _keep_cond
+
+        df = spark.createDataFrame([("f" * 15,), (None,)], "h string")
+        assert df.filter(_keep_cond(F.col("h"), 1.0)).count() == 1
+        # the old strict-compare shape indeed drops the all-f draw
+        assert df.filter(F.col("h") < "f" * 15).count() == 0
+        # stratified shares the same keep-condition for its 1.0 strata
+        d2 = spark.createDataFrame([("f" * 15, "s")], "h string, g string")
+        kept = stratified_hash_sample(
+            d2.withColumnRenamed("h", "k"), "k", "g", {"s": 1.0}
+        )
+        assert kept.count() == 1
+
     def test_pure_jvm_plan(self, spark):
         plan = (
             hash_sample(docs(spark), "doc_id", 0.2)
