@@ -162,3 +162,75 @@ def merge_all(sketches: list[KllSketch]) -> KllSketch:
     for s in sketches[1:]:
         out.merge(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# vectorized grouped fold over flat buffers (zero per-group Python).
+# ---------------------------------------------------------------------------
+
+def fold_groups_level0(
+    values: np.ndarray, inverse: np.ndarray, n_groups: int, k: int = DEFAULT_K
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grouped direct-emit fold for the high-cardinality regime: each
+    group's (NaN-filtered) values become a single level-0 buffer —
+    byte-identical to ``KllSketch(k).update(group_values)`` whenever the
+    group fits the level-0 capacity (no compaction fires), and a valid
+    un-compacted sketch otherwise (compaction happens lazily at the next
+    merge/update, exactly as a level-0 overfull in-memory sketch would).
+    Returns flat wire buffers ``(data, offsets)``."""
+    from .sketch_common import segment_ranks, write_le_flat
+
+    v = np.asarray(values, dtype=np.float64)
+    g = np.asarray(inverse, dtype=np.int64)
+    m = ~np.isnan(v)
+    v, g = v[m], g[m]
+    order = np.argsort(g, kind="stable")  # within-group original order
+    v, g = v[order], g[order]
+    counts = np.bincount(g, minlength=n_groups).astype(np.int64)
+    offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(32 + 8 * counts, out=offsets[1:])
+    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    hp = offsets[:-1]
+    for i, byte in enumerate(MAGIC):
+        data[hp + i] = byte
+    ones = np.ones(n_groups, dtype=np.int64)
+    write_le_flat(data, hp + 4, ones, 4)            # version
+    write_le_flat(data, hp + 8, ones * k, 4)        # k
+    write_le_flat(data, hp + 12, ones, 4)           # n_levels = 1
+    write_le_flat(data, hp + 16, ones * 0, 4)       # compactions = 0
+    write_le_flat(data, hp + 20, counts, 8)         # n (<i8, nonnegative)
+    write_le_flat(data, hp + 28, counts, 4)         # sizes[0]
+    if len(v):
+        pos = offsets[g] + 32 + 8 * segment_ranks(g)
+        write_le_flat(data, pos, v.view(np.uint64), 8)
+    return data, offsets
+
+
+def valid_flat(data: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
+    """Non-raising per-buffer structural validity (merge passthrough
+    probe): magic / version / matching k / level-size bookkeeping
+    consistent with the buffer length. ``encode(decode(b)) == b`` for
+    every structurally valid buffer, so validity gates passthrough."""
+    from .sketch_common import read_le_flat, segment_ranks
+
+    n = len(offsets) - 1
+    if len(data) < 32:
+        return np.zeros(n, dtype=bool)
+    lens = np.diff(offsets)
+    hp = np.minimum(offsets[:-1], len(data) - 32)
+    ok = lens >= 32
+    for i, byte in enumerate(MAGIC):
+        ok &= data[hp + i] == byte
+    ok &= read_le_flat(data, hp + 4, 4) == 1
+    ok &= read_le_flat(data, hp + 8, 4).astype(np.int64) == k
+    nlv = read_le_flat(data, hp + 12, 4).astype(np.int64)
+    ok &= (nlv >= 1) & (lens >= 28 + 4 * nlv)
+    rows = np.flatnonzero(ok)
+    if len(rows):
+        seg = np.repeat(np.arange(len(rows), dtype=np.int64), nlv[rows])
+        sizes = read_le_flat(
+            data, offsets[rows][seg] + 28 + 4 * segment_ranks(seg), 4
+        ).astype(np.int64)
+        tot = np.bincount(seg, weights=sizes.astype(np.float64), minlength=len(rows))
+        ok[rows] = lens[rows] == 28 + 4 * nlv[rows] + 8 * tot.astype(np.int64)
+    return ok

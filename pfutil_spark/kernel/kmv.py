@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .sketch_common import to_u64
+from .sketch_common import read_le_flat, segment_ranks, to_u64, write_le_flat
 
 MAGIC = b"KMVS"
 DEFAULT_K = 2048
@@ -119,6 +119,135 @@ def merge_all(sketches: list[KmvSketch]) -> KmvSketch:
     for s in sketches[1:]:
         out.merge(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# vectorized grouped fold / merge over flat buffers (zero per-group Python
+# — the same machinery family as kernel/hll.py's flat opcode scanner).
+# Byte parity with the scalar path is free: the sketch state (k smallest
+# distinct hashes, sorted) is a pure SET function of the inputs, and the
+# wire format is a direct dump of that state.
+# ---------------------------------------------------------------------------
+
+def _fold_pairs(
+    g: np.ndarray, h: np.ndarray, n_groups: int, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(group, hash) pairs -> encoded per-group k-min-distinct sketches.
+    Returns ``(data, offsets)`` flat wire buffers (Arrow-binary-ready)."""
+    order = np.lexsort((h, g))
+    gs, hs = g[order], h[order]
+    if len(gs):
+        keep = np.empty(len(gs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1])
+        gs, hs = gs[keep], hs[keep]
+        sel = segment_ranks(gs) < k
+        gs, hs = gs[sel], hs[sel]
+    counts = np.bincount(gs, minlength=n_groups).astype(np.int64)
+    offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(16 + 8 * counts, out=offsets[1:])
+    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    hp = offsets[:-1]
+    for i, byte in enumerate(MAGIC):
+        data[hp + i] = byte
+    ones = np.ones(n_groups, dtype=np.int64)
+    write_le_flat(data, hp + 4, ones, 4)         # version
+    write_le_flat(data, hp + 8, ones * k, 4)     # k
+    write_le_flat(data, hp + 12, counts, 4)      # n entries
+    if len(gs):
+        pos = offsets[gs] + 16 + 8 * segment_ranks(gs)
+        write_le_flat(data, pos, hs, 8)          # sorted ascending per group
+    return data, offsets
+
+
+def fold_groups_hashes(
+    hashes: np.ndarray, inverse: np.ndarray, n_groups: int, k: int = DEFAULT_K
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grouped KMV fold: rows ``(inverse[i], hashes[i])`` -> one encoded
+    sketch per group code 0..n_groups-1, byte-identical to per-group
+    ``KmvSketch.update + encode`` in any order/partitioning."""
+    return _fold_pairs(
+        np.asarray(inverse, dtype=np.int64), to_u64(np.asarray(hashes)), n_groups, k
+    )
+
+
+def entries_flat(
+    data: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Validated flat parse of many wire buffers -> ``(seg_ids, entries)``
+    (uint64, ascending within each segment). Raises like :func:`decode`
+    on any structurally invalid buffer; also enforces the uniform ``k``
+    the grouped merge requires (mirrors ``KmvSketch.merge``)."""
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    if (lens < 16).any():
+        raise ValueError("Invalid KMV representation")
+    hp = offsets[:-1]
+    ok = np.ones(n, dtype=bool)
+    for i, byte in enumerate(MAGIC):
+        ok &= data[hp + i] == byte
+    if not ok.all():
+        raise ValueError("Invalid KMV representation")
+    ver = read_le_flat(data, hp + 4, 4)
+    if (ver != 1).any():
+        raise ValueError(f"unsupported KMV version {int(ver[ver != 1][0])}")
+    kk = read_le_flat(data, hp + 8, 4).astype(np.int64)
+    if (kk != k).any():
+        raise ValueError(f"kmv merge: k mismatch {k} vs {int(kk[kk != k][0])}")
+    nn = read_le_flat(data, hp + 12, 4).astype(np.int64)
+    if (lens != 16 + 8 * nn).any() or (nn > kk).any():
+        raise ValueError("Invalid KMV representation")
+    seg = np.repeat(np.arange(n, dtype=np.int64), nn)
+    ent = read_le_flat(data, offsets[seg] + 16 + 8 * segment_ranks(seg), 8)
+    if len(ent) > 1:
+        bad = (seg[1:] == seg[:-1]) & (ent[1:] <= ent[:-1])
+        if bad.any():
+            raise ValueError("Invalid KMV representation")  # not sorted distinct
+    return seg, ent
+
+
+def merge_groups_flat(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    group_codes: np.ndarray,
+    n_groups: int,
+    k: int = DEFAULT_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grouped KMV merge: wire buffers labeled by ``group_codes`` fold to
+    one sketch per group — byte-identical to ``merge_all`` over each
+    group's decodes, in one vectorized pass."""
+    seg, ent = entries_flat(data, offsets, k)
+    g = np.asarray(group_codes, dtype=np.int64)[seg]
+    return _fold_pairs(g, ent, n_groups, k)
+
+
+def valid_flat(data: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
+    """Non-raising per-buffer validity (merge passthrough probe): same
+    checks as :func:`entries_flat`, returned as a bool mask. Any valid
+    KMV buffer is canonical (the encoding is a direct dump of the sorted
+    distinct entry set), so validity alone gates passthrough."""
+    n = len(offsets) - 1
+    if len(data) < 16:
+        return np.zeros(n, dtype=bool)
+    lens = np.diff(offsets)
+    hp = np.minimum(offsets[:-1], len(data) - 16)
+    ok = lens >= 16
+    for i, byte in enumerate(MAGIC):
+        ok &= data[hp + i] == byte
+    ok &= read_le_flat(data, hp + 4, 4) == 1
+    ok &= read_le_flat(data, hp + 8, 4).astype(np.int64) == k
+    nn = read_le_flat(data, hp + 12, 4).astype(np.int64)
+    ok &= (lens == 16 + 8 * nn) & (nn <= k)
+    rows = np.flatnonzero(ok)
+    if len(rows):
+        seg = np.repeat(np.arange(len(rows), dtype=np.int64), nn[rows])
+        ent = read_le_flat(
+            data, offsets[rows][seg] + 16 + 8 * segment_ranks(seg), 8
+        )
+        if len(ent) > 1:
+            bad = (seg[1:] == seg[:-1]) & (ent[1:] <= ent[:-1])
+            ok[rows[np.unique(seg[:-1][bad])]] = False
+    return ok
 
 
 # ---------------------------------------------------------------------------

@@ -38,3 +38,50 @@ def hash_family(h: np.ndarray, i: int) -> np.ndarray:
 def to_u64(col: np.ndarray) -> np.ndarray:
     """int64 hashes (e.g. Spark xxhash64 output) viewed as uint64."""
     return np.ascontiguousarray(col).view(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# flat-buffer helpers for the vectorized grouped fold/merge paths: many
+# sketch encodings are written into / parsed out of ONE uint8 buffer at
+# arbitrary (unaligned) offsets with a constant number of vectorized
+# byte-plane passes — zero per-group Python (the same machinery family as
+# kernel/hll.py's flat opcode scanner).
+# ---------------------------------------------------------------------------
+
+def write_le_flat(data: np.ndarray, pos: np.ndarray, vals: np.ndarray, nbytes: int) -> None:
+    """Scatter little-endian ``nbytes``-wide integers ``vals`` into
+    ``data`` at byte positions ``pos`` (one value per position):
+    ``nbytes`` vectorized byte-plane writes, alignment-free."""
+    v = vals.astype(np.uint64, copy=False)
+    for b in range(nbytes):
+        data[pos + b] = ((v >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+
+
+def read_le_flat(data: np.ndarray, pos: np.ndarray, nbytes: int) -> np.ndarray:
+    """Gather little-endian ``nbytes``-wide unsigned integers from
+    ``data`` at byte positions ``pos`` -> uint64 array."""
+    out = np.zeros(len(pos), dtype=np.uint64)
+    for b in range(nbytes):
+        out |= data[pos + b].astype(np.uint64) << np.uint64(8 * b)
+    return out
+
+
+def segment_ranks(sorted_codes: np.ndarray) -> np.ndarray:
+    """0-based rank of each element within its run of equal values
+    (``sorted_codes`` must be non-decreasing)."""
+    n = len(sorted_codes)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.empty(n, dtype=bool)
+    starts[0] = True
+    np.not_equal(sorted_codes[1:], sorted_codes[:-1], out=starts[1:])
+    sidx = np.flatnonzero(starts)
+    return np.arange(n, dtype=np.int64) - np.repeat(
+        sidx, np.diff(np.append(sidx, n))
+    )
+
+
+def gather_uniform_rows(data: np.ndarray, starts: np.ndarray, row_len: int) -> np.ndarray:
+    """Gather equal-length byte windows ``[starts[i], starts[i]+row_len)``
+    into an (n, row_len) uint8 matrix (one fancy-index gather)."""
+    return data[starts[:, None] + np.arange(row_len, dtype=np.int64)[None, :]]

@@ -62,7 +62,7 @@ class SpaceSaving:
             ).astype(np.int64)
         if len(uniq) and not all(isinstance(u, str) for u in uniq):
             # items are STRINGS everywhere (summary dict, wire format,
-            # merge/_truncate tie-break via Python str order == numpy U
+            # merge/_keep_m tie-break via Python str order == numpy U
             # order) — coerce non-string inputs here so the update-path
             # boundary tie-break below agrees with the merge path's.
             # Re-factorize afterwards: distinct inputs with equal str()
@@ -84,6 +84,13 @@ class SpaceSaving:
         cur_c[pos[hit]] += bc[hit]  # uniq is distinct -> positions unique
         keys = np.concatenate([cur_k, uniq[~hit]])
         cnts = np.concatenate([cur_c, bc[~hit] + self.theta])
+        self._keep_m(keys, cnts)
+
+    def _keep_m(self, keys: np.ndarray, cnts: np.ndarray) -> None:
+        """Truncate candidate (keys, cnts) arrays to the m largest by
+        (-count, value) order, updating theta with the max evicted count
+        — partition-based: only the count ties straddling the boundary
+        get value-sorted, never the full candidate set."""
         n_tot = len(keys)
         if n_tot <= self.m:
             kept_idx = np.arange(n_tot)
@@ -109,27 +116,28 @@ class SpaceSaving:
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
         """Mergeable-summaries combine: absent items contribute the other
-        summary's theta (their maximum possible count there)."""
-        out: dict[str, int] = {}
-        for v, c in self.counts.items():
-            out[v] = c + other.counts.get(v, other.theta)
-        for v, c in other.counts.items():
-            if v not in self.counts:
-                out[v] = c + self.theta
-        self.counts = out
+        summary's theta (their maximum possible count there). Vectorized
+        (r4; was a per-item dict loop): one C-level hash join of the two
+        key sets plus the shared partition-based truncate."""
+        import pandas as pd
+
+        ka = np.array(list(self.counts.keys()), dtype=object)
+        ca = np.fromiter(self.counts.values(), dtype=np.int64, count=len(ka))
+        kb = np.array(list(other.counts.keys()), dtype=object)
+        cb = np.fromiter(other.counts.values(), dtype=np.int64, count=len(kb))
+        if len(ka):
+            pos = pd.Index(ka).get_indexer(kb)  # b's keys located in a
+        else:
+            pos = np.full(len(kb), -1, dtype=np.int64)
+        hit = pos >= 0
+        out_a = ca + other.theta          # default: absent from b
+        out_a[pos[hit]] = ca[pos[hit]] + cb[hit]  # present in both
+        keys = np.concatenate([ka, kb[~hit]])
+        cnts = np.concatenate([out_a, cb[~hit] + self.theta])
         self.theta += other.theta
         self.n += other.n
-        self._truncate()
+        self._keep_m(keys, cnts)
         return self
-
-    def _truncate(self) -> None:
-        if len(self.counts) <= self.m:
-            return
-        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        kept = items[: self.m]
-        evicted_max = items[self.m][1]
-        self.theta = max(self.theta, evicted_max)
-        self.counts = dict(kept)
 
     def top_k(self, k: int) -> list[tuple[str, int, int]]:
         """[(value, est_count, max_overcount)] — est is an upper bound;
@@ -171,3 +179,28 @@ def merge_all(sketches: list[SpaceSaving]) -> SpaceSaving:
     for s in sketches[1:]:
         out.merge(s)
     return out
+
+
+def valid_flat(data: np.ndarray, offsets: np.ndarray, m: int) -> np.ndarray:
+    """Non-raising per-buffer HEADER validity (merge passthrough probe):
+    magic / version / matching m / length == 16 + payload length. The
+    JSON payload itself is not parsed here — a length-consistent buffer
+    with corrupt JSON would pass through as a single-partial group
+    (multi-partial groups still fully decode and raise). Our own
+    partials are always well-formed; this is the documented trade for
+    zero per-group Python on the passthrough path."""
+    from .sketch_common import read_le_flat
+
+    n = len(offsets) - 1
+    if len(data) < 16:
+        return np.zeros(n, dtype=bool)
+    lens = np.diff(offsets)
+    hp = np.minimum(offsets[:-1], len(data) - 16)
+    ok = lens >= 16
+    for i, byte in enumerate(MAGIC):
+        ok &= data[hp + i] == byte
+    ok &= read_le_flat(data, hp + 4, 4) == 1
+    ok &= read_le_flat(data, hp + 8, 4).astype(np.int64) == m
+    plen = read_le_flat(data, hp + 12, 4).astype(np.int64)
+    ok &= lens == 16 + plen
+    return ok

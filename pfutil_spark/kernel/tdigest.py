@@ -123,3 +123,91 @@ def merge_all(digests: list[TDigest]) -> TDigest:
     for d in digests[1:]:
         out.merge(d)
     return out
+
+
+# ---------------------------------------------------------------------------
+# vectorized grouped fold over flat buffers (zero per-group Python).
+# ---------------------------------------------------------------------------
+
+def fold_groups(
+    values: np.ndarray, inverse: np.ndarray, n_groups: int, delta: int = DEFAULT_DELTA
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grouped direct-emit fold: run the k-space bucket compression for
+    ALL groups in one flat pass — byte-identical to
+    ``TDigest(delta).update(group_values)`` per group (unit weights make
+    every cumulative-rank term an exact integer, so the within-group
+    arithmetic matches the scalar path bit for bit). Returns flat wire
+    buffers ``(data, offsets)``."""
+    from .sketch_common import segment_ranks, write_le_flat
+
+    v = np.asarray(values, dtype=np.float64)
+    g = np.asarray(inverse, dtype=np.int64)
+    m = ~np.isnan(v)
+    v, g = v[m], g[m]
+    order = np.lexsort((v, g))  # stable sort by value within group
+    v, g = v[order], g[order]
+    counts = np.bincount(g, minlength=n_groups).astype(np.int64)
+    gstarts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    # within-group midpoint ranks (exact integers + one division, same
+    # float ops as _compress with unit weights)
+    idx_in = np.arange(len(v), dtype=np.float64) - np.repeat(
+        gstarts.astype(np.float64), counts
+    )
+    q_mid = (idx_in + 0.5) / np.repeat(counts.astype(np.float64), counts)
+    k_ = delta * (np.arcsin(2.0 * np.clip(q_mid, 0.0, 1.0) - 1.0) / np.pi + 0.5)
+    bucket = np.floor(k_).astype(np.int64)
+    stride = delta + 2  # k in [0, delta] (+1 slack for fp round-up)
+    key = g * stride + bucket
+    uniq, inv2 = np.unique(key, return_inverse=True)
+    wsum = np.bincount(inv2, weights=np.ones(len(v)))
+    msum = np.bincount(inv2, weights=v)
+    means = msum / wsum
+    cent_g = uniq // stride
+    n_cent = np.bincount(cent_g, minlength=n_groups).astype(np.int64)
+    # per-group vmin/vmax from the group-sorted values
+    vmin = np.full(n_groups, np.inf)
+    vmax = np.full(n_groups, -np.inf)
+    nz = np.flatnonzero(counts)
+    if len(nz):
+        vmin[nz] = v[gstarts[nz]]
+        vmax[nz] = v[gstarts[nz] + counts[nz] - 1]
+    offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(32 + 16 * n_cent, out=offsets[1:])
+    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    hp = offsets[:-1]
+    for i, byte in enumerate(MAGIC):
+        data[hp + i] = byte
+    ones = np.ones(n_groups, dtype=np.int64)
+    write_le_flat(data, hp + 4, ones, 4)             # version
+    write_le_flat(data, hp + 8, ones * delta, 4)     # delta
+    write_le_flat(data, hp + 12, n_cent, 4)          # centroid count
+    write_le_flat(data, hp + 16, vmin.view(np.uint64), 8)
+    write_le_flat(data, hp + 24, vmax.view(np.uint64), 8)
+    if len(uniq):
+        rank = segment_ranks(cent_g)
+        mpos = offsets[cent_g] + 32 + 8 * rank
+        wpos = offsets[cent_g] + 32 + 8 * n_cent[cent_g] + 8 * rank
+        write_le_flat(data, mpos, means.view(np.uint64), 8)
+        write_le_flat(data, wpos, wsum.view(np.uint64), 8)
+    return data, offsets
+
+
+def valid_flat(data: np.ndarray, offsets: np.ndarray, delta: int) -> np.ndarray:
+    """Non-raising per-buffer structural validity (merge passthrough
+    probe): magic / version / matching delta / length == 32 + 16*n_c.
+    ``encode(decode(b)) == b`` for every such buffer."""
+    from .sketch_common import read_le_flat
+
+    n = len(offsets) - 1
+    if len(data) < 32:
+        return np.zeros(n, dtype=bool)
+    lens = np.diff(offsets)
+    hp = np.minimum(offsets[:-1], len(data) - 32)
+    ok = lens >= 32
+    for i, byte in enumerate(MAGIC):
+        ok &= data[hp + i] == byte
+    ok &= read_le_flat(data, hp + 4, 4) == 1
+    ok &= read_le_flat(data, hp + 8, 4).astype(np.int64) == delta
+    n_c = read_le_flat(data, hp + 12, 4).astype(np.int64)
+    ok &= lens == 32 + 16 * n_c
+    return ok

@@ -28,13 +28,34 @@ _ELEM = "__pf_elem"
 @dataclass
 class KernelSpec:
     """zero() -> state; update(state, values) -> state (may mutate);
-    merge(list[state]) -> state; encode(state) -> bytes; decode(bytes) -> state."""
+    merge(list[state]) -> state; encode(state) -> bytes; decode(bytes) -> state.
+
+    Optional vectorized hooks (all flat-buffer, zero per-group Python —
+    the machinery that lets per-key sketches survive 10^6+ groups, the
+    same progression the HLL path made in rounds 2-3):
+
+    * ``fold_groups(values, inverse, n_groups) -> (data, offsets)`` —
+      grouped partial fold straight from element values (int64 hashes or
+      float64), used by the high-cardinality direct-emit partial path.
+    * ``merge_groups(data, offsets, group_codes, n_groups) -> (data,
+      offsets)`` — grouped merge of encoded sketches (``group_codes``
+      non-decreasing, all codes present); used by the Arrow merge stage
+      for multi-partial groups. Specs without it fall back to a
+      per-GROUP Python fold over only those groups.
+    * ``valid_flat(data, offsets) -> bool[n]`` — non-raising per-buffer
+      validity, the single-partial passthrough gate of the Arrow merge
+      stage (``encode(decode(b)) == b`` holds for every valid buffer of
+      these formats, so validity alone implies canonical bytes).
+    """
 
     zero: Callable
     update: Callable
     merge: Callable
     encode: Callable
     decode: Callable
+    fold_groups: Callable | None = None
+    merge_groups: Callable | None = None
+    valid_flat: Callable | None = None
 
 
 def cms_spec(depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH) -> KernelSpec:
@@ -48,6 +69,9 @@ def cms_spec(depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH) -> 
         merge=cms.merge,
         encode=cms.encode,
         decode=cms.decode,
+        fold_groups=lambda v, inv, n: cms.fold_groups(v, inv, n, depth, width),
+        merge_groups=lambda d, o, g, n: cms.merge_groups_flat(d, o, g, n, depth, width),
+        valid_flat=lambda d, o: cms.valid_flat(d, o, depth, width),
     )
 
 
@@ -62,6 +86,9 @@ def bloom_spec(m_bits: int = bloom.DEFAULT_BITS, k: int = bloom.DEFAULT_K) -> Ke
         merge=bloom.merge,
         encode=lambda s: bloom.encode(s, k),
         decode=lambda b: bloom.decode(b)[0],
+        fold_groups=lambda v, inv, n: bloom.fold_groups(v, inv, n, m_bits, k),
+        merge_groups=lambda d, o, g, n: bloom.merge_groups_flat(d, o, g, n, m_bits, k),
+        valid_flat=lambda d, o: bloom.valid_flat(d, o, m_bits, k),
     )
 
 
@@ -76,6 +103,8 @@ def kll_spec(k: int = kll.DEFAULT_K) -> KernelSpec:
         merge=kll.merge_all,
         encode=lambda s: s.encode(),
         decode=kll.decode,
+        fold_groups=lambda v, inv, n: kll.fold_groups_level0(v, inv, n, k),
+        valid_flat=lambda d, o: kll.valid_flat(d, o, k),
     )
 
 
@@ -92,6 +121,7 @@ def spacesaving_spec(m: int = 256) -> KernelSpec:
         merge=ss.merge_all,
         encode=lambda s: s.encode(),
         decode=ss.decode,
+        valid_flat=lambda d, o: ss.valid_flat(d, o, m),
     )
 
 
@@ -105,6 +135,9 @@ def kmv_spec(k: int = kmv.DEFAULT_K) -> KernelSpec:
         merge=kmv.merge_all,
         encode=lambda s: s.encode(),
         decode=kmv.decode,
+        fold_groups=lambda v, inv, n: kmv.fold_groups_hashes(v, inv, n, k),
+        merge_groups=lambda d, o, g, n: kmv.merge_groups_flat(d, o, g, n, k),
+        valid_flat=lambda d, o: kmv.valid_flat(d, o, k),
     )
 
 
@@ -119,6 +152,8 @@ def tdigest_spec(delta: int = tdigest.DEFAULT_DELTA) -> KernelSpec:
         merge=tdigest.merge_all,
         encode=lambda s: s.encode(),
         decode=tdigest.decode,
+        fold_groups=lambda v, inv, n: tdigest.fold_groups(v, inv, n, delta),
+        valid_flat=lambda d, o: tdigest.valid_flat(d, o, delta),
     )
 
 
@@ -138,11 +173,33 @@ def sketch_agg(
     spec: KernelSpec,
     by: Sequence[str] = (),
     max_groups_in_flight: int = 2048,
+    direct_emit_groups: int = 4096,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(by..., sketch) via partial (mapInArrow, per-partition accumulation)
-    -> groupBy shuffle -> merge (applyInPandas). ``element`` must evaluate
-    to LONG (pre-hash) or DOUBLE (values) — both cross Arrow as fixed
-    8-byte columns."""
+    -> one shuffle -> merge. ``element`` must evaluate to LONG (pre-hash)
+    or DOUBLE (values) — both cross Arrow as fixed 8-byte columns.
+
+    Scale posture mirrors the HLL operator (hll_agg.py):
+
+    * LOW-cardinality ``by`` (< ``direct_emit_groups`` distinct keys per
+      batch): per-partition cross-batch accumulation — one partial per
+      (partition, group), the shape that keeps shuffle bytes at
+      O(groups x partitions x sketch).
+    * HIGH-cardinality batches with a ``spec.fold_groups`` hook: the
+      whole batch folds to per-group encoded sketches in one vectorized
+      pass (flat buffers, zero per-group Python) and emits directly —
+      the near-unique-key regime where accumulation buys nothing.
+      SpaceSaving has no such hook (object-string summaries) and always
+      accumulates; its merge still benefits from the passthrough below.
+    * ``engine='arrow'`` (default) merge: repartition on the keys (the
+      only Exchange, no per-partition Sort) + a single vectorized pass
+      per partition — validated single-partial groups PASS THROUGH
+      untouched (an Arrow take; at 10^6 near-unique groups that is
+      ~every group), multi-partial groups batch-merge via
+      ``spec.merge_groups`` or, lacking one, a per-GROUP fold over just
+      those groups. ``engine='pandas'`` keeps the r1-era applyInPandas
+      fold (differential-test oracle)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -179,6 +236,27 @@ def sketch_agg(
             values = elem.to_numpy(zero_copy_only=False)
             if by:
                 inverse, first_idx = _group_codes(batch, by)
+                n_groups = len(first_idx)
+                if spec.fold_groups is not None and n_groups >= direct_emit_groups:
+                    # high-cardinality batch: vectorized direct emit
+                    data, offs = spec.fold_groups(values, inverse, n_groups)
+                    if offs[-1] > (1 << 31) - 1:
+                        raise ValueError(
+                            "sketch_agg direct-emit batch exceeds 2GB of "
+                            "sketch bytes; lower spark.sql.execution.arrow."
+                            "maxRecordsPerBatch or the sketch width"
+                        )
+                    sk_arr = pa.Array.from_buffers(
+                        pa.binary(),
+                        n_groups,
+                        [None, pa.py_buffer(offs.astype(np.int32)), pa.py_buffer(data)],
+                    )
+                    take = pa.array(first_idx)
+                    yield pa.record_batch(
+                        [batch.column(c).take(take) for c in by] + [sk_arr],
+                        names=by + [SKETCH_COL],
+                    )
+                    continue
                 order = np.argsort(inverse, kind="stable")
                 sorted_inv = inverse[order]
                 bounds = np.flatnonzero(np.diff(sorted_inv)) + 1
@@ -206,9 +284,44 @@ def sketch_agg(
             yield flush()
 
     partials = pruned.mapInArrow(partial_fn, schema)
+    return sketch_merge(partials, spec, by, engine=engine)
+
+
+def sketch_merge(
+    partials: DataFrame,
+    spec: KernelSpec,
+    by: Sequence[str] = (),
+    sketch_col: str = SKETCH_COL,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Merge partial sketches per group (usable standalone on
+    checkpointed partial tables, like hll_agg.pf_merge)."""
+    by = list(by)
+    schema = StructType(
+        [partials.schema[c] for c in by]
+        + [StructField(SKETCH_COL, BinaryType(), False)]
+    )
+    if engine == "arrow":
+        import pyarrow as pa
+
+        pruned = partials.select(*by, sketch_col)
+        target = (
+            pruned.repartition(*[F.col(c) for c in by]) if by else pruned.repartition(1)
+        )
+
+        def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            got = [b for b in batches if b.num_rows]
+            if not got:
+                return
+            batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
+            yield merge_sketch_batch(batch, by, sketch_col, spec)
+
+        return target.mapInArrow(fn, schema)
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = spec.merge([spec.decode(b) for b in pdf[SKETCH_COL]])
+        merged = spec.merge([spec.decode(b) for b in pdf[sketch_col]])
         head = pdf.iloc[[0]][by].reset_index(drop=True)
         head[SKETCH_COL] = [spec.encode(merged)]
         return head
@@ -221,6 +334,97 @@ def sketch_agg(
         .applyInPandas(merge_fn, schema)
         .select(SKETCH_COL)
     )
+
+
+def merge_sketch_batch(
+    batch: "pa.RecordBatch", keys: list[str], sketch_col: str, spec: KernelSpec
+) -> "pa.RecordBatch":
+    """Merge ALL groups of one Arrow batch (a merge task's partition) in
+    one pass — module-level so tests can drive it directly and assert
+    the no-per-group-Python property by monkeypatching the scalar
+    kernels (which must never run for passthrough/vectorized regimes).
+
+    Same skeleton as hll_agg.merge_record_batch: validated singles pass
+    through via an Arrow ``take`` (these wire formats satisfy
+    ``encode(decode(b)) == b``, so valid implies canonical — no
+    re-encode needed); everything else merges via ``spec.merge_groups``
+    when available, else a per-GROUP Python fold restricted to the
+    multi-partial/invalid groups (at high-cardinality ``by`` that set is
+    ~empty, which is what keeps 10^6-group merges cheap even for the
+    object-state sketches)."""
+    import pyarrow as pa
+
+    from pfutil_spark.operators.hll_agg import _group_codes, _varbin_buffers
+
+    n = batch.num_rows
+    sk = batch.column(sketch_col)
+    if keys:
+        inverse, first_idx = _group_codes(batch, keys)
+        n_groups = len(first_idx)
+    else:
+        inverse = np.zeros(n, dtype=np.int64)
+        first_idx = np.array([0], dtype=np.int64)
+        n_groups = 1
+    counts = np.bincount(inverse, minlength=n_groups)
+    order = np.argsort(inverse, kind="stable")
+    gstarts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+    data, offsets = _varbin_buffers(sk)
+    valid = (
+        spec.valid_flat(data, offsets.astype(np.int64))
+        if spec.valid_flat is not None
+        else np.zeros(n, dtype=bool)
+    )
+    single_row = order[gstarts]
+    passthrough = (counts == 1) & valid[single_row]
+    pass_ids = np.flatnonzero(passthrough)
+    work_ids = np.flatnonzero(~passthrough)
+    arrays = []
+    if len(pass_ids):
+        arrays.append(sk.take(pa.array(single_row[pass_ids])))
+    if len(work_ids):
+        work_row_mask = ~passthrough[inverse[order]]
+        rows = order[work_row_mask]  # group-sorted rows of work groups
+        work_code = np.repeat(
+            np.arange(len(work_ids), dtype=np.int64), counts[work_ids]
+        )
+        wdata, woffs = _varbin_buffers(sk.take(pa.array(rows)))
+        woffs = woffs.astype(np.int64)
+        if spec.merge_groups is not None:
+            mdata, moffs = spec.merge_groups(wdata, woffs, work_code, len(work_ids))
+            if moffs[-1] > (1 << 31) - 1:
+                raise ValueError(
+                    "merged sketch bytes exceed 2GB in one partition; "
+                    "raise spark.sql.shuffle.partitions"
+                )
+            arrays.append(
+                pa.Array.from_buffers(
+                    pa.binary(),
+                    len(work_ids),
+                    [None, pa.py_buffer(moffs.astype(np.int32)), pa.py_buffer(mdata)],
+                )
+            )
+        else:
+            gb = np.flatnonzero(np.diff(work_code, prepend=-1))
+            gends = np.append(gb[1:], len(work_code))
+            outs = []
+            for s, e in zip(gb.tolist(), gends.tolist()):
+                states = [
+                    spec.decode(bytes(wdata[woffs[i] : woffs[i + 1]]))
+                    for i in range(s, e)
+                ]
+                outs.append(spec.encode(spec.merge(states)))
+            arrays.append(pa.array(outs, type=pa.binary()))
+    concat = pa.concat_arrays(
+        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays]
+    )
+    perm = np.empty(n_groups, dtype=np.int64)
+    perm[pass_ids] = np.arange(len(pass_ids))
+    perm[work_ids] = len(pass_ids) + np.arange(len(work_ids))
+    sketch_out = concat.take(pa.array(perm))
+    take = pa.array(first_idx)
+    key_arrays = [batch.column(c).take(take) for c in keys]
+    return pa.record_batch(key_arrays + [sketch_out], names=keys + [SKETCH_COL])
 
 
 # ---------------------------------------------------------------------------
