@@ -96,6 +96,20 @@ def _group_codes(batch: "pa.RecordBatch", by: Sequence[str]) -> tuple[np.ndarray
 LINEAGE_COLS = ("_partition_id", "_rows_seen")
 
 
+def _tiled_binary_array(item: bytes, n: int) -> "pa.Array":
+    """``n`` copies of ``item`` as an Arrow binary array built from ONE
+    tiled buffer — no per-element Python list (the all-empty-group
+    corner of the direct-emit/merge paths must stay vectorized at
+    high cardinality)."""
+    import pyarrow as pa
+
+    b = np.frombuffer(item, dtype=np.uint8)
+    offs = np.arange(n + 1, dtype=np.int32) * np.int32(len(b))
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(np.tile(b, n))]
+    )
+
+
 def pf_partial(
     df: DataFrame,
     element: str,
@@ -450,22 +464,8 @@ def merge_record_batch(
         if n_empty:
             # canonical empty sketches for all-empty groups, built as
             # one tiled buffer (no per-group list)
-            empty_np = np.frombuffer(
-                hll.encode(hll.empty_registers()), dtype=np.uint8
-            )
-            eoffs = (
-                np.arange(n_empty + 1, dtype=np.int32) * np.int32(len(empty_np))
-            )
             arrays.append(
-                pa.Array.from_buffers(
-                    pa.binary(),
-                    n_empty,
-                    [
-                        None,
-                        pa.py_buffer(eoffs),
-                        pa.py_buffer(np.tile(empty_np, n_empty)),
-                    ],
-                )
+                _tiled_binary_array(hll.encode(hll.empty_registers()), n_empty)
             )
     concat = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays])
     perm = np.empty(n_groups, dtype=np.int64)

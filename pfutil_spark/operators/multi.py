@@ -23,6 +23,7 @@ from pfutil_spark.operators.hll_agg import (
     SKETCH_COL,
     _group_codes,
     _out_schema,
+    _tiled_binary_array,
     _varbin_buffers,
     pf_count_col,
     pf_merge,
@@ -116,20 +117,37 @@ def pf_partial_multi(
                                      pa.py_buffer(data)],
                                 )
                             else:
+                                # all-NULL groups get the canonical empty
+                                # sketch via one tiled buffer + a
+                                # permutation take — no per-group Python
+                                # (r3 VERDICT item 2; was an O(n_groups)
+                                # bytes()-slice list comprehension)
                                 remap = np.cumsum(present) - 1
+                                n_present = int(present.sum())
                                 data, offs = hll.encode_groups(
-                                    remap[inv], idx, patlen, int(present.sum())
+                                    remap[inv], idx, patlen, n_present
                                 )
-                                sk_arr = pa.array(
+                                present_arr = pa.Array.from_buffers(
+                                    pa.binary(), n_present,
+                                    [None, pa.py_buffer(offs.astype(np.int32)),
+                                     pa.py_buffer(data)],
+                                )
+                                concat = pa.concat_arrays(
                                     [
-                                        bytes(data[offs[remap[g]] : offs[remap[g] + 1]])
-                                        if present[g] else empty_bytes
-                                        for g in range(n_groups)
-                                    ],
-                                    type=pa.binary(),
+                                        present_arr,
+                                        _tiled_binary_array(
+                                            empty_bytes, n_groups - n_present
+                                        ),
+                                    ]
                                 )
+                                perm = np.empty(n_groups, dtype=np.int64)
+                                perm[present] = np.arange(n_present)
+                                perm[~present] = n_present + np.arange(
+                                    n_groups - n_present
+                                )
+                                sk_arr = concat.take(pa.array(perm))
                         else:
-                            sk_arr = pa.array([empty_bytes] * n_groups, type=pa.binary())
+                            sk_arr = _tiled_binary_array(empty_bytes, n_groups)
                         yield pa.record_batch(
                             key_arrays
                             + [pa.array([e] * n_groups, type=pa.string()), sk_arr],

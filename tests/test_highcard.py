@@ -268,12 +268,16 @@ def test_multi_direct_emit_matches_accumulation(spark):
             F.sha2(F.col("id").cast("string"), 256).alias("e1"),
             # e2 is NULL for a third of rows -> some groups all-NULL
             F.when(F.col("id") % 3 != 0, F.col("id").cast("string")).alias("e2"),
+            # e3 is NULL for 95% of rows -> MOST groups all-NULL (the
+            # r3 VERDICT null-corner: absent groups must take the tiled
+            # empty-buffer path, and byte parity must still hold)
+            F.when(F.col("id") % 20 == 0, F.col("id").cast("string")).alias("e3"),
         )
         .repartition(4)
     )
 
     def merged(direct):
-        p = pf_partial_multi(df, ["e1", "e2"], by=("k",), direct_emit_groups=direct)
+        p = pf_partial_multi(df, ["e1", "e2", "e3"], by=("k",), direct_emit_groups=direct)
         rows = pf_merge(p, ["k", "metric"]).collect()
         return {(r["k"], r["metric"]): bytes(r[SKETCH_COL]) for r in rows}
 
