@@ -417,6 +417,25 @@ def _q_kll_median_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tdigest_tail_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest p95 rank error <= 0.02 per event_type — boolean oracle
+    (the arcsine scale function concentrates centroids at the tails, so
+    p95 is where t-digest beats a uniform-width quantile sketch)."""
+    from pfutil_spark.operators.sketch_agg import tdigest_quantiles_col, tdigest_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    est = tdigest_sketch(ev, "value", by=("event_type",)).select(
+        "event_type", tdigest_quantiles_col([0.95]).alias("q")
+    ).select("event_type", F.col("q")[0].alias("p95_est"))
+    ranked = ev.join(est, "event_type").groupBy("event_type").agg(
+        F.avg((F.col("value") <= F.col("p95_est")).cast("double")).alias("rank_of_est")
+    )
+    return ranked.select(
+        "event_type",
+        (F.abs(F.col("rank_of_est") - 0.95) <= 0.02).alias("within_bound"),
+    )
+
+
 def _q_bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pfutil_spark.operators.sketch_agg import bloom_might_contain_col, bloom_sketch
 
@@ -892,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "cms_within_bound": _q_cms_within_bound,
         "kll_median_bound": _q_kll_median_bound,
+        "tdigest_tail_bound": _q_tdigest_tail_bound,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
@@ -1021,6 +1041,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type"
         ),
         "kll_median_bound": (
+            "SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type"
+        ),
+        "tdigest_tail_bound": (
             "SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type"
         ),
         "bloom_no_false_negatives": (
