@@ -304,6 +304,13 @@ def merge_groups_flat(
     starts = np.flatnonzero(np.diff(ks, prepend=-1))
     sums = np.add.reduceat(cs, starts) if len(ks) else np.zeros(0, dtype=np.int64)
     uk = ks[starts] if len(ks) else ks
+    # counters that cancel to zero (possible only with third-party
+    # negative-count buffers) must be DROPPED, like the scalar encoder's
+    # flatnonzero does — a zero-count sparse entry would be bytes the
+    # canonical encoder never emits
+    nz = sums != 0
+    if not nz.all():
+        uk, sums = uk[nz], sums[nz]
     return encode_groups_items(uk // dw, uk % dw, sums, n_groups, depth, width)
 
 

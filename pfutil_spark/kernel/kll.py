@@ -173,11 +173,12 @@ def fold_groups_level0(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Grouped direct-emit fold for the high-cardinality regime: each
     group's (NaN-filtered) values become a single level-0 buffer —
-    byte-identical to ``KllSketch(k).update(group_values)`` whenever the
-    group fits the level-0 capacity (no compaction fires), and a valid
-    un-compacted sketch otherwise (compaction happens lazily at the next
-    merge/update, exactly as a level-0 overfull in-memory sketch would).
-    Returns flat wire buffers ``(data, offsets)``."""
+    byte-identical to ``KllSketch(k).update(group_values)``. Groups that
+    exceed the level-0 capacity (rare by construction in the near-unique
+    regime, but a skewed key can concentrate a batch) are compacted
+    through the scalar sketch so the emitted buffer never exceeds the
+    O(k log log n) space contract. Returns flat wire buffers
+    ``(data, offsets)``."""
     from .sketch_common import segment_ranks, write_le_flat
 
     v = np.asarray(values, dtype=np.float64)
@@ -187,22 +188,40 @@ def fold_groups_level0(
     order = np.argsort(g, kind="stable")  # within-group original order
     v, g = v[order], g[order]
     counts = np.bincount(g, minlength=n_groups).astype(np.int64)
+    big = counts > max(_MIN_CAP, k)  # level-0 capacity: update would compact
+    enc_big: dict[int, bytes] = {}
+    if big.any():
+        gstarts = np.concatenate(([0], np.cumsum(counts)))
+        for gi in np.flatnonzero(big):
+            sk = KllSketch(k)
+            sk.update(v[gstarts[gi] : gstarts[gi + 1]])
+            enc_big[int(gi)] = sk.encode()
+    row_len = 32 + 8 * counts
+    if enc_big:
+        for gi, b in enc_big.items():
+            row_len[gi] = len(b)
     offsets = np.zeros(n_groups + 1, dtype=np.int64)
-    np.cumsum(32 + 8 * counts, out=offsets[1:])
+    np.cumsum(row_len, out=offsets[1:])
     data = np.zeros(int(offsets[-1]), dtype=np.uint8)
-    hp = offsets[:-1]
+    small = ~big
+    hp = offsets[:-1][small]
     for i, byte in enumerate(MAGIC):
         data[hp + i] = byte
-    ones = np.ones(n_groups, dtype=np.int64)
+    ones = np.ones(int(small.sum()), dtype=np.int64)
+    cs = counts[small]
     write_le_flat(data, hp + 4, ones, 4)            # version
     write_le_flat(data, hp + 8, ones * k, 4)        # k
     write_le_flat(data, hp + 12, ones, 4)           # n_levels = 1
     write_le_flat(data, hp + 16, ones * 0, 4)       # compactions = 0
-    write_le_flat(data, hp + 20, counts, 8)         # n (<i8, nonnegative)
-    write_le_flat(data, hp + 28, counts, 4)         # sizes[0]
-    if len(v):
-        pos = offsets[g] + 32 + 8 * segment_ranks(g)
-        write_le_flat(data, pos, v.view(np.uint64), 8)
+    write_le_flat(data, hp + 20, cs, 8)             # n (<i8, nonnegative)
+    write_le_flat(data, hp + 28, cs, 4)             # sizes[0]
+    vsel = small[g]
+    if vsel.any():
+        gs = g[vsel]
+        pos = offsets[gs] + 32 + 8 * segment_ranks(gs)
+        write_le_flat(data, pos, v[vsel].view(np.uint64), 8)
+    for gi, b in enc_big.items():
+        data[offsets[gi] : offsets[gi] + len(b)] = np.frombuffer(b, dtype=np.uint8)
     return data, offsets
 
 

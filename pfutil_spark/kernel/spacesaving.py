@@ -90,7 +90,11 @@ class SpaceSaving:
         """Truncate candidate (keys, cnts) arrays to the m largest by
         (-count, value) order, updating theta with the max evicted count
         — partition-based: only the count ties straddling the boundary
-        get value-sorted, never the full candidate set."""
+        get value-sorted, never the full candidate set. The kept summary
+        dict is rebuilt in (-count, value) order (a <=m-item sort), so
+        encoded bytes are a pure function of the summary MAP — merge
+        operand order / shuffle arrival cannot leak into checkpointed
+        sketch blobs (r4 review finding)."""
         n_tot = len(keys)
         if n_tot <= self.m:
             kept_idx = np.arange(n_tot)
@@ -110,9 +114,11 @@ class SpaceSaving:
                 kept_idx = np.concatenate(
                     [sure, ties[order[: self.m - len(sure)]]]
                 )
+        kept_k, kept_c = keys[kept_idx], cnts[kept_idx]
+        order = np.lexsort((kept_k.astype("U"), -kept_c))  # (-count, value)
         self.counts = dict(
-            zip(keys[kept_idx].tolist(), cnts[kept_idx].tolist())
-        )  # <= m entries
+            zip(kept_k[order].tolist(), kept_c[order].tolist())
+        )  # <= m entries, canonical order
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
         """Mergeable-summaries combine: absent items contribute the other

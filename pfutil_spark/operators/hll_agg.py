@@ -300,7 +300,13 @@ def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataF
         got = [b for b in batches if b.num_rows]
         if not got:
             return
-        batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
+        try:
+            batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
+        except pa.lib.ArrowInvalid as e:  # int32 binary-offset overflow
+            raise ValueError(
+                "merge partition exceeds 2GB of sketch bytes; raise "
+                "spark.sql.shuffle.partitions"
+            ) from e
         yield merge_record_batch(batch, keys, sketch_col)
 
     return target.mapInArrow(fn, out_schema)

@@ -46,6 +46,12 @@ class KernelSpec:
       validity, the single-partial passthrough gate of the Arrow merge
       stage (``encode(decode(b)) == b`` holds for every valid buffer of
       these formats, so validity alone implies canonical bytes).
+    * ``fold_bytes_bound(n_groups, n_rows) -> int`` — upper bound on the
+      bytes a direct-emit fold would produce for a batch. Direct emit is
+      only taken when this stays under ``DIRECT_EMIT_BYTES_CAP``: a
+      sketch whose size is independent of its row count (Bloom's m/8
+      bit array) would otherwise blow up as n_groups x fixed-size where
+      the accumulation path was fine.
     """
 
     zero: Callable
@@ -56,6 +62,12 @@ class KernelSpec:
     fold_groups: Callable | None = None
     merge_groups: Callable | None = None
     valid_flat: Callable | None = None
+    fold_bytes_bound: Callable | None = None
+
+
+# per-batch output ceiling for the direct-emit fold (well under the 2GB
+# Arrow int32-offset limit, and a sane executor-memory bound)
+DIRECT_EMIT_BYTES_CAP = 1 << 28
 
 
 def cms_spec(depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH) -> KernelSpec:
@@ -72,6 +84,9 @@ def cms_spec(depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH) -> 
         fold_groups=lambda v, inv, n: cms.fold_groups(v, inv, n, depth, width),
         merge_groups=lambda d, o, g, n: cms.merge_groups_flat(d, o, g, n, depth, width),
         valid_flat=lambda d, o: cms.valid_flat(d, o, depth, width),
+        # a group's sparse payload never exceeds its item count (dense is
+        # only chosen when smaller), so rows*depth entries bound the lot
+        fold_bytes_bound=lambda g, n: 20 * g + 12 * depth * n,
     )
 
 
@@ -89,6 +104,9 @@ def bloom_spec(m_bits: int = bloom.DEFAULT_BITS, k: int = bloom.DEFAULT_K) -> Ke
         fold_groups=lambda v, inv, n: bloom.fold_groups(v, inv, n, m_bits, k),
         merge_groups=lambda d, o, g, n: bloom.merge_groups_flat(d, o, g, n, m_bits, k),
         valid_flat=lambda d, o: bloom.valid_flat(d, o, m_bits, k),
+        # bit-array size is row-count-independent: n_groups x m/8 is the
+        # whole story, and the reason the cap gate exists at all
+        fold_bytes_bound=lambda g, n: g * (16 + (m_bits >> 3)),
     )
 
 
@@ -105,6 +123,7 @@ def kll_spec(k: int = kll.DEFAULT_K) -> KernelSpec:
         decode=kll.decode,
         fold_groups=lambda v, inv, n: kll.fold_groups_level0(v, inv, n, k),
         valid_flat=lambda d, o: kll.valid_flat(d, o, k),
+        fold_bytes_bound=lambda g, n: 32 * g + 8 * n,
     )
 
 
@@ -138,6 +157,7 @@ def kmv_spec(k: int = kmv.DEFAULT_K) -> KernelSpec:
         fold_groups=lambda v, inv, n: kmv.fold_groups_hashes(v, inv, n, k),
         merge_groups=lambda d, o, g, n: kmv.merge_groups_flat(d, o, g, n, k),
         valid_flat=lambda d, o: kmv.valid_flat(d, o, k),
+        fold_bytes_bound=lambda g, n: 16 * g + 8 * min(n, g * k),
     )
 
 
@@ -154,6 +174,7 @@ def tdigest_spec(delta: int = tdigest.DEFAULT_DELTA) -> KernelSpec:
         decode=tdigest.decode,
         fold_groups=lambda v, inv, n: tdigest.fold_groups(v, inv, n, delta),
         valid_flat=lambda d, o: tdigest.valid_flat(d, o, delta),
+        fold_bytes_bound=lambda g, n: 32 * g + 16 * min(n, g * (delta + 2)),
     )
 
 
@@ -237,7 +258,15 @@ def sketch_agg(
             if by:
                 inverse, first_idx = _group_codes(batch, by)
                 n_groups = len(first_idx)
-                if spec.fold_groups is not None and n_groups >= direct_emit_groups:
+                if (
+                    spec.fold_groups is not None
+                    and n_groups >= direct_emit_groups
+                    and (
+                        spec.fold_bytes_bound is None
+                        or spec.fold_bytes_bound(n_groups, len(values))
+                        <= DIRECT_EMIT_BYTES_CAP
+                    )
+                ):
                     # high-cardinality batch: vectorized direct emit
                     data, offs = spec.fold_groups(values, inverse, n_groups)
                     if offs[-1] > (1 << 31) - 1:
@@ -315,7 +344,14 @@ def sketch_merge(
             got = [b for b in batches if b.num_rows]
             if not got:
                 return
-            batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
+            try:
+                batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
+            except pa.lib.ArrowInvalid as e:  # int32 binary-offset overflow
+                raise ValueError(
+                    "merge partition exceeds 2GB of sketch bytes; raise "
+                    "spark.sql.shuffle.partitions (or shrink the sketch "
+                    "parameters)"
+                ) from e
             yield merge_sketch_batch(batch, by, sketch_col, spec)
 
         return target.mapInArrow(fn, schema)

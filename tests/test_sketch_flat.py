@@ -250,6 +250,96 @@ class TestArrowEngineSpark:
             sketch_merge(df, kll_spec(100), ["k"]).collect()
 
 
+class TestReviewFindings:
+    """r4 self-review regressions: direct-emit byte cap, KLL space
+    contract, SpaceSaving byte determinism, CMS zero-sum entries."""
+
+    def test_bloom_bound_exceeds_cap_forces_accumulation(self, spark):
+        """Bloom sketch bytes are row-count-independent, so the direct
+        emit must be gated on n_groups x m/8 — with the cap lowered the
+        same query takes the accumulation path and produces identical
+        bytes (OR-merge is exact either way)."""
+        import pfutil_spark.operators.sketch_agg as sa
+
+        df = _mk_df(spark, n=6000, groups=5000)
+        spec = bloom_spec(1 << 10, 5)
+        assert spec.fold_bytes_bound(5000, 6000) == 5000 * (16 + 128)
+        # default bloom_sketch sizing at high-card would be gigabytes:
+        big = bloom_spec(1 << 24, 7)
+        assert big.fold_bytes_bound(4096, 10_000) > sa.DIRECT_EMIT_BYTES_CAP
+        direct = {
+            r["k"]: bytes(r[SKETCH_COL])
+            for r in sketch_agg(df, F.xxhash64("e"), spec, by=("k",), direct_emit_groups=1).collect()
+        }
+        orig = sa.DIRECT_EMIT_BYTES_CAP
+        try:
+            sa.DIRECT_EMIT_BYTES_CAP = 1000  # every batch exceeds it
+            fallback = {
+                r["k"]: bytes(r[SKETCH_COL])
+                for r in sketch_agg(df, F.xxhash64("e"), spec, by=("k",), direct_emit_groups=1).collect()
+            }
+        finally:
+            sa.DIRECT_EMIT_BYTES_CAP = orig
+        assert direct == fallback
+
+    def test_kll_fold_compacts_over_cap_groups(self):
+        """A skewed key that concentrates >k values in one batch must
+        emit the COMPACTED sketch (scalar-update parity), not an
+        unbounded raw level-0 dump."""
+        rng = np.random.default_rng(13)
+        vals = rng.normal(size=6000)
+        inv = np.zeros(6000, dtype=np.int64)
+        inv[:500] = np.arange(500) % 300  # 300 small groups too
+        data, offs = kll.fold_groups_level0(vals, inv, 300, k=200)
+        lens = np.diff(offs)
+        assert lens[0] < 32 + 8 * 1000  # compacted, not ~5500 raw values
+        sk = kll.KllSketch(200)
+        sk.update(vals[inv == 0])
+        assert bytes(data[offs[0] : offs[1]]) == sk.encode()
+        for g in (1, 5, 299):  # small groups: level-0 parity as before
+            sk = kll.KllSketch(200)
+            sk.update(vals[inv == g])
+            assert bytes(data[offs[g] : offs[g + 1]]) == sk.encode()
+
+    def test_spacesaving_merge_bytes_order_independent(self):
+        """Merged summary bytes must be a pure function of the summary
+        map: merge(A,B) == merge(B,A) byte-for-byte even when truncation
+        fires (shuffle arrival order must not leak into checkpoints)."""
+
+        def mk(seed):
+            s = ss.SpaceSaving(32)
+            vals = [f"w{int(v) % 200}" for v in np.random.default_rng(seed).zipf(1.3, 5000)]
+            s.update_batch(np.asarray(vals, dtype=object))
+            return s
+
+        ab = mk(1).merge(mk(2))
+        ba = mk(2).merge(mk(1))
+        assert len(ab.counts) > 0
+        assert ab.counts == ba.counts and ab.theta == ba.theta and ab.n == ba.n
+        assert ab.encode() == ba.encode()
+
+    def test_cms_merge_drops_zero_sum_counters(self):
+        """Third-party buffers may carry negative counts; counters that
+        cancel to zero must be dropped like the scalar encoder does, so
+        arrow == pandas bytes and the output stays canonical."""
+        dw = 3 * 32
+        pos = cms.empty(3, 32)
+        cms.update(pos, np.array([5, 7], dtype=np.int64))
+        neg = -pos  # cancels everything
+        half = cms.empty(3, 32)
+        cms.update(half, np.array([5], dtype=np.int64))
+        bufs = [cms.encode(pos), cms.encode(neg.copy()), cms.encode(half)]
+        # hand-encode the negative state (encode works fine on it: nnz
+        # counts nonzeros regardless of sign)
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        offs = np.concatenate(([0], np.cumsum([len(b) for b in bufs])))
+        md, mo = cms.merge_groups_flat(flat, offs, np.array([0, 0, 0]), 1, 3, 32)
+        expected = cms.encode(cms.merge([cms.decode(b) for b in bufs]))
+        assert bytes(md[mo[0] : mo[1]]) == expected
+        merged = cms.decode(bytes(md[mo[0] : mo[1]]))
+        assert np.array_equal(merged, half)  # pos+neg cancelled
+
+
 class TestNoPerGroupPython:
     """Structural gate: for vectorized specs, merge_sketch_batch must
     never call the scalar kernel entry points — passthrough singles and
