@@ -5,6 +5,14 @@ dump/restore contract; merge = bitwise OR (idempotent, like HLL max).
 
 FPR ~= (1 - e^(-k*n/m))^k; no false negatives. Usable as a broadcast
 semi-join pre-filter (see operators.bloom).
+
+Wire format (canonical encoder, HLL-style dense/sparse split): version 1
+is the raw m/8 bit-array dump; version 2 is a sorted list of set-bit
+indices (u4), emitted whenever strictly smaller (n_set*4 + 4 < m/8).
+Sparse is what makes PER-KEY filters at near-unique-key cardinality
+feasible: a one-element filter sets <= k bits — ~48 bytes sparse vs 2MB
+dense at the default sizing. The encoder is a pure function of the bit
+set, so bytes stay identical across partitionings/merge orders.
 """
 
 from __future__ import annotations
@@ -13,7 +21,16 @@ import math
 
 import numpy as np
 
-from .sketch_common import hash_family, to_u64
+from .sketch_common import (
+    gather_uniform_rows,
+    hash_family,
+    popcount_rows,
+    probe_headers,
+    read_le_flat,
+    segment_ranks,
+    to_u64,
+    write_le_flat,
+)
 
 MAGIC = b"BLMF"
 DEFAULT_BITS = 1 << 20
@@ -34,17 +51,30 @@ def empty(m_bits: int = DEFAULT_BITS) -> np.ndarray:
 
 def _positions(h: np.ndarray, m_bits: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     """(n*k,) bit positions via double hashing h1 + i*h2 (mod m)."""
+    pos = _bit_positions(h, m_bits, k)
+    return (pos >> np.uint64(3)).astype(np.int64), (pos & np.uint64(7)).astype(np.uint8)
+
+
+def _bit_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n*k,) raw uint64 bit positions (i-major: all rows' hash 0 first)."""
     h1 = hash_family(h, 0)
     h2 = hash_family(h, 1) | np.uint64(1)  # odd stride
     mu = np.uint64(m_bits)
     with np.errstate(over="ignore"):
-        pos = np.concatenate([(h1 + np.uint64(i) * h2) % mu for i in range(k)])
-    return (pos >> np.uint64(3)).astype(np.int64), (pos & np.uint64(7)).astype(np.uint8)
+        return np.concatenate([(h1 + np.uint64(i) * h2) % mu for i in range(k)])
 
 
 def update(state: np.ndarray, hashes: np.ndarray, k: int = DEFAULT_K) -> None:
-    byte_idx, bit_idx = _positions(to_u64(np.asarray(hashes)), len(state) << 3, k)
-    np.bitwise_or.at(state, byte_idx, np.uint8(1) << bit_idx)
+    pos = _bit_positions(to_u64(np.asarray(hashes)), len(state) << 3, k)
+    ub = np.unique(pos).astype(np.int64)
+    if len(ub) == 0:
+        return
+    # one OR per destination byte via run-reduceat (np.bitwise_or.at is
+    # an order of magnitude slower at millions of positions)
+    byte = ub >> 3
+    starts = np.flatnonzero(np.diff(byte, prepend=-1))
+    vals = np.uint8(1) << (ub & 7).astype(np.uint8)
+    state[byte[starts]] |= np.bitwise_or.reduceat(vals, starts)
 
 
 def merge(states: list[np.ndarray]) -> np.ndarray:
@@ -67,8 +97,24 @@ def fill_ratio(state: np.ndarray) -> float:
     return float(np.unpackbits(state).mean())
 
 
+def _sparse_eligible(n_set: int | np.ndarray, m_bytes: int):
+    """Encoder rule: sparse iff strictly smaller than the dense dump."""
+    return n_set * 4 + 4 < m_bytes
+
+
 def encode(state: np.ndarray, k: int = DEFAULT_K) -> bytes:
-    head = MAGIC + np.array([1, len(state) << 3, k], dtype="<u4").tobytes()
+    """Canonical encoder: sparse set-bit list (ver 2) when strictly
+    smaller, else the dense bit-array dump (ver 1)."""
+    m_bits = len(state) << 3
+    bits = np.flatnonzero(np.unpackbits(state, bitorder="little"))
+    if _sparse_eligible(len(bits), len(state)):
+        head = MAGIC + np.array([2, m_bits, k], dtype="<u4").tobytes()
+        return (
+            head
+            + np.array([len(bits)], dtype="<u4").tobytes()
+            + bits.astype("<u4").tobytes()
+        )
+    head = MAGIC + np.array([1, m_bits, k], dtype="<u4").tobytes()
     return head + state.tobytes()
 
 
@@ -77,10 +123,32 @@ def decode(buf: bytes) -> tuple[np.ndarray, int]:
     if buf[:4] != MAGIC:
         raise ValueError("Invalid Bloom representation")
     ver, m_bits, k = np.frombuffer(buf, dtype="<u4", count=3, offset=4)
-    if ver != 1:
-        raise ValueError(f"unsupported Bloom version {ver}")
-    state = np.frombuffer(buf, dtype=np.uint8, offset=16, count=int(m_bits) >> 3).copy()
-    return state, int(k)
+    m_bits, k = int(m_bits), int(k)
+    m_bytes = m_bits >> 3
+    if ver == 1:
+        if len(buf) != 16 + m_bytes:
+            raise ValueError("Invalid Bloom representation")
+        state = np.frombuffer(buf, dtype=np.uint8, offset=16, count=m_bytes).copy()
+        return state, k
+    if ver == 2:
+        (n_set,) = np.frombuffer(buf, dtype="<u4", count=1, offset=16)
+        n_set = int(n_set)
+        if len(buf) != 20 + 4 * n_set or not _sparse_eligible(n_set, m_bytes):
+            raise ValueError("Invalid Bloom representation")
+        bits = np.frombuffer(buf, dtype="<u4", count=n_set, offset=20).astype(np.int64)
+        if n_set and ((bits >= m_bits).any() or (bits[1:] <= bits[:-1]).any()):
+            raise ValueError("Invalid Bloom representation")  # unsorted/oob
+        state = np.zeros(m_bytes, dtype=np.uint8)
+        if n_set:
+            # fancy-index |= drops duplicate byte targets (two bits in
+            # one byte) — OR per byte-run instead (bits sorted -> byte
+            # nondecreasing)
+            byte = bits >> 3
+            starts = np.flatnonzero(np.diff(byte, prepend=-1))
+            vals = np.uint8(1) << (bits & 7).astype(np.uint8)
+            state[byte[starts]] = np.bitwise_or.reduceat(vals, starts)
+        return state, k
+    raise ValueError(f"unsupported Bloom version {int(ver)}")
 
 
 # ---------------------------------------------------------------------------
@@ -89,33 +157,57 @@ def decode(buf: bytes) -> tuple[np.ndarray, int]:
 # byte-identical to the scalar update/merge under any partitioning.
 # ---------------------------------------------------------------------------
 
-def encode_groups(states: np.ndarray, m_bits: int, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """(n_groups, m_bits/8) uint8 bit-array stack -> flat wire buffers
-    ``(data, offsets)`` — per-row bytes identical to :func:`encode`."""
-    n_groups, m_bytes = states.shape
-    row_len = 16 + m_bytes
-    out = np.zeros((n_groups, row_len), dtype=np.uint8)
-    out[:, 0:4] = np.frombuffer(MAGIC, dtype=np.uint8)
-    out[:, 4:16] = np.frombuffer(
-        np.array([1, m_bits, k], dtype="<u4").tobytes(), dtype=np.uint8
-    )
-    out[:, 16:] = states
-    offsets = np.arange(n_groups + 1, dtype=np.int64) * row_len
-    return out.reshape(-1), offsets
-
-
-def _or_bits_flat(state_flat: np.ndarray, bit_positions: np.ndarray) -> None:
-    """OR the given global bit positions into a flat uint8 bit array:
-    unique positions, then one ``np.bitwise_or.reduceat`` per run of
-    equal target byte — no ufunc.at, no per-bit Python."""
-    ub = np.unique(bit_positions)
-    if len(ub) == 0:
-        return
-    byte = (ub >> 3).astype(np.int64)
-    vals = (np.uint8(1) << (ub & 7).astype(np.uint8))
-    starts = np.flatnonzero(np.diff(byte, prepend=-1))
-    orred = np.bitwise_or.reduceat(vals, starts)
-    state_flat[byte[starts]] |= orred
+def encode_groups_items(
+    item_g: np.ndarray,
+    item_bit: np.ndarray,
+    n_groups: int,
+    m_bits: int,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical wire encodings for ``n_groups`` filters given their SET
+    BITS as (group, bit) items sorted by (group, bit), bits distinct per
+    group. Sparse groups never materialize a bit array. Per-row bytes
+    identical to :func:`encode`."""
+    m_bytes = m_bits >> 3
+    n_set = np.bincount(item_g, minlength=n_groups).astype(np.int64)
+    sparse_ok = _sparse_eligible(n_set, m_bytes)
+    payload = np.where(sparse_ok, 4 + 4 * n_set, m_bytes)
+    offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(16 + payload, out=offsets[1:])
+    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    hp = offsets[:-1]
+    for i, byte in enumerate(MAGIC):
+        data[hp + i] = byte
+    ones = np.ones(n_groups, dtype=np.int64)
+    write_le_flat(data, hp + 4, np.where(sparse_ok, 2, 1), 4)
+    write_le_flat(data, hp + 8, ones * m_bits, 4)
+    write_le_flat(data, hp + 12, ones * k, 4)
+    sp = np.flatnonzero(sparse_ok)
+    if len(sp):
+        write_le_flat(data, hp[sp] + 16, n_set[sp], 4)
+    ok_item = sparse_ok[item_g]
+    si = np.flatnonzero(ok_item)
+    if len(si):
+        pos = offsets[item_g[si]] + 20 + 4 * segment_ranks(item_g[si])
+        write_le_flat(data, pos, item_bit[si], 4)
+    dn = np.flatnonzero(~sparse_ok)
+    if len(dn):
+        remap = np.cumsum(~sparse_ok) - 1  # group -> dense row
+        di = np.flatnonzero(~ok_item)
+        rows = remap[item_g[di]]
+        bits = item_bit[di]
+        byte = bits >> 3
+        val = np.uint8(1) << (bits & 7).astype(np.uint8)
+        # (row, byte) key is nondecreasing (items sorted by group, bit)
+        key = rows * m_bytes + byte
+        starts = np.flatnonzero(np.diff(key, prepend=-1))
+        orred = np.bitwise_or.reduceat(val, starts) if len(key) else val
+        mat = np.zeros((len(dn), m_bytes), dtype=np.uint8)
+        if len(key):
+            mat.reshape(-1)[key[starts]] = orred
+        posm = offsets[dn][:, None] + 16 + np.arange(m_bytes, dtype=np.int64)[None, :]
+        data[posm] = mat
+    return data, offsets
 
 
 def fold_groups(
@@ -125,30 +217,27 @@ def fold_groups(
     m_bits: int = DEFAULT_BITS,
     k: int = DEFAULT_K,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Grouped Bloom fold: all k bit positions of all rows, offset into a
-    per-group global bit space, OR'd in one pass."""
+    """Grouped Bloom fold, sparse-native: unique (group, bit) pairs from
+    all k positions of all rows — memory O(rows x k), NOT
+    O(groups x m/8)."""
     h = to_u64(np.asarray(hashes))
     g = np.asarray(inverse, dtype=np.int64)
-    h1 = hash_family(h, 0)
-    h2 = hash_family(h, 1) | np.uint64(1)
-    mu = np.uint64(m_bits)
-    with np.errstate(over="ignore"):
-        pos = np.concatenate([(h1 + np.uint64(i) * h2) % mu for i in range(k)])
-    gbit = np.tile(g, k) * np.int64(m_bits) + pos.astype(np.int64)
-    state = np.zeros((n_groups, m_bits >> 3), dtype=np.uint8)
-    _or_bits_flat(state.reshape(-1), gbit)
-    return encode_groups(state, m_bits, k)
+    pos = _bit_positions(h, m_bits, k).astype(np.int64)
+    ub = np.unique(np.tile(g, k) * np.int64(m_bits) + pos)
+    return encode_groups_items(
+        ub // m_bits, ub % m_bits, n_groups, m_bits, k
+    )
 
 
-def _decode_stack(
+def _items_flat(
     data: np.ndarray, offsets: np.ndarray, m_bits: int, k: int
-) -> np.ndarray:
-    """Validated flat parse of uniform Bloom buffers -> (n, m/8) uint8."""
-    from .sketch_common import gather_uniform_rows, read_le_flat
-
+) -> tuple[np.ndarray, np.ndarray]:
+    """Validated flat parse of many Bloom buffers (dense v1 and sparse
+    v2 mixed) -> set-bit items ``(row_seg, bit)`` sorted by (row, bit)."""
     n = len(offsets) - 1
     m_bytes = m_bits >> 3
-    if (np.diff(offsets) != 16 + m_bytes).any():
+    lens = np.diff(offsets)
+    if (lens < 16).any():
         raise ValueError("Invalid Bloom representation")
     hp = offsets[:-1]
     ok = np.ones(n, dtype=bool)
@@ -157,13 +246,50 @@ def _decode_stack(
     if not ok.all():
         raise ValueError("Invalid Bloom representation")
     ver = read_le_flat(data, hp + 4, 4)
-    if (ver != 1).any():
-        raise ValueError(f"unsupported Bloom version {int(ver[ver != 1][0])}")
+    if ((ver != 1) & (ver != 2)).any():
+        bad = ver[(ver != 1) & (ver != 2)][0]
+        raise ValueError(f"unsupported Bloom version {int(bad)}")
     mm = read_le_flat(data, hp + 8, 4)
     kk = read_le_flat(data, hp + 12, 4)
     if (mm != m_bits).any() or (kk != k).any():
         raise ValueError("Invalid Bloom representation")  # param mismatch
-    return gather_uniform_rows(data, hp + 16, m_bytes)
+    seg_parts, bit_parts = [], []
+    dn = np.flatnonzero(ver == 1)
+    if len(dn):
+        if (lens[dn] != 16 + m_bytes).any():
+            raise ValueError("Invalid Bloom representation")
+        mats = gather_uniform_rows(data, hp[dn] + 16, m_bytes)
+        unpacked = np.unpackbits(mats, axis=1, bitorder="little")
+        r_idx, b_idx = np.nonzero(unpacked)
+        seg_parts.append(dn[r_idx])
+        bit_parts.append(b_idx.astype(np.int64))
+    sp = np.flatnonzero(ver == 2)
+    if len(sp):
+        if (lens[sp] < 20).any():
+            raise ValueError("Invalid Bloom representation")
+        n_set = read_le_flat(data, hp[sp] + 16, 4).astype(np.int64)
+        if (lens[sp] != 20 + 4 * n_set).any() or (
+            ~_sparse_eligible(n_set, m_bytes)
+        ).any():
+            raise ValueError("Invalid Bloom representation")
+        seg = np.repeat(np.arange(len(sp), dtype=np.int64), n_set)
+        bits = read_le_flat(
+            data, offsets[sp][seg] + 20 + 4 * segment_ranks(seg), 4
+        ).astype(np.int64)
+        if len(bits):
+            bad = bits >= m_bits
+            bad[1:] |= (seg[1:] == seg[:-1]) & (bits[1:] <= bits[:-1])
+            if bad.any():
+                raise ValueError("Invalid Bloom representation")
+        seg_parts.append(sp[seg])
+        bit_parts.append(bits)
+    if not seg_parts:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e
+    seg = np.concatenate(seg_parts)
+    bit = np.concatenate(bit_parts)
+    order = np.lexsort((bit, seg))
+    return seg[order], bit[order]
 
 
 def merge_groups_flat(
@@ -175,30 +301,51 @@ def merge_groups_flat(
     k: int = DEFAULT_K,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Grouped Bloom merge (``group_codes`` non-decreasing, all codes
-    present): one ``np.bitwise_or.reduceat`` over the stacked arrays."""
-    mats = _decode_stack(data, offsets, m_bits, k)
-    g = np.asarray(group_codes, dtype=np.int64)
-    starts = np.flatnonzero(np.diff(g, prepend=-1))
-    orred = np.bitwise_or.reduceat(mats, starts, axis=0)
-    return encode_groups(orred, m_bits, k)
+    present): the union of set bits per group — one np.unique over
+    (group, bit) keys, sparse-native end to end."""
+    seg, bit = _items_flat(data, offsets, m_bits, k)
+    g = np.asarray(group_codes, dtype=np.int64)[seg]
+    ub = np.unique(g * np.int64(m_bits) + bit)
+    return encode_groups_items(ub // m_bits, ub % m_bits, n_groups, m_bits, k)
 
 
 def valid_flat(
     data: np.ndarray, offsets: np.ndarray, m_bits: int, k: int
 ) -> np.ndarray:
-    """Non-raising per-buffer validity (merge passthrough probe). Any
-    valid Bloom buffer is canonical (direct bit-array dump)."""
-    from .sketch_common import read_le_flat
-
-    n = len(offsets) - 1
-    if len(data) < 16:
-        return np.zeros(n, dtype=bool)
-    lens = np.diff(offsets)
-    hp = np.minimum(offsets[:-1], len(data) - 16)
-    ok = lens == 16 + (m_bits >> 3)
-    for i, byte in enumerate(MAGIC):
-        ok &= data[hp + i] == byte
-    ok &= read_le_flat(data, hp + 4, 4) == 1
+    """Non-raising per-buffer validity AND canonicality (merge
+    passthrough probe): dense (v1) buffers must NOT be sparse-eligible,
+    sparse (v2) buffers must be structurally sound — so a passthrough
+    single's bytes always equal what :func:`encode` emits for its bit
+    set, and merge bytes never depend on partition placement."""
+    m_bytes = m_bits >> 3
+    ok, hp, lens = probe_headers(data, offsets, MAGIC, 16)
+    if not ok.any():
+        return ok
+    ver = read_le_flat(data, hp + 4, 4)
+    ok &= (ver == 1) | (ver == 2)
     ok &= read_le_flat(data, hp + 8, 4) == m_bits
     ok &= read_le_flat(data, hp + 12, 4) == k
+    dn = np.flatnonzero(ok & (ver == 1))
+    ok[dn] &= lens[dn] == 16 + m_bytes
+    dn = np.flatnonzero(ok & (ver == 1))
+    if len(dn):
+        n_set_d = popcount_rows(gather_uniform_rows(data, offsets[dn] + 16, m_bytes))
+        ok[dn[_sparse_eligible(n_set_d, m_bytes)]] = False  # encode -> v2
+    sp = np.flatnonzero(ok & (ver == 2))
+    ok[sp] &= lens[sp] >= 20
+    sp = np.flatnonzero(ok & (ver == 2))
+    if len(sp):
+        n_set = read_le_flat(data, offsets[sp] + 16, 4).astype(np.int64)
+        good = (lens[sp] == 20 + 4 * n_set) & _sparse_eligible(n_set, m_bytes)
+        ok[sp[~good]] = False
+        rows = sp[good]
+        if len(rows):
+            seg = np.repeat(np.arange(len(rows), dtype=np.int64), n_set[good])
+            bits = read_le_flat(
+                data, offsets[rows][seg] + 20 + 4 * segment_ranks(seg), 4
+            ).astype(np.int64)
+            bad = bits >= m_bits
+            if len(bits) > 1:
+                bad[1:] |= (seg[1:] == seg[:-1]) & (bits[1:] <= bits[:-1])
+            ok[rows[np.unique(seg[bad])]] = False
     return ok

@@ -324,17 +324,17 @@ def valid_flat(
     structurally sound (sorted in-range indices, no zero counts, under
     the eligibility bound). Anything else re-routes to the work path so
     pf-style merge bytes never depend on partition placement."""
-    from .sketch_common import gather_uniform_rows, read_le_flat, segment_ranks
+    from .sketch_common import (
+        gather_uniform_rows,
+        probe_headers,
+        read_le_flat,
+        segment_ranks,
+    )
 
-    n = len(offsets) - 1
     dw = depth * width
-    if len(data) < 16:
-        return np.zeros(n, dtype=bool)
-    lens = np.diff(offsets)
-    hp = np.minimum(offsets[:-1], len(data) - 16)
-    ok = lens >= 16
-    for i, byte in enumerate(MAGIC):
-        ok &= data[hp + i] == byte
+    ok, hp, lens = probe_headers(data, offsets, MAGIC, 16)
+    if not ok.any():
+        return ok
     ver = read_le_flat(data, hp + 4, 4)
     ok &= (ver == 1) | (ver == 2)
     ok &= read_le_flat(data, hp + 8, 4) == depth

@@ -230,16 +230,11 @@ def valid_flat(data: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
     probe): magic / version / matching k / level-size bookkeeping
     consistent with the buffer length. ``encode(decode(b)) == b`` for
     every structurally valid buffer, so validity gates passthrough."""
-    from .sketch_common import read_le_flat, segment_ranks
+    from .sketch_common import probe_headers, read_le_flat, segment_ranks
 
-    n = len(offsets) - 1
-    if len(data) < 32:
-        return np.zeros(n, dtype=bool)
-    lens = np.diff(offsets)
-    hp = np.minimum(offsets[:-1], len(data) - 32)
-    ok = lens >= 32
-    for i, byte in enumerate(MAGIC):
-        ok &= data[hp + i] == byte
+    ok, hp, lens = probe_headers(data, offsets, MAGIC, 32)
+    if not ok.any():
+        return ok
     ok &= read_le_flat(data, hp + 4, 4) == 1
     ok &= read_le_flat(data, hp + 8, 4).astype(np.int64) == k
     nlv = read_le_flat(data, hp + 12, 4).astype(np.int64)

@@ -226,14 +226,11 @@ def valid_flat(data: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:
     checks as :func:`entries_flat`, returned as a bool mask. Any valid
     KMV buffer is canonical (the encoding is a direct dump of the sorted
     distinct entry set), so validity alone gates passthrough."""
-    n = len(offsets) - 1
-    if len(data) < 16:
-        return np.zeros(n, dtype=bool)
-    lens = np.diff(offsets)
-    hp = np.minimum(offsets[:-1], len(data) - 16)
-    ok = lens >= 16
-    for i, byte in enumerate(MAGIC):
-        ok &= data[hp + i] == byte
+    from .sketch_common import probe_headers
+
+    ok, hp, lens = probe_headers(data, offsets, MAGIC, 16)
+    if not ok.any():
+        return ok
     ok &= read_le_flat(data, hp + 4, 4) == 1
     ok &= read_le_flat(data, hp + 8, 4).astype(np.int64) == k
     nn = read_le_flat(data, hp + 12, 4).astype(np.int64)

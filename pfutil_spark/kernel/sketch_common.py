@@ -85,3 +85,35 @@ def gather_uniform_rows(data: np.ndarray, starts: np.ndarray, row_len: int) -> n
     """Gather equal-length byte windows ``[starts[i], starts[i]+row_len)``
     into an (n, row_len) uint8 matrix (one fancy-index gather)."""
     return data[starts[:, None] + np.arange(row_len, dtype=np.int64)[None, :]]
+
+
+def probe_headers(
+    data: np.ndarray, offsets: np.ndarray, magic: bytes, min_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared prologue of every kernel's non-raising header probe:
+    ``(ok, hp, lens)`` where ``ok`` holds the magic + minimum-length
+    verdict and ``hp`` is the out-of-bounds-safe header position per
+    window (clamped for short trailing windows, which are already
+    ``ok=False``). Callers must bail out when ``not ok.any()`` BEFORE
+    reading header fields (the whole-buffer-too-short case returns
+    zeroed ``hp`` that must not be dereferenced), then AND in their
+    version/param/length checks."""
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    if len(data) < min_len:
+        return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.int64), lens
+    hp = np.minimum(offsets[:-1], len(data) - min_len)
+    ok = lens >= min_len
+    for i, byte in enumerate(magic):
+        ok &= data[hp + i] == byte
+    return ok, hp, lens
+
+
+_POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.int64)
+
+
+def popcount_rows(mat: np.ndarray) -> np.ndarray:
+    """Set-bit count per row of a uint8 matrix (LUT, no unpackbits blowup)."""
+    return _POPCOUNT[mat].sum(axis=1)

@@ -195,16 +195,11 @@ def valid_flat(data: np.ndarray, offsets: np.ndarray, m: int) -> np.ndarray:
     (multi-partial groups still fully decode and raise). Our own
     partials are always well-formed; this is the documented trade for
     zero per-group Python on the passthrough path."""
-    from .sketch_common import read_le_flat
+    from .sketch_common import probe_headers, read_le_flat
 
-    n = len(offsets) - 1
-    if len(data) < 16:
-        return np.zeros(n, dtype=bool)
-    lens = np.diff(offsets)
-    hp = np.minimum(offsets[:-1], len(data) - 16)
-    ok = lens >= 16
-    for i, byte in enumerate(MAGIC):
-        ok &= data[hp + i] == byte
+    ok, hp, lens = probe_headers(data, offsets, MAGIC, 16)
+    if not ok.any():
+        return ok
     ok &= read_le_flat(data, hp + 4, 4) == 1
     ok &= read_le_flat(data, hp + 8, 4).astype(np.int64) == m
     plen = read_le_flat(data, hp + 12, 4).astype(np.int64)

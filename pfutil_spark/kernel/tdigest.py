@@ -196,16 +196,11 @@ def valid_flat(data: np.ndarray, offsets: np.ndarray, delta: int) -> np.ndarray:
     """Non-raising per-buffer structural validity (merge passthrough
     probe): magic / version / matching delta / length == 32 + 16*n_c.
     ``encode(decode(b)) == b`` for every such buffer."""
-    from .sketch_common import read_le_flat
+    from .sketch_common import probe_headers, read_le_flat
 
-    n = len(offsets) - 1
-    if len(data) < 32:
-        return np.zeros(n, dtype=bool)
-    lens = np.diff(offsets)
-    hp = np.minimum(offsets[:-1], len(data) - 32)
-    ok = lens >= 32
-    for i, byte in enumerate(MAGIC):
-        ok &= data[hp + i] == byte
+    ok, hp, lens = probe_headers(data, offsets, MAGIC, 32)
+    if not ok.any():
+        return ok
     ok &= read_le_flat(data, hp + 4, 4) == 1
     ok &= read_le_flat(data, hp + 8, 4).astype(np.int64) == delta
     n_c = read_le_flat(data, hp + 12, 4).astype(np.int64)

@@ -104,9 +104,10 @@ def bloom_spec(m_bits: int = bloom.DEFAULT_BITS, k: int = bloom.DEFAULT_K) -> Ke
         fold_groups=lambda v, inv, n: bloom.fold_groups(v, inv, n, m_bits, k),
         merge_groups=lambda d, o, g, n: bloom.merge_groups_flat(d, o, g, n, m_bits, k),
         valid_flat=lambda d, o: bloom.valid_flat(d, o, m_bits, k),
-        # bit-array size is row-count-independent: n_groups x m/8 is the
-        # whole story, and the reason the cap gate exists at all
-        fold_bytes_bound=lambda g, n: g * (16 + (m_bits >> 3)),
+        # sparse v2 wire: a group costs min(dense, 20 + 4*set_bits), and
+        # dense is only picked when smaller — so 20*g + 4*k*rows bounds
+        # the whole batch (row-scaled; the cap still guards pathology)
+        fold_bytes_bound=lambda g, n: 20 * g + 4 * k * n,
     )
 
 

@@ -254,19 +254,22 @@ class TestReviewFindings:
     """r4 self-review regressions: direct-emit byte cap, KLL space
     contract, SpaceSaving byte determinism, CMS zero-sum entries."""
 
-    def test_bloom_bound_exceeds_cap_forces_accumulation(self, spark):
-        """Bloom sketch bytes are row-count-independent, so the direct
-        emit must be gated on n_groups x m/8 — with the cap lowered the
-        same query takes the accumulation path and produces identical
-        bytes (OR-merge is exact either way)."""
+    def test_bloom_bound_and_cap_fallback_parity(self, spark):
+        """The direct emit is gated on a per-spec byte bound (r4 review
+        finding: pre-sparse-wire, per-key Bloom at default sizing would
+        have allocated n_groups x m/8 = gigabytes). With the sparse v2
+        wire the bound is row-scaled — and when the cap DOES trip, the
+        accumulation path produces identical bytes (OR-merge is exact
+        either way)."""
         import pfutil_spark.operators.sketch_agg as sa
 
         df = _mk_df(spark, n=6000, groups=5000)
         spec = bloom_spec(1 << 10, 5)
-        assert spec.fold_bytes_bound(5000, 6000) == 5000 * (16 + 128)
-        # default bloom_sketch sizing at high-card would be gigabytes:
+        # row-scaled: 20/group + 4 bytes per (row, hash) — independent
+        # of m, so default-m per-key filters direct-emit fine
+        assert spec.fold_bytes_bound(5000, 6000) == 20 * 5000 + 4 * 5 * 6000
         big = bloom_spec(1 << 24, 7)
-        assert big.fold_bytes_bound(4096, 10_000) > sa.DIRECT_EMIT_BYTES_CAP
+        assert big.fold_bytes_bound(4096, 10_000) < sa.DIRECT_EMIT_BYTES_CAP
         direct = {
             r["k"]: bytes(r[SKETCH_COL])
             for r in sketch_agg(df, F.xxhash64("e"), spec, by=("k",), direct_emit_groups=1).collect()
@@ -476,13 +479,43 @@ class TestNoPerGroupPython:
         o2 = merge_sketch_batch(split, ["k"], SKETCH_COL, spec).column(SKETCH_COL)[0].as_py()
         assert o1 == o2 == cms.encode(st)
 
+    def test_bloom_sparse_wire(self):
+        """Sparse (v2) Bloom encoding: canonical-iff-strictly-smaller,
+        roundtrip stability, duplicate-byte scatter, and the passthrough
+        probe rejecting dense-but-eligible bytes."""
+        rng = np.random.default_rng(15)
+        few = bloom.empty(1 << 20)
+        bloom.update(few, rng.integers(-(2**63), 2**63 - 1, 2, dtype=np.int64), 7)
+        many = bloom.empty(1 << 12)
+        bloom.update(many, rng.integers(-(2**63), 2**63 - 1, 50_000, dtype=np.int64), 5)
+        bf, bm = bloom.encode(few, 7), bloom.encode(many, 5)
+        assert bf[4] == 2 and len(bf) < 100        # sparse, tiny at default m
+        assert bm[4] == 1 and len(bm) == 16 + (1 << 9)  # dense dump
+        for b, st in ((bf, few), (bm, many)):
+            assert np.array_equal(bloom.decode(b)[0], st)
+            assert bloom.encode(*bloom.decode(b)) == b
+        # two bits in ONE byte must survive the v2 decode scatter
+        st = bloom.empty(1 << 10)
+        st[3] = 0b10000001  # bits 24 and 31
+        b = bloom.encode(st, 5)
+        assert b[4] == 2
+        assert np.array_equal(bloom.decode(b)[0], st)
+        # dense bytes for a sparse-eligible state: decodable, NOT canonical
+        one = bloom.empty(1 << 10)
+        bloom.update(one, np.array([5], dtype=np.int64), 5)
+        nc = bloom.MAGIC + np.array([1, 1 << 10, 5], dtype="<u4").tobytes() + one.tobytes()
+        flat = np.frombuffer(nc, dtype=np.uint8)
+        assert np.array_equal(bloom.decode(nc)[0], one)
+        assert not bloom.valid_flat(flat, np.array([0, len(nc)]), 1 << 10, 5).any()
+
     def test_near_unique_1m_gate_fresh_jvm(self):
-        """VERDICT r3 done-criterion: kmv_sketch / cms_sketch (DEFAULT
-        CMS width — feasible only because of the sparse wire format)
-        at 1M rows / 900k near-unique groups within ~3x of the low-card
-        case. Fresh JVM via tools/sketch_highcard_gate.py (the shared
-        test session measures GC archaeology — see tools/highcard_gate
-        rationale); A-B-A low-card timing + one retry for noise bursts."""
+        """VERDICT r3 done-criterion: kmv / cms / bloom sketches (CMS at
+        the DEFAULT width, Bloom at the default 1M-key sizing — feasible
+        only because of the sparse wire formats) at 1M rows / 900k
+        near-unique groups within ~3x of the low-card case. Fresh JVM
+        via tools/sketch_highcard_gate.py (the shared test session
+        measures GC archaeology — see tools/highcard_gate rationale);
+        A-B-A low-card timing + one retry for noise bursts."""
         import json
         import os
         import subprocess
@@ -493,16 +526,17 @@ class TestNoPerGroupPython:
             "tools",
             "sketch_highcard_gate.py",
         )
+        kinds = ("kmv", "cms", "bloom")
         for _ in range(2):
             out = subprocess.run(
                 [sys.executable, gate], capture_output=True, text=True, timeout=1800
             )
             assert out.returncode == 0, out.stderr[-2000:]
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            for kind in ("kmv", "cms"):
+            for kind in kinds:
                 assert r[kind]["g_lo"] == 17
                 assert r[kind]["g_hi"] == 900_000
-            if all(r[k]["t_hi"] <= 3.0 * r[k]["t_lo"] + 4.0 for k in ("kmv", "cms")):
+            if all(r[k]["t_hi"] <= 3.0 * r[k]["t_lo"] + 4.0 for k in kinds):
                 break
         else:
             raise AssertionError(f"sketch high-card gate failed twice: {r}")

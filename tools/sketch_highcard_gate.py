@@ -30,7 +30,12 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from pfutil_spark.operators.sketch_agg import SKETCH_COL, cms_sketch, kmv_sketch
+    from pfutil_spark.operators.sketch_agg import (
+        SKETCH_COL,
+        bloom_sketch,
+        cms_sketch,
+        kmv_sketch,
+    )
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -63,6 +68,10 @@ def main() -> None:
     def build(kind: str, df, by):
         if kind == "kmv":
             return kmv_sketch(df, "elem", by=by, k=2048)
+        if kind == "bloom":
+            # default sizing (expected_n=1M -> m=2^24): feasible per-key
+            # only because of the sparse v2 wire (~70B/near-empty filter)
+            return bloom_sketch(df, "elem", by=by, expected_n=1_000_000)
         return cms_sketch(df, "elem", by=by)  # DEFAULT depth=5, width=2048
 
     def once(kind: str, n: int, by):
@@ -75,7 +84,7 @@ def main() -> None:
         return round(time.time() - t0, 2), int(row["g"]), int(row["b"])
 
     out = {}
-    for kind in ("kmv", "cms"):
+    for kind in ("kmv", "cms", "bloom"):
         once(kind, 100_000, ("lang",))     # warm both shapes
         once(kind, 100_000, ("commit",))
         t_lo_a, g_lo, _ = once(kind, N, ("lang",))
