@@ -5,3 +5,6 @@ from pfutil_spark.streaming.hll_stream import (  # noqa: F401
     streaming_session_counts,
     streaming_windowed_distinct,
 )
+from pfutil_spark.streaming.sketch_stream import (  # noqa: F401
+    streaming_quantiles_with_state,
+)

@@ -353,6 +353,42 @@ class TestAsofAndSessions:
         for k, x in exact.items():
             assert abs(got[k] - x) <= max(1, round(3 * 0.008125 * x)), (k, got[k], x)
 
+    def test_streaming_quantiles_with_state(self, spark, tmp_path):
+        """Running per-key quantiles with a t-digest GroupState: the
+        final emitted row per key (max n) must match the exact
+        percentiles within rank error, and n must be exact."""
+        import numpy as np
+
+        from pfutil_spark.streaming import streaming_quantiles_with_state
+
+        ev = _events(spark).select("event_type", "value")
+        src = tmp_path / "q_src"
+        ev.write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        out = streaming_quantiles_with_state(stream, "value", ["event_type"], qs=(0.5, 0.95))
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("sqws_out")
+            .option("checkpointLocation", str(tmp_path / "qck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER ("
+            " PARTITION BY event_type ORDER BY n DESC) rn FROM sqws_out)"
+            " WHERE rn = 1"
+        ).collect()
+        pdf = ev.toPandas()
+        assert len(rows) == pdf["event_type"].nunique()
+        for r in rows:
+            vals = pdf[pdf["event_type"] == r["event_type"]]["value"].dropna().to_numpy()
+            assert r["n"] == len(vals)
+            for qq, est in zip((0.5, 0.95), r["quantiles"]):
+                true_rank = float(np.mean(vals <= est))
+                assert abs(true_rank - qq) <= 0.05, (r["event_type"], qq, est, true_rank)
+
 
 class TestCube:
     def test_cube_covers_all_subsets_within_bound(self, spark):
