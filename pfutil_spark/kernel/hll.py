@@ -813,7 +813,52 @@ def _gather_segments(
     return data[gather], pstarts
 
 
+# 128KB payload per block: the scan's temporaries run ~25x the payload,
+# so blocks this size keep the whole working set ~3MB — resident in CPU
+# cache and (since glibc only recycles freed mmap'd blocks up to ~32MB
+# into the arena) in warm, reused memory. Measured on this host: flat
+# ~0.5s per 17MB of opcodes vs 0.5-14s random spikes at monolithic
+# sizes (first-touch faults at ~0.12GB/s, NOTES.md), and concurrent
+# merge tasks additionally contend for DRAM bandwidth that cache-sized
+# blocks sidestep. Chunk-count python overhead is ~25 numpy calls per
+# block — noise.
+_SCAN_CHUNK_BYTES = 1 << 17
+
+
 def _sparse_scan_flat(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Chunking wrapper around :func:`_sparse_scan_block`: windows are
+    processed in blocks of ~4MB payload (split on window boundaries) and
+    the per-opcode/per-segment outputs concatenated. Why: the block scan
+    allocates ~20-30x its payload in temporaries, and on this host fresh
+    first-touch pages fault at ~0.12GB/s (NOTES.md) — a monolithic scan
+    over tens of MB of opcodes randomly costs 10-20x its warm-arena
+    time (measured 0.5s vs 9-14s on identical input), while bounded
+    blocks reuse the arena and stay flat. Output is identical."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n_seg = len(starts)
+    lens = ends - starts
+    if n_seg <= 1 or int(lens.sum()) <= _SCAN_CHUNK_BYTES:
+        return _sparse_scan_block(data, starts, ends)
+    cum = np.cumsum(lens) - lens
+    bnds = np.flatnonzero(np.diff(cum // _SCAN_CHUNK_BYTES, prepend=-1))
+    bnds = np.append(bnds, n_seg)
+    parts = [
+        _sparse_scan_block(data, starts[a:b], ends[a:b])
+        for a, b in zip(bnds[:-1], bnds[1:])  # loop over BLOCKS, not segments
+    ]
+    seg_off = bnds[:-1]
+    return (
+        np.concatenate([p[0] + off for p, off in zip(parts, seg_off)]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+        np.concatenate([p[3] for p in parts]),
+        np.concatenate([p[4] for p in parts]),
+        np.concatenate([p[5] for p in parts]),
+    )
+
+
+def _sparse_scan_block(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     """Classify every opcode of every sparse payload window in one pass.
 
     The opcode stream's only sequential dependency is "is this byte an

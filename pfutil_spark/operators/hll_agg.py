@@ -95,6 +95,23 @@ def _group_codes(batch: "pa.RecordBatch", by: Sequence[str]) -> tuple[np.ndarray
 
 LINEAGE_COLS = ("_partition_id", "_rows_seen")
 
+# merge-stage strategy knobs: a work group is HEAVY (matrix max-reduceat)
+# when it has any dense partial or at least this many sparse items;
+# heavy chunks cap their register-matrix allocation at this many bytes.
+# The budget is deliberately SMALL (64 matrix rows): unpack_dense's
+# temporaries run ~230KB per row, glibc only recycles freed mmap'd
+# blocks up to ~32MB back into the arena, and this host faults fresh
+# pages at ~0.12GB/s (NOTES.md) — bounded chunks keep every merge
+# task's working set in warm, reused memory
+_HEAVY_ITEMS = 4096
+_MATRIX_BUDGET = 1 << 20
+
+
+def _segment_positions(sorted_codes: np.ndarray) -> np.ndarray:
+    from pfutil_spark.kernel.sketch_common import segment_ranks
+
+    return segment_ranks(sorted_codes)
+
 
 def _tiled_binary_array(item: bytes, n: int) -> "pa.Array":
     """``n`` copies of ``item`` as an Arrow binary array built from ONE
@@ -408,10 +425,20 @@ def merge_record_batch(
     if len(work_ids):
         work_row_mask = ~passthrough[inverse[order]]
         rows = order[work_row_mask]  # group-sorted rows of work groups
-        # sparse-native merge: parse ALL partials to (group, reg, val)
-        # items with the flat opcode scanner and fold every work group
-        # at once through encode_groups — zero per-group Python, no
-        # dense register matrices for sparse inputs
+        # Two complementary vectorized merge strategies, chosen PER
+        # GROUP (zero per-group Python either way):
+        # * LIGHT groups (all-sparse, few items): parse partials to
+        #   (group, reg, val) items with the flat opcode scanner and
+        #   fold through encode_groups — the near-unique long tail,
+        #   where materializing 16KB register rows would be a 1000x
+        #   memory blowup.
+        # * HEAVY groups (any dense partial, or >= _HEAVY_ITEMS sparse
+        #   items): stack their partials as a (rows, 16384) register
+        #   matrix (memory-bounded chunks) and np.maximum.reduceat —
+        #   dense merges are memory-bandwidth-bound there, while
+        #   item-ifying them costs a multi-million-item sort (measured
+        #   4x slower than the pandas engine on a 68-group x 64-partial
+        #   dense merge before this split).
         work_code = np.repeat(
             np.arange(len(work_ids), dtype=np.int64), counts[work_ids]
         )  # dense code per work ROW, group-sorted like `rows`
@@ -424,20 +451,79 @@ def merge_record_batch(
             woffs[:-1][sparse_rows] + hll.HEADER_LEN,
             woffs[1:][sparse_rows],
         )
-        gg_parts = [work_code[sparse_rows[iseg]]]
-        rr_parts = [rr_s]
-        vv_parts = [vv_s]
-        if len(dense_rows):
-            regs_w = hll.unpack_dense(
-                hll.gather_dense_payloads(wdata, woffs, dense_rows)
-            )
-            rnz, cnz = np.nonzero(regs_w)
-            gg_parts.append(work_code[dense_rows[rnz]])
-            rr_parts.append(cnz.astype(np.int64))
-            vv_parts.append(regs_w[rnz, cnz])
+        n_wg = len(work_ids)
+        item_row = sparse_rows[iseg]  # work-row index per item, sorted
+        item_g = work_code[item_row]
+        has_dense = np.zeros(n_wg, dtype=bool)
+        has_dense[work_code[dense_rows]] = True
+        heavy = has_dense | (
+            np.bincount(item_g, minlength=n_wg) >= _HEAVY_ITEMS
+        )
+        light_sel = ~heavy[item_g]
+        gg_parts = [item_g[light_sel]]
+        rr_parts = [rr_s[light_sel]]
+        vv_parts = [vv_s[light_sel]]
+        hd_code_parts: list = []  # heavy groups whose MERGE is dense
+        hd_pay_parts: list = []   # their packed 12288-byte payloads
+        if heavy.any():
+            R = hll.HLL_REGISTERS
+            dense_payload = hll.HLL_DENSE_SIZE - hll.HEADER_LEN
+            row_heavy = heavy[work_code]
+            hrows = np.flatnonzero(row_heavy)  # work rows of heavy groups
+            # assign heavy GROUPS to chunks by cumulative row offset so
+            # one chunk's matrix stays ~_MATRIX_BUDGET bytes (+ one
+            # group's fan-in; a group never splits across chunks)
+            hg_codes = np.flatnonzero(heavy)
+            hg_rows = np.bincount(work_code[hrows], minlength=n_wg)[hg_codes]
+            cum = np.cumsum(hg_rows) - hg_rows
+            rows_per_chunk = max(1, _MATRIX_BUDGET // (R * 1))
+            chunk_of_group = np.full(n_wg, -1, dtype=np.int64)
+            chunk_of_group[hg_codes] = cum // rows_per_chunk
+            chunk_of_row = chunk_of_group[work_code]  # -1 for light rows
+            slot_of_row = np.full(len(rows), -1, dtype=np.int64)
+            slot_of_row[hrows] = _segment_positions(chunk_of_row[hrows])
+            hitem_sel = np.flatnonzero(~light_sel)
+            item_chunk = chunk_of_row[item_row[hitem_sel]]
+            n_chunks = int(chunk_of_group[hg_codes].max()) + 1
+            for c in range(n_chunks):  # loop over CHUNKS, not groups
+                crows = np.flatnonzero(chunk_of_row == c)
+                mat = np.zeros((len(crows), R), dtype=np.uint8)
+                cdense = crows[enc_w[crows] == hll.ENC_DENSE]
+                if len(cdense):
+                    mat[slot_of_row[cdense]] = hll.unpack_dense(
+                        hll.gather_dense_payloads(wdata, woffs, cdense)
+                    )
+                ci = hitem_sel[item_chunk == c]
+                if len(ci):
+                    mat[slot_of_row[item_row[ci]], rr_s[ci]] = vv_s[ci]
+                cg = work_code[crows]  # nondecreasing
+                gstart = np.flatnonzero(np.diff(cg, prepend=-1))
+                merged = np.maximum.reduceat(mat, gstart, axis=0)
+                # merged groups that would encode DENSE skip
+                # item-ification entirely: pack the matrix rows straight
+                # to wire payloads (in the dense-partial regime that is
+                # ~every heavy group — the multi-million-item sort this
+                # avoids was the arrow engine's cost cliff there)
+                nnz_m = np.count_nonzero(merged, axis=1)
+                sp_ok = (merged.max(axis=1) <= 32) & (
+                    nnz_m * 3 + 4 < dense_payload
+                )
+                if (~sp_ok).any():
+                    hd_code_parts.append(cg[gstart][~sp_ok])
+                    hd_pay_parts.append(hll.pack_dense(merged[~sp_ok]))
+                if sp_ok.any():
+                    rnz, cnz = np.nonzero(merged[sp_ok])
+                    gg_parts.append(cg[gstart][sp_ok][rnz])
+                    rr_parts.append(cnz.astype(np.int64))
+                    vv_parts.append(merged[sp_ok][rnz, cnz])
         gg = np.concatenate(gg_parts)
         rr = np.concatenate(rr_parts)
         vv = np.concatenate(vv_parts)
+        hd_codes = (
+            np.concatenate(hd_code_parts)  # ascending (chunks iterate codes)
+            if hd_code_parts
+            else np.zeros(0, dtype=np.int64)
+        )
         # groups with no nonzero register anywhere: canonical empty
         present = np.zeros(len(work_ids), dtype=bool)
         present[gg] = True
@@ -466,22 +552,45 @@ def merge_record_batch(
                     ],
                 )
             )
-        n_empty = len(work_ids) - n_present
+        hd_mask = np.zeros(len(work_ids), dtype=bool)
+        hd_mask[hd_codes] = True
+        n_hd = len(hd_codes)
+        n_empty = len(work_ids) - n_present - n_hd
         if n_empty:
             # canonical empty sketches for all-empty groups, built as
             # one tiled buffer (no per-group list)
             arrays.append(
                 _tiled_binary_array(hll.encode(hll.empty_registers()), n_empty)
             )
+        if n_hd:
+            # dense-merged heavy groups: canonical dense wire rows built
+            # in one uniform buffer (header == _header(ENC_DENSE, None))
+            out2d = np.zeros((n_hd, hll.HLL_DENSE_SIZE), dtype=np.uint8)
+            out2d[:, 0:4] = np.frombuffer(hll.MAGIC, dtype=np.uint8)
+            out2d[:, 4] = hll.ENC_DENSE
+            out2d[:, 15] = 0x80  # invalid-cache flag
+            out2d[:, hll.HEADER_LEN :] = np.vstack(hd_pay_parts)
+            hoffs = np.arange(n_hd + 1, dtype=np.int32) * np.int32(
+                hll.HLL_DENSE_SIZE
+            )
+            arrays.append(
+                pa.Array.from_buffers(
+                    pa.binary(),
+                    n_hd,
+                    [None, pa.py_buffer(hoffs), pa.py_buffer(out2d.reshape(-1))],
+                )
+            )
     concat = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays])
     perm = np.empty(n_groups, dtype=np.int64)
     perm[pass_ids] = np.arange(len(pass_ids))
     if len(work_ids):
-        # work section order: present groups first (encode_groups
-        # output order), then the all-empty groups
+        # work section order: item-encoded groups first (encode_groups
+        # output order), then the all-empty groups, then dense-merged
         wperm = np.empty(len(work_ids), dtype=np.int64)
         wperm[present] = np.arange(n_present)
-        wperm[~present] = n_present + np.arange(len(work_ids) - n_present)
+        empty_mask = ~present & ~hd_mask
+        wperm[empty_mask] = n_present + np.arange(n_empty)
+        wperm[hd_mask] = n_present + n_empty + np.arange(n_hd)
         perm[work_ids] = len(pass_ids) + wperm
     sketch_out = concat.take(pa.array(perm))
     take = pa.array(first_idx)
