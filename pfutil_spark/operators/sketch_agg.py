@@ -222,6 +222,24 @@ def sketch_agg(
       ``spec.merge_groups`` or, lacking one, a per-GROUP fold over just
       those groups. ``engine='pandas'`` keeps the r1-era applyInPandas
       fold (differential-test oracle)."""
+    partials = sketch_partial(
+        df, element, spec, by, max_groups_in_flight, direct_emit_groups
+    )
+    return sketch_merge(partials, spec, by, engine=engine)
+
+
+def sketch_partial(
+    df: DataFrame,
+    element: Column,
+    spec: KernelSpec,
+    by: Sequence[str] = (),
+    max_groups_in_flight: int = 2048,
+    direct_emit_groups: int = 4096,
+) -> DataFrame:
+    """Stage P alone: one ``(by..., sketch)`` partial row per
+    (partition, group) — checkpointable (see
+    sources.checkpoint.ResumableSketchJob) and mergeable later via
+    :func:`sketch_merge` in any order/partitioning."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -313,8 +331,7 @@ def sketch_agg(
         if acc:
             yield flush()
 
-    partials = pruned.mapInArrow(partial_fn, schema)
-    return sketch_merge(partials, spec, by, engine=engine)
+    return pruned.mapInArrow(partial_fn, schema)
 
 
 def sketch_merge(

@@ -113,3 +113,72 @@ class ResumableHllJob:
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(self.metrics_path)
+
+
+class ResumableSketchJob:
+    """Stage-checkpointed aggregation for ANY extension sketch
+    (KMV / CMS / Bloom / KLL / t-digest / SpaceSaving) — the
+    :class:`ResumableHllJob` contract generalized over a
+    ``operators.sketch_agg.KernelSpec``:
+
+        <dir>/stage=partial/  (by..., sketch, _partition_id)
+        <dir>/stage=merged/   (by..., sketch)
+        <dir>/stage=metrics/  per-partition partial counts + bytes
+
+    Resume correctness: every spec's merge is associative + commutative
+    (KMV = set union of k-min hashes, CMS = counter addition, Bloom =
+    bit OR, KLL/t-digest/SpaceSaving = mergeable summaries), so merging
+    checkpointed partials in any order — or twice — yields the same
+    result (byte-identical for KMV/CMS/Bloom, estimate-identical for
+    the order-dependent summaries)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        spec,
+        by: Sequence[str] = (),
+    ):
+        self.spark = spark
+        self.dir = checkpoint_dir.rstrip("/")
+        self.spec = spec
+        self.by = list(by)
+
+    partial_path = property(lambda self: f"{self.dir}/stage=partial")
+    merged_path = property(lambda self: f"{self.dir}/stage=merged")
+    metrics_path = property(lambda self: f"{self.dir}/stage=metrics")
+
+    def stages_complete(self) -> dict[str, bool]:
+        return {
+            "partial": _complete(self.partial_path, self.spark),
+            "merged": _complete(self.merged_path, self.spark),
+            "metrics": _complete(self.metrics_path, self.spark),
+        }
+
+    def run(self, df: DataFrame, element) -> DataFrame:
+        """Execute (or resume) the job; returns the merged sketch table."""
+        from pfutil_spark.operators.sketch_agg import sketch_merge, sketch_partial
+
+        if _complete(self.merged_path, self.spark):
+            return self.spark.read.parquet(self.merged_path)
+
+        if _complete(self.partial_path, self.spark):
+            partials = self.spark.read.parquet(self.partial_path)
+        else:
+            sketch_partial(df, element, self.spec, self.by).withColumn(
+                "_partition_id", F.spark_partition_id()
+            ).write.mode("overwrite").parquet(self.partial_path)
+            partials = self.spark.read.parquet(self.partial_path)
+
+        if not _complete(self.metrics_path, self.spark):
+            partials.groupBy("_partition_id").agg(
+                F.count(F.lit(1)).alias("n_partial_sketches"),
+                F.sum(F.length("sketch")).alias("sketch_bytes"),
+            ).write.mode("overwrite").parquet(self.metrics_path)
+
+        merged = sketch_merge(partials.drop("_partition_id"), self.spec, self.by)
+        merged.write.mode("overwrite").parquet(self.merged_path)
+        return self.spark.read.parquet(self.merged_path)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self.metrics_path)

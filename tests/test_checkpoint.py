@@ -57,3 +57,34 @@ def test_checkpointed_estimates_match(spark, tmp_path):
     est = merged.select(pf_count_col("sketch", 4).alias("e")).collect()[0]["e"]
     exact = _df(spark).select(F.countDistinct("elem")).collect()[0][0]
     assert abs(est - exact) / exact <= 3 * 0.008125
+
+
+def test_resumable_sketch_job_kmv(spark, tmp_path):
+    """Generic spec checkpoint job: byte parity with the direct path,
+    stage skipping under resume, per-partition metrics."""
+    from pfutil_spark.operators.sketch_agg import kmv_spec, sketch_agg
+    from pfutil_spark.sources.checkpoint import ResumableSketchJob
+
+    ckpt = str(tmp_path / "job3")
+    spec = kmv_spec(256)
+    job = ResumableSketchJob(spark, ckpt, spec, by=("grp",))
+    elem = F.xxhash64("elem")
+    out1 = {r["grp"]: bytes(r["sketch"]) for r in job.run(_df(spark), elem).collect()}
+    assert job.stages_complete() == {"partial": True, "merged": True, "metrics": True}
+    direct = {
+        r["grp"]: bytes(r["sketch"])
+        for r in sketch_agg(_df(spark), elem, spec, by=("grp",)).collect()
+    }
+    assert out1 == direct  # KMV merge is a set function: byte-identical
+
+    m = job.metrics().collect()
+    assert sum(r["n_partial_sketches"] for r in m) > 0
+    assert {r["_partition_id"] for r in m} <= set(range(6))
+
+    shutil.rmtree(job.merged_path)
+    partial_mtime = os.path.getmtime(os.path.join(job.partial_path, "_SUCCESS"))
+    out2 = {r["grp"]: bytes(r["sketch"]) for r in job.run(_df(spark), elem).collect()}
+    assert out2 == out1
+    assert os.path.getmtime(os.path.join(job.partial_path, "_SUCCESS")) == partial_mtime
+    out3 = {r["grp"]: bytes(r["sketch"]) for r in job.run(_df(spark), elem).collect()}
+    assert out3 == out1
