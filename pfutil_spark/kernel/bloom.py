@@ -229,11 +229,14 @@ def fold_groups(
     )
 
 
-def _items_flat(
+def _parse_rows(
     data: np.ndarray, offsets: np.ndarray, m_bits: int, k: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """Validated flat parse of many Bloom buffers (dense v1 and sparse
-    v2 mixed) -> set-bit items ``(row_seg, bit)`` sorted by (row, bit)."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Validated flat parse of many Bloom buffers -> ``(item_row,
+    item_bit, v1_rows, v1_matrix)``: sparse (v2) rows as set-bit items,
+    dense (v1) rows as their PACKED byte matrix (never unpacked to
+    per-bit items — a half-full default-m filter is ~0.5M items but a
+    128KB packed row)."""
     n = len(offsets) - 1
     m_bytes = m_bits >> 3
     lens = np.diff(offsets)
@@ -253,17 +256,15 @@ def _items_flat(
     kk = read_le_flat(data, hp + 12, 4)
     if (mm != m_bits).any() or (kk != k).any():
         raise ValueError("Invalid Bloom representation")  # param mismatch
-    seg_parts, bit_parts = [], []
     dn = np.flatnonzero(ver == 1)
+    mats = np.zeros((0, m_bytes), dtype=np.uint8)
     if len(dn):
         if (lens[dn] != 16 + m_bytes).any():
             raise ValueError("Invalid Bloom representation")
         mats = gather_uniform_rows(data, hp[dn] + 16, m_bytes)
-        unpacked = np.unpackbits(mats, axis=1, bitorder="little")
-        r_idx, b_idx = np.nonzero(unpacked)
-        seg_parts.append(dn[r_idx])
-        bit_parts.append(b_idx.astype(np.int64))
     sp = np.flatnonzero(ver == 2)
+    seg = np.zeros(0, dtype=np.int64)
+    bits = np.zeros(0, dtype=np.int64)
     if len(sp):
         if (lens[sp] < 20).any():
             raise ValueError("Invalid Bloom representation")
@@ -281,15 +282,8 @@ def _items_flat(
             bad[1:] |= (seg[1:] == seg[:-1]) & (bits[1:] <= bits[:-1])
             if bad.any():
                 raise ValueError("Invalid Bloom representation")
-        seg_parts.append(sp[seg])
-        bit_parts.append(bits)
-    if not seg_parts:
-        e = np.zeros(0, dtype=np.int64)
-        return e, e
-    seg = np.concatenate(seg_parts)
-    bit = np.concatenate(bit_parts)
-    order = np.lexsort((bit, seg))
-    return seg[order], bit[order]
+        seg = sp[seg]
+    return seg, bits, dn, mats
 
 
 def merge_groups_flat(
@@ -301,12 +295,90 @@ def merge_groups_flat(
     k: int = DEFAULT_K,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Grouped Bloom merge (``group_codes`` non-decreasing, all codes
-    present): the union of set bits per group — one np.unique over
-    (group, bit) keys, sparse-native end to end."""
-    seg, bit = _items_flat(data, offsets, m_bits, k)
-    g = np.asarray(group_codes, dtype=np.int64)[seg]
-    ub = np.unique(g * np.int64(m_bits) + bit)
-    return encode_groups_items(ub // m_bits, ub % m_bits, n_groups, m_bits, k)
+    present), allocation-shaped per input encoding: sparse (v2)
+    partials contribute set-bit items, dense (v1) partials OR as packed
+    byte matrices via ``np.bitwise_or.reduceat`` — the pre-sparse-wire
+    cost profile for the semi-join-prefilter shape (r4 review finding:
+    item-ifying dense rows was an 8x unpackbits + 16B/bit sort blowup).
+    Output rows are canonical: dense outputs come straight from the
+    OR'd matrix, sparse-eligible outputs extract their few set bits."""
+    m_bytes = m_bits >> 3
+    item_row, item_bit, v1_rows, M = _parse_rows(data, offsets, m_bits, k)
+    g = np.asarray(group_codes, dtype=np.int64)
+    heavy = np.zeros(n_groups, dtype=bool)  # has >= 1 dense partial
+    if len(v1_rows):
+        heavy[g[v1_rows]] = True
+    hrank = np.cumsum(heavy) - 1  # group -> heavy matrix row
+    n_heavy = int(heavy.sum())
+    item_g = g[item_row]
+    n_set = np.zeros(n_groups, dtype=np.int64)
+    Hmat = np.zeros((0, m_bytes), dtype=np.uint8)
+    if n_heavy:
+        gh = g[v1_rows]  # nondecreasing (rows are group-sorted)
+        starts = np.flatnonzero(np.diff(gh, prepend=-1))
+        Hmat = np.bitwise_or.reduceat(M, starts, axis=0)
+        hi = np.flatnonzero(heavy[item_g])
+        if len(hi):  # OR sparse items of heavy groups into the matrix
+            key = hrank[item_g[hi]] * m_bytes + (item_bit[hi] >> 3)
+            val = np.uint8(1) << (item_bit[hi] & 7).astype(np.uint8)
+            order = np.argsort(key, kind="stable")
+            ks, vs = key[order], val[order]
+            st = np.flatnonzero(np.diff(ks, prepend=-1))
+            Hmat.reshape(-1)[ks[st]] |= np.bitwise_or.reduceat(vs, st)
+        n_set[heavy] = popcount_rows(Hmat)
+    li = np.flatnonzero(~heavy[item_g])
+    ub = np.unique(item_g[li] * np.int64(m_bits) + item_bit[li])
+    lg, lbit = ub // m_bits, ub % m_bits
+    n_set[~heavy] = np.bincount(lg, minlength=n_groups)[~heavy]
+    sparse_ok = _sparse_eligible(n_set, m_bytes)
+    payload = np.where(sparse_ok, 4 + 4 * n_set, m_bytes)
+    out_offs = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(16 + payload, out=out_offs[1:])
+    out = np.zeros(int(out_offs[-1]), dtype=np.uint8)
+    hp = out_offs[:-1]
+    for i, byte in enumerate(MAGIC):
+        out[hp + i] = byte
+    ones = np.ones(n_groups, dtype=np.int64)
+    write_le_flat(out, hp + 4, np.where(sparse_ok, 2, 1), 4)
+    write_le_flat(out, hp + 8, ones * m_bits, 4)
+    write_le_flat(out, hp + 12, ones * k, 4)
+    so = np.flatnonzero(sparse_ok)
+    if len(so):
+        write_le_flat(out, hp[so] + 16, n_set[so], 4)
+    # light-sparse entries straight from the unioned items
+    sel = sparse_ok[lg]
+    if sel.any():
+        ls = np.flatnonzero(sel)
+        pos = out_offs[lg[ls]] + 20 + 4 * segment_ranks(lg[ls])
+        write_le_flat(out, pos, lbit[ls], 4)
+    # light-dense groups (union outgrew eligibility): scatter items
+    ldm = ~sparse_ok & ~heavy
+    if ldm.any():
+        ldrank = np.cumsum(ldm) - 1
+        di = np.flatnonzero(~sel)
+        key = ldrank[lg[di]] * m_bytes + (lbit[di] >> 3)  # nondecreasing
+        val = np.uint8(1) << (lbit[di] & 7).astype(np.uint8)
+        st = np.flatnonzero(np.diff(key, prepend=-1))
+        mat = np.zeros((int(ldm.sum()), m_bytes), dtype=np.uint8)
+        mat.reshape(-1)[key[st]] = np.bitwise_or.reduceat(val, st)
+        ld = np.flatnonzero(ldm)
+        posm = out_offs[ld][:, None] + 16 + np.arange(m_bytes, dtype=np.int64)[None, :]
+        out[posm] = mat
+    # heavy-dense rows straight from the OR'd matrix
+    hdm = heavy & ~sparse_ok
+    if hdm.any():
+        hd = np.flatnonzero(hdm)
+        posm = out_offs[hd][:, None] + 16 + np.arange(m_bytes, dtype=np.int64)[None, :]
+        out[posm] = Hmat[hrank[hd]]
+    # heavy-sparse (rare: dense partials whose union is still tiny)
+    hsm = heavy & sparse_ok
+    if hsm.any():
+        hs = np.flatnonzero(hsm)
+        unp = np.unpackbits(Hmat[hrank[hs]], axis=1, bitorder="little")
+        r_idx, b_idx = np.nonzero(unp)
+        pos = out_offs[hs[r_idx]] + 20 + 4 * segment_ranks(r_idx)
+        write_le_flat(out, pos, b_idx.astype(np.int64), 4)
+    return out, out_offs
 
 
 def valid_flat(

@@ -827,13 +827,14 @@ _SCAN_CHUNK_BYTES = 1 << 17
 
 def _sparse_scan_flat(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     """Chunking wrapper around :func:`_sparse_scan_block`: windows are
-    processed in blocks of ~4MB payload (split on window boundaries) and
-    the per-opcode/per-segment outputs concatenated. Why: the block scan
-    allocates ~20-30x its payload in temporaries, and on this host fresh
-    first-touch pages fault at ~0.12GB/s (NOTES.md) — a monolithic scan
-    over tens of MB of opcodes randomly costs 10-20x its warm-arena
-    time (measured 0.5s vs 9-14s on identical input), while bounded
-    blocks reuse the arena and stay flat. Output is identical."""
+    processed in blocks of ``_SCAN_CHUNK_BYTES`` (128KB) payload, split
+    on window boundaries, and the per-opcode/per-segment outputs
+    concatenated. Why: the block scan allocates ~25x its payload in
+    temporaries, and on this host fresh first-touch pages fault at
+    ~0.12GB/s (NOTES.md) — a monolithic scan over tens of MB of opcodes
+    randomly costs 10-20x its warm-arena time (measured 0.5s vs 9-14s
+    on identical input), while cache-sized blocks reuse the arena and
+    stay flat. Output is identical."""
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
     n_seg = len(starts)

@@ -321,6 +321,34 @@ class TestReviewFindings:
         assert ab.counts == ba.counts and ab.theta == ba.theta and ab.n == ba.n
         assert ab.encode() == ba.encode()
 
+    def test_bloom_merge_keeps_dense_rows_packed(self, monkeypatch):
+        """r4 second-review finding: dense (v1) Bloom partials must OR
+        as packed byte matrices — never unpack to per-bit items (an 8x
+        blowup plus a 16B-per-set-bit sort at default m). Gate: a merge
+        whose inputs and output are dense runs with np.unpackbits
+        BROKEN (only the rare heavy-but-sparse-output corner may
+        unpack)."""
+        rng = np.random.default_rng(16)
+        sketches = []
+        for _ in range(6):
+            st = bloom.empty(1 << 14)
+            bloom.update(st, rng.integers(-(2**63), 2**63 - 1, 4000, dtype=np.int64), 5)
+            sketches.append(bloom.encode(st, 5))
+        assert all(b[4] == 1 for b in sketches)  # dense inputs
+        want = bloom.encode(bloom.merge([bloom.decode(b)[0] for b in sketches]), 5)
+        flat = np.frombuffer(b"".join(sketches), dtype=np.uint8)
+        offs = np.concatenate(([0], np.cumsum([len(b) for b in sketches])))
+
+        def boom(*a, **kw):
+            raise AssertionError("np.unpackbits called in packed dense merge")
+
+        monkeypatch.setattr(np, "unpackbits", boom)
+        md, mo = bloom.merge_groups_flat(
+            flat, offs, np.zeros(6, dtype=np.int64), 1, 1 << 14, 5
+        )
+        monkeypatch.undo()
+        assert bytes(md[mo[0] : mo[1]]) == want
+
     def test_cms_merge_drops_zero_sum_counters(self):
         """Third-party buffers may carry negative counts; counters that
         cancel to zero must be dropped like the scalar encoder does, so
