@@ -456,3 +456,91 @@ def ngram_jaccard_pairs(
         return pd.Series(out)
 
     return joined.select("id_a", "id_b", _jac("text_a", "text_b").alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate clusters: connected components over the candidate-pair
+# graph. This is what leakage-free splits key on (operators/sampling.py:
+# hash_split_col "keyed by a dedup-cluster id") and what keep-one-per-
+# cluster dedup needs beyond pairwise candidates.
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) over the undirected pair graph; ``component`` is
+    the MINIMUM node id of the connected component (deterministic,
+    engine-independent — the DuckDB oracle reproduces it with a
+    recursive CTE).
+
+    Algorithm: min-label propagation WITH pointer doubling — each round
+    takes the min over (its own label, its label's label, its
+    neighbors' labels), which is two equi-joins plus one aggregation
+    over the candidate-PAIR graph (LSH output, tiny relative to the
+    corpus) and converges in O(log diameter) rounds instead of
+    O(diameter). The round count is the inherent driver-side action of
+    any fixpoint algorithm; each round's labels are localCheckpoint-ed
+    so lineage stays flat."""
+    edges = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        cand = (
+            edges.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("component").alias("cand"))
+        )
+        # pointer doubling: a component value is itself a node id, so
+        # its current label is one lookup away (labels shrink
+        # monotonically: comp2 <= component always)
+        jump = labels.select(
+            F.col("node").alias("component"), F.col("component").alias("comp2")
+        )
+        new_labels = (
+            labels.join(jump, "component")
+            .join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp2"), F.coalesce("cand", "comp2")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def assign_dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """``df`` + a ``cluster_id`` column: the connected-component id over
+    the near-dup pair graph, with singletons keeping their own id —
+    all-or-nothing split keys (``hash_split_col(cluster_id)``) and
+    keep-one-per-cluster dedup (``filter(col(id) == col("cluster_id"))``
+    when ids order the keep preference) fall out directly."""
+    # join strategy left to AQE: the component table is sized by the
+    # number of near-dup NODES — usually broadcastable, but a
+    # heavily-duplicated corpus can make it arbitrarily large
+    comp = connected_components(pairs, src, dst).withColumnRenamed("node", id_col)
+    return df.join(comp, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("component", F.col(id_col))
+    ).drop("component")

@@ -160,6 +160,60 @@ class TestDedup:
             assert len(vals) == 1
 
 
+class TestConnectedComponents:
+    def test_chains_components_singletons(self, spark):
+        """Min-label propagation: a 5-node chain (diameter > 1 round),
+        a separate triangle, a 2-cycle, and singletons absent from the
+        pair graph (cluster_id = own id via assign_dedup_clusters)."""
+        from pfutil_spark.operators.dedup import (
+            assign_dedup_clusters,
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [
+                ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),  # chain b-f
+                ("p", "q"), ("q", "r"), ("p", "r"),              # triangle
+                ("x", "y"),
+            ],
+            "id_a string, id_b string",
+        )
+        comp = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert {k: v for k, v in comp.items() if k in "bcdef"} == {
+            c: "b" for c in "bcdef"
+        }
+        assert {comp["p"], comp["q"], comp["r"]} == {"p"}
+        assert comp["x"] == comp["y"] == "x"
+
+        docs_df = spark.createDataFrame(
+            [(i,) for i in ["a", "b", "c", "d", "e", "f", "p", "q", "r", "x", "y", "z"]],
+            "doc_id string",
+        )
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in assign_dedup_clusters(docs_df, pairs, "doc_id").collect()
+        }
+        assert out["a"] == "a" and out["z"] == "z"  # singletons: own id
+        assert out["f"] == "b" and out["r"] == "p"
+
+    def test_long_chain_converges_logarithmically(self, spark):
+        """A 40-node path has diameter 39, but pointer doubling must
+        converge within ~log2(39) + slack rounds — the 100-TB posture
+        for adversarially chained near-dup graphs."""
+        from pfutil_spark.operators.dedup import connected_components
+
+        n = 40
+        rows = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)]
+        pairs = spark.createDataFrame(rows, "id_a string, id_b string")
+        comp = connected_components(pairs, max_iterations=10)
+        got = {r["node"]: r["component"] for r in comp.collect()}
+        assert len(got) == n
+        assert set(got.values()) == {"n00"}
+
+
 class TestSimilarity:
     def test_bruteforce_topk_matches_numpy(self, spark):
         e = embs(spark)
