@@ -818,6 +818,32 @@ def _q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: the deterministic split
+    keyed by the near-dup CLUSTER id, so every near-duplicate of a
+    document lands in the same split (connected components composed
+    with the content-keyed splitter) — exact cross-engine parity, per
+    document."""
+    from pfutil_spark.operators.dedup import (
+        assign_dedup_clusters,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from pfutil_spark.operators.sampling import hash_split_col
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d, "text", "doc_id", 64, 16, 5, min_jaccard=0.5)
+    verified = ngram_jaccard_pairs(
+        d, cand.select("id_a", "id_b"), "text", "doc_id", k=5
+    ).filter(F.col("jaccard") >= 0.8)
+    clusters = assign_dedup_clusters(d.select("doc_id"), verified, "doc_id")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        hash_split_col("cluster_id", seed=11).alias("split"),
+    ).orderBy("doc_id")
+
+
 def _q_kmv_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta sketch set operations (kernel/kmv.py): intersection /
     difference / Jaccard estimated on the k-minimum-values sample with
@@ -951,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_v5_orderkey_by_flag": _q_hll_v5_orderkey_by_flag,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "cluster_split": _q_cluster_split,
         "simhash_near_dups": _q_simhash_near_dups,
         "langid_distribution": _q_langid_distribution,
         "ann_topk": _q_ann_topk,
@@ -1206,6 +1233,33 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.b, reach.root FROM reach JOIN edges e ON e.a = reach.node)"
             " SELECT node AS doc_id, min(root) AS cluster_id FROM reach"
             " GROUP BY node ORDER BY doc_id"
+        ),
+        "cluster_split": (
+            "WITH RECURSIVE g AS (SELECT unnest(range(1,"
+            "  (SELECT max(length(text)) + 1 FROM documents))) AS i),"
+            " sh AS ("
+            " SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS s"
+            " FROM documents d JOIN g ON g.i <= length(d.text) - 4),"
+            " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+            " inter AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id),"
+            " pairs AS ("
+            "  SELECT id_a, id_b FROM inter"
+            "  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b"
+            "  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),"
+            " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+            "  UNION ALL SELECT id_b, id_a FROM pairs),"
+            " reach(node, root) AS ("
+            "  SELECT doc_id, doc_id FROM documents"
+            "  UNION"
+            "  SELECT e.b, reach.root FROM reach JOIN edges e ON e.a = reach.node),"
+            " clusters AS (SELECT node AS doc_id, min(root) AS cluster_id"
+            "  FROM reach GROUP BY node)"
+            " SELECT doc_id, cluster_id, "
+            f"{_sampling.sql_split_expr('cluster_id', seed=11)} AS split"
+            " FROM clusters ORDER BY doc_id"
         ),
         "simhash_near_dups": (
             "WITH g AS (SELECT unnest(range(1,"
