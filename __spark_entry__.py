@@ -468,12 +468,13 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-component cluster id per document over the VERIFIED
-    near-dup pair graph (same pair set as minhash_lsh_pairs, which the
-    DuckDB oracle reproduces exactly) — cluster_id = min doc_id of the
-    component, singletons keep their own id. The oracle computes the
-    same fixpoint with a recursive CTE."""
+def _clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared near-dup cluster pipeline (dedup_clusters /
+    cluster_split): verified pair graph (the exact pair set the
+    minhash_lsh_pairs oracle reproduces) -> connected components ->
+    cluster_id per document, singletons keeping their own id. The LSH/
+    verify parameters live HERE only — the oracle mirror lives once in
+    _CLUSTER_CTE."""
     from pfutil_spark.operators.dedup import (
         assign_dedup_clusters,
         minhash_lsh_pairs,
@@ -485,8 +486,16 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = ngram_jaccard_pairs(
         d, cand.select("id_a", "id_b"), "text", "doc_id", k=5
     ).filter(F.col("jaccard") >= 0.8)
-    out = assign_dedup_clusters(d.select("doc_id"), verified, "doc_id")
-    return out.select("doc_id", "cluster_id").orderBy("doc_id")
+    return assign_dedup_clusters(d.select("doc_id"), verified, "doc_id")
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component cluster id per document over the VERIFIED
+    near-dup pair graph — cluster_id = min doc_id of the component.
+    The oracle computes the same fixpoint with a recursive CTE."""
+    return _clusters_df(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    ).orderBy("doc_id")
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,20 +833,9 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     document lands in the same split (connected components composed
     with the content-keyed splitter) — exact cross-engine parity, per
     document."""
-    from pfutil_spark.operators.dedup import (
-        assign_dedup_clusters,
-        minhash_lsh_pairs,
-        ngram_jaccard_pairs,
-    )
     from pfutil_spark.operators.sampling import hash_split_col
 
-    d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(d, "text", "doc_id", 64, 16, 5, min_jaccard=0.5)
-    verified = ngram_jaccard_pairs(
-        d, cand.select("id_a", "id_b"), "text", "doc_id", k=5
-    ).filter(F.col("jaccard") >= 0.8)
-    clusters = assign_dedup_clusters(d.select("doc_id"), verified, "doc_id")
-    return clusters.select(
+    return _clusters_df(spark, sf_dir).select(
         "doc_id",
         "cluster_id",
         hash_split_col("cluster_id", seed=11).alias("split"),
@@ -991,6 +989,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dump_restore_roundtrip": _q_dump_restore_roundtrip,
         "sql_surface": _q_sql_surface,
     }
+
+
+# Recursive-CTE mirror of the near-dup CLUSTER pipeline (shared by the
+# dedup_clusters / cluster_split oracles): exact 5-gram pair set at
+# jaccard >= 0.8 (the minhash_lsh_pairs ground truth), symmetrized
+# edges, transitive reachability, min reachable id per node.
+_CLUSTER_CTE = (
+    "WITH RECURSIVE g AS (SELECT unnest(range(1,"
+    "  (SELECT max(length(text)) + 1 FROM documents))) AS i),"
+    " sh AS ("
+    " SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS s"
+    " FROM documents d JOIN g ON g.i <= length(d.text) - 4),"
+    " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+    " inter AS ("
+    "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
+    "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+    "  GROUP BY a.doc_id, b.doc_id),"
+    " pairs AS ("
+    "  SELECT id_a, id_b FROM inter"
+    "  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b"
+    "  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),"
+    " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+    "  UNION ALL SELECT id_b, id_a FROM pairs),"
+    " reach(node, root) AS ("
+    "  SELECT doc_id, doc_id FROM documents"
+    "  UNION"
+    "  SELECT e.b, reach.root FROM reach JOIN edges e ON e.a = reach.node),"
+    " clusters AS (SELECT node AS doc_id, min(root) AS cluster_id"
+    "  FROM reach GROUP BY node)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1211,53 +1239,10 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY id_a, id_b"
         ),
         "dedup_clusters": (
-            "WITH RECURSIVE g AS (SELECT unnest(range(1,"
-            "  (SELECT max(length(text)) + 1 FROM documents))) AS i),"
-            " sh AS ("
-            " SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS s"
-            " FROM documents d JOIN g ON g.i <= length(d.text) - 4),"
-            " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
-            " inter AS ("
-            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
-            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
-            "  GROUP BY a.doc_id, b.doc_id),"
-            " pairs AS ("
-            "  SELECT id_a, id_b FROM inter"
-            "  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b"
-            "  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),"
-            " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
-            "  UNION ALL SELECT id_b, id_a FROM pairs),"
-            " reach(node, root) AS ("
-            "  SELECT doc_id, doc_id FROM documents"
-            "  UNION"
-            "  SELECT e.b, reach.root FROM reach JOIN edges e ON e.a = reach.node)"
-            " SELECT node AS doc_id, min(root) AS cluster_id FROM reach"
-            " GROUP BY node ORDER BY doc_id"
+            _CLUSTER_CTE + " SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
         ),
         "cluster_split": (
-            "WITH RECURSIVE g AS (SELECT unnest(range(1,"
-            "  (SELECT max(length(text)) + 1 FROM documents))) AS i),"
-            " sh AS ("
-            " SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS s"
-            " FROM documents d JOIN g ON g.i <= length(d.text) - 4),"
-            " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
-            " inter AS ("
-            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
-            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
-            "  GROUP BY a.doc_id, b.doc_id),"
-            " pairs AS ("
-            "  SELECT id_a, id_b FROM inter"
-            "  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b"
-            "  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),"
-            " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
-            "  UNION ALL SELECT id_b, id_a FROM pairs),"
-            " reach(node, root) AS ("
-            "  SELECT doc_id, doc_id FROM documents"
-            "  UNION"
-            "  SELECT e.b, reach.root FROM reach JOIN edges e ON e.a = reach.node),"
-            " clusters AS (SELECT node AS doc_id, min(root) AS cluster_id"
-            "  FROM reach GROUP BY node)"
-            " SELECT doc_id, cluster_id, "
+            _CLUSTER_CTE + " SELECT doc_id, cluster_id, "
             f"{_sampling.sql_split_expr('cluster_id', seed=11)} AS split"
             " FROM clusters ORDER BY doc_id"
         ),

@@ -117,3 +117,14 @@ _POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
 def popcount_rows(mat: np.ndarray) -> np.ndarray:
     """Set-bit count per row of a uint8 matrix (LUT, no unpackbits blowup)."""
     return _POPCOUNT[mat].sum(axis=1)
+
+
+def check_arrow_binary_size(nbytes: int) -> None:
+    """Arrow binary arrays carry int32 offsets: one merge partition's
+    sketch output must stay under 2GB — raise the actionable fix
+    instead of silently wrapping offsets."""
+    if nbytes > (1 << 31) - 1:
+        raise ValueError(
+            "merged sketch bytes exceed 2GB in one partition; raise "
+            "spark.sql.shuffle.partitions"
+        )

@@ -465,64 +465,103 @@ def ngram_jaccard_pairs(
 # cluster dedup needs beyond pairwise candidates.
 # ---------------------------------------------------------------------------
 
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.select("u", "v").union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of each node to that
+    node's minimum neighborhood member (Kiveris et al., COSN'14)."""
+    both = _symmetrize(e)
+    m = both.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", "u").alias("m"))
+    return (
+        both.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor (and the node itself) to
+    the minimum of that smaller neighborhood."""
+    both = _symmetrize(e)
+    smaller = both.filter(F.col("v") <= F.col("u"))
+    m = smaller.groupBy("u").agg(F.min("v").alias("m"))  # m <= u already
+    linked = smaller.join(m, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_link = m.select("u", F.col("m").alias("v"))
+    return (
+        linked.union(self_link).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    return e.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+
+
 def connected_components(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
-    max_iterations: int = 25,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """(node, component) over the undirected pair graph; ``component`` is
     the MINIMUM node id of the connected component (deterministic,
     engine-independent — the DuckDB oracle reproduces it with a
     recursive CTE).
 
-    Algorithm: min-label propagation WITH pointer doubling — each round
-    takes the min over (its own label, its label's label, its
-    neighbors' labels), which is two equi-joins plus one aggregation
-    over the candidate-PAIR graph (LSH output, tiny relative to the
-    corpus) and converges in O(log diameter) rounds instead of
-    O(diameter). The round count is the inherent driver-side action of
-    any fixpoint algorithm; each round's labels are localCheckpoint-ed
-    so lineage stays flat."""
-    edges = pairs.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    labels = (
-        edges.select(F.col("a").alias("node")).distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
+    Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+    Mirrokni, Rastogi & Vassilvitskii, "Connected Components in
+    MapReduce and Beyond", COSN 2014) — each round is two
+    groupBy-min + join passes over the candidate-PAIR graph (LSH
+    output, tiny relative to the corpus), and convergence is
+    O(log^2 n) rounds REGARDLESS of how node ids are laid out along
+    paths (an r4 review simulation showed naive min-label propagation
+    + pointer jumping degrading to O(diameter) on shuffled-id chains).
+    At the fixpoint every component is a star centered on its minimum
+    node. The round count is the inherent driver-side action of any
+    fixpoint algorithm; edges are localCheckpoint-ed once up front (the
+    upstream LSH/verify pipeline runs exactly once) and per round so
+    lineage stays flat. RAISES if the cap is exhausted before
+    convergence — silently-wrong cluster ids would defeat the
+    leakage-free-split contract built on top of this."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # pairs pipeline (LSH + verify) runs ONCE
     )
+    prev = _canon_edges(e).localCheckpoint()
     for _ in range(max_iterations):
-        cand = (
-            edges.join(labels.withColumnRenamed("node", "a"), "a")
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("component").alias("cand"))
-        )
-        # pointer doubling: a component value is itself a node id, so
-        # its current label is one lookup away (labels shrink
-        # monotonically: comp2 <= component always)
-        jump = labels.select(
-            F.col("node").alias("component"), F.col("component").alias("comp2")
-        )
-        new_labels = (
-            labels.join(jump, "component")
-            .join(cand, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp2"), F.coalesce("cand", "comp2")
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _canon_edges(e).localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+            cur.count() != prev.count()
+            or cur.exceptAll(prev).count() != 0
         )
-        labels = new_labels
-        if changed == 0:
+        prev = cur
+        if not changed:
             break
-    return labels
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds; raise max_iterations (components are stars at the "
+            "fixpoint — an unconverged result would assign WRONG cluster "
+            "ids and leak near-duplicates across splits)"
+        )
+    roots = prev.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    members = prev.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    return members.union(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
 
 
 def assign_dedup_clusters(
@@ -540,7 +579,11 @@ def assign_dedup_clusters(
     # join strategy left to AQE: the component table is sized by the
     # number of near-dup NODES — usually broadcastable, but a
     # heavily-duplicated corpus can make it arbitrarily large
-    comp = connected_components(pairs, src, dst).withColumnRenamed("node", id_col)
+    comp = (
+        connected_components(pairs, src, dst)
+        .withColumnRenamed("node", id_col)
+        .withColumnRenamed("component", "__cc_component")  # collision-safe
+    )
     return df.join(comp, id_col, "left").withColumn(
-        "cluster_id", F.coalesce("component", F.col(id_col))
-    ).drop("component")
+        "cluster_id", F.coalesce("__cc_component", F.col(id_col))
+    ).drop("__cc_component")

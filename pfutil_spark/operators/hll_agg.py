@@ -536,11 +536,9 @@ def merge_record_batch(
                 vv,
                 n_present,
             )
-            if moffs[-1] > (1 << 31) - 1:
-                raise ValueError(
-                    "merged sketch bytes exceed 2GB in one partition; "
-                    "raise spark.sql.shuffle.partitions"
-                )
+            from pfutil_spark.kernel.sketch_common import check_arrow_binary_size
+
+            check_arrow_binary_size(int(moffs[-1]))
             arrays.append(
                 pa.Array.from_buffers(
                     pa.binary(),
@@ -565,11 +563,9 @@ def merge_record_batch(
         if n_hd:
             # dense-merged heavy groups: canonical dense wire rows built
             # in one uniform buffer (header == _header(ENC_DENSE, None))
-            if n_hd * hll.HLL_DENSE_SIZE > (1 << 31) - 1:
-                raise ValueError(
-                    "merged sketch bytes exceed 2GB in one partition; "
-                    "raise spark.sql.shuffle.partitions"
-                )
+            from pfutil_spark.kernel.sketch_common import check_arrow_binary_size
+
+            check_arrow_binary_size(n_hd * hll.HLL_DENSE_SIZE)
             out2d = np.zeros((n_hd, hll.HLL_DENSE_SIZE), dtype=np.uint8)
             out2d[:, 0:4] = np.frombuffer(hll.MAGIC, dtype=np.uint8)
             out2d[:, 4] = hll.ENC_DENSE

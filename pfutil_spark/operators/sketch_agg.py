@@ -445,12 +445,10 @@ def merge_sketch_batch(
         wdata, woffs = _varbin_buffers(sk.take(pa.array(rows)))
         woffs = woffs.astype(np.int64)
         if spec.merge_groups is not None:
+            from pfutil_spark.kernel.sketch_common import check_arrow_binary_size
+
             mdata, moffs = spec.merge_groups(wdata, woffs, work_code, len(work_ids))
-            if moffs[-1] > (1 << 31) - 1:
-                raise ValueError(
-                    "merged sketch bytes exceed 2GB in one partition; "
-                    "raise spark.sql.shuffle.partitions"
-                )
+            check_arrow_binary_size(int(moffs[-1]))
             arrays.append(
                 pa.Array.from_buffers(
                     pa.binary(),

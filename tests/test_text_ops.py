@@ -199,19 +199,37 @@ class TestConnectedComponents:
         assert out["a"] == "a" and out["z"] == "z"  # singletons: own id
         assert out["f"] == "b" and out["r"] == "p"
 
-    def test_long_chain_converges_logarithmically(self, spark):
-        """A 40-node path has diameter 39, but pointer doubling must
-        converge within ~log2(39) + slack rounds — the 100-TB posture
-        for adversarially chained near-dup graphs."""
+    def test_shuffled_id_chain_converges(self, spark):
+        """A 60-node path whose ids are RANDOMLY laid out along the
+        chain — the case where naive min-label propagation degrades to
+        O(diameter) (r4 review simulation); large-star/small-star must
+        converge within the default cap and match union-find ground
+        truth exactly."""
+        import random
+
         from pfutil_spark.operators.dedup import connected_components
 
-        n = 40
-        rows = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)]
+        rng = random.Random(7)
+        ids = [f"d{i:03d}" for i in range(60)]
+        perm = ids[:]
+        rng.shuffle(perm)
+        rows = [(perm[i], perm[i + 1]) for i in range(59)]
         pairs = spark.createDataFrame(rows, "id_a string, id_b string")
-        comp = connected_components(pairs, max_iterations=10)
-        got = {r["node"]: r["component"] for r in comp.collect()}
-        assert len(got) == n
-        assert set(got.values()) == {"n00"}
+        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        assert len(got) == 60
+        assert set(got.values()) == {"d000"}  # one component, min id root
+
+    def test_nonconvergence_raises_not_silently_wrong(self, spark):
+        """Exhausting the round cap must RAISE — an unconverged result
+        would assign wrong cluster ids and leak near-dups across
+        splits (r4 review finding)."""
+        import pytest
+
+        from pfutil_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iterations=0)
 
 
 class TestSimilarity:
