@@ -937,6 +937,100 @@ def _q_hll_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (functions/text.py::word_repetition_stats): word counts, duplicate-
+    word fraction, most-frequent word + fraction. Exact DuckDB parity
+    (integer counts; the two fractions are single IEEE divisions rounded
+    to 4dp — same float ops in both engines)."""
+    from pfutil_spark.functions.text import word_repetition_stats
+
+    return word_repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_lang_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-style language-mix rebalancing
+    (operators/sampling.py::geometric_mix_resample): keep exactly
+    ceil(sqrt(n_lang * n_min)) docs per language, chosen by smallest
+    sha256 draws. EXACT row-set parity with the SQL mirror — every float
+    op involved (int product, sqrt, ceil, hex-string compare) is
+    engine-independent."""
+    from pfutil_spark.operators.sampling import geometric_mix_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        geometric_mix_resample(d, "doc_id", "lang", seed=0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _q_sampled_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-consistent deterministic sampling across tables:
+    sample 20% of customers by hashed c_custkey, then join their orders —
+    the sampled orders are exactly the orders of sampled customers (the
+    join-closure property hash-keyed sampling guarantees and RNG sampling
+    does not). Exact DuckDB parity via the shared draw expression."""
+    from pfutil_spark.operators.sampling import hash_sample
+
+    cust = hash_sample(_t(spark, sf_dir, "customer"), "c_custkey", 0.2, seed=7)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _q_weighted_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted t-digest (operators/sketch_agg.py::tdigest_weighted_sketch):
+    quantity-weighted median of extendedprice per returnflag. The query
+    re-verifies its own estimate IN the plan: the exact weighted CDF at
+    the estimated p50 must sit within 3% of 0.5 (t-digest rank error at
+    the median is ~1/delta). Oracle re-states the exact weight totals and
+    the bound."""
+    from pfutil_spark.operators.sketch_agg import (
+        tdigest_quantiles_col,
+        tdigest_weighted_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = (
+        tdigest_weighted_sketch(li, "l_extendedprice", "l_quantity", by=("l_returnflag",))
+        .select(
+            "l_returnflag",
+            tdigest_quantiles_col([0.5]).getItem(0).alias("p50"),
+        )
+    )
+    qty = F.col("l_quantity").cast("double")
+    j = li.join(F.broadcast(est), "l_returnflag")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+            (
+                F.sum(F.when(F.col("l_extendedprice") <= F.col("p50"), qty).otherwise(0.0))
+                / F.sum(qty)
+            ).alias("__rank"),
+        )
+        .select(
+            "l_returnflag",
+            "total_qty",
+            (F.abs(F.col("__rank") - 0.5) <= 0.03).alias("within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -966,6 +1060,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops_bound": _q_kmv_set_ops_bound,
         "hash_sample_split": _q_hash_sample_split,
         "rollup_estimates": _q_rollup_estimates,
+        # round-4 additions: pretraining-pipeline text/sampling ops,
+        # all exact DuckDB parity
+        "doc_repetition": _q_doc_repetition,
+        "lang_mix_sample": _q_lang_mix_sample,
+        "sampled_customer_orders": _q_sampled_customer_orders,
+        "weighted_quantile_bound": _q_weighted_quantile_bound,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -1172,6 +1272,48 @@ def oracle_sql() -> dict[str, str]:
             f" < '{_sampling._threshold_hex(0.25)}' THEN 1 ELSE 0 END) AS BIGINT)"
             " AS n_sampled"
             " FROM documents GROUP BY lang, split ORDER BY lang, split"
+        ),
+        "doc_repetition": (
+            # exact mirror of functions/text.py::word_repetition_stats:
+            # unnest the single-space split, count per (doc, word), then
+            # totals + the (max count, min word) argmax per doc
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word"
+            "  FROM documents),"
+            " wc AS (SELECT doc_id, word, count(*) AS cnt FROM w"
+            "  GROUP BY doc_id, word),"
+            " s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,"
+            "  count(*) AS n_distinct_words, max(cnt) AS top_cnt FROM wc"
+            "  GROUP BY doc_id),"
+            " t AS (SELECT doc_id, min(word) AS top_word FROM wc"
+            "  JOIN s USING (doc_id) WHERE cnt = top_cnt GROUP BY doc_id)"
+            " SELECT s.doc_id, n_words, n_distinct_words,"
+            " round(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 4)"
+            "  AS dup_word_frac,"
+            " t.top_word,"
+            " round(CAST(top_cnt AS DOUBLE) / n_words, 4) AS top_word_frac"
+            " FROM s JOIN t USING (doc_id) ORDER BY s.doc_id"
+        ),
+        "lang_mix_sample": (
+            _sampling.sql_geometric_mix_expr(
+                "documents", "doc_id", "lang", seed=0,
+                key_alias="doc_id", strata_alias="lang",
+            )
+            + " ORDER BY r.key"
+        ),
+        "sampled_customer_orders": (
+            "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,"
+            " count(*) AS n_orders,"
+            " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            f" WHERE {_sampling.sql_frac_expr('c_custkey', seed=7)}"
+            f" < '{_sampling._threshold_hex(0.2)}'"
+            " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "weighted_quantile_bound": (
+            "SELECT l_returnflag,"
+            " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,"
+            " TRUE AS within_bound"
+            " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "kmv_set_ops_bound": (
             "SELECT"

@@ -53,6 +53,58 @@ def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def word_repetition_stats(
+    df: DataFrame, key: str = "doc_id", text: str = "text", sep: str = " "
+) -> DataFrame:
+    """Gopher-style repetition signals per document: word count, distinct
+    word count, duplicate-word fraction, and the most frequent word with
+    its frequency fraction (the classic "excessive repetition" quality
+    filters for pretraining corpora, cf. Rae et al. 2021 §A1.1 — public
+    paper, arXiv:2112.11446).
+
+    Output columns: ``key``, ``n_words``, ``n_distinct_words``,
+    ``dup_word_frac`` (= 1 - distinct/total, rounded to 4dp),
+    ``top_word`` (ties broken by lexicographically smallest word),
+    ``top_word_frac``.
+
+    Plan shape (zero Python, fully oracle-able): explode the
+    ``sep``-split token array, partial-aggregated groupBy (key, word),
+    then groupBy key. Two shuffles, both map-side combined; the
+    (key, word) shuffle carries ~one row per distinct (doc, word) after
+    the combine — near-unique keys, no skew, survives a 100x scale-up.
+    The top word comes from ``min(struct(-cnt, word))`` (struct
+    comparison = max count then min word) so the second aggregation
+    needs no re-join with the word-count frame.
+
+    ``sep`` is a literal-character regex (default single space). Empty
+    text yields one empty-string "word" in both Spark and DuckDB
+    (``split``/``string_split`` keep the empty field), so cross-engine
+    parity holds on that edge too.
+    """
+    k = F.col(key)
+    wc = (
+        df.select(k.alias("__k"), F.explode(F.split(F.col(text), sep, -1)).alias("word"))
+        .groupBy("__k", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = wc.groupBy("__k").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("word").alias("w"))).alias("__top"),
+    )
+    n_words = F.col("n_words")
+    return stats.select(
+        F.col("__k").alias(key),
+        n_words,
+        F.col("n_distinct_words"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_words").cast("double") / n_words, 4
+        ).alias("dup_word_frac"),
+        F.col("__top.w").alias("top_word"),
+        F.round((-F.col("__top.nc")).cast("double") / n_words, 4).alias("top_word_frac"),
+    )
+
+
 # language-ID: tiny per-language stopword/diacritic evidence lists.
 # n-gram/stopword heuristics are the classic cheap langid approach; this is
 # intentionally simple (and measured: see tests/test_text_ops.py accuracy

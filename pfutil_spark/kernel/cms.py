@@ -217,6 +217,39 @@ def fold_groups(
     )
 
 
+def fold_groups_weighted(
+    hashes: np.ndarray,
+    weights: np.ndarray,
+    inverse: np.ndarray,
+    n_groups: int,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted grouped CMS fold: each row adds ``weight`` to its
+    counters (byte-weighted token frequencies, size-weighted key
+    popularity). Same sparse-native shape as :func:`fold_groups`; rows
+    with weight <= 0 are dropped (negative increments would break the
+    never-undercount guarantee). Weights are summed in float64 then
+    truncated back to int64 — exact while per-counter totals stay under
+    2^53 (a counter that big has long since overflowed usefulness)."""
+    h = to_u64(np.asarray(hashes))
+    g = np.asarray(inverse, dtype=np.int64)
+    wt = np.asarray(weights).astype(np.int64)
+    m = wt > 0
+    h, g, wt = h[m], g[m], wt[m]
+    wu = np.uint64(width)
+    dw = depth * width
+    keys_parts = [
+        g * dw + j * width + (hash_family(h, j) % wu).astype(np.int64)
+        for j in range(depth)
+    ]
+    uk, inv = np.unique(np.concatenate(keys_parts), return_inverse=True)
+    cnt = np.bincount(
+        inv, weights=np.tile(wt.astype(np.float64), depth), minlength=len(uk)
+    ).astype(np.int64)
+    return encode_groups_items(uk // dw, uk % dw, cnt, n_groups, depth, width)
+
+
 def _items_flat(
     data: np.ndarray, offsets: np.ndarray, depth: int, width: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -44,6 +44,26 @@ class TDigest:
             np.concatenate([self.weights, np.ones(len(values))]),
         )
 
+    def update_weighted(self, values: np.ndarray, weights: np.ndarray) -> None:
+        """Weighted batch update: each value carries ``weight`` units of
+        rank mass (byte-weighted length quantiles, duration-weighted
+        latencies, ...). Rows with NaN value/weight or weight <= 0 are
+        dropped. NOTE: unlike the unit-weight path, weighted folds make
+        no bit-exactness claim across batch splits (the cumulative-rank
+        terms are no longer exact integers) — merges remain
+        estimate-stable, same as t-digest merges generally."""
+        v = np.asarray(values, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.float64)
+        m = ~np.isnan(v) & ~np.isnan(w) & (w > 0)
+        v, w = v[m], w[m]
+        if len(v) == 0:
+            return
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
+        self._compress(
+            np.concatenate([self.means, v]), np.concatenate([self.weights, w])
+        )
+
     def merge(self, other: "TDigest") -> "TDigest":
         if len(other.means):
             self.vmin = min(self.vmin, other.vmin)
@@ -181,6 +201,76 @@ def fold_groups(
     write_le_flat(data, hp + 4, ones, 4)             # version
     write_le_flat(data, hp + 8, ones * delta, 4)     # delta
     write_le_flat(data, hp + 12, n_cent, 4)          # centroid count
+    write_le_flat(data, hp + 16, vmin.view(np.uint64), 8)
+    write_le_flat(data, hp + 24, vmax.view(np.uint64), 8)
+    if len(uniq):
+        rank = segment_ranks(cent_g)
+        mpos = offsets[cent_g] + 32 + 8 * rank
+        wpos = offsets[cent_g] + 32 + 8 * n_cent[cent_g] + 8 * rank
+        write_le_flat(data, mpos, means.view(np.uint64), 8)
+        write_le_flat(data, wpos, wsum.view(np.uint64), 8)
+    return data, offsets
+
+
+def fold_groups_weighted(
+    values: np.ndarray,
+    weights: np.ndarray,
+    inverse: np.ndarray,
+    n_groups: int,
+    delta: int = DEFAULT_DELTA,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted grouped direct-emit fold: the same flat k-space bucket
+    compression as :func:`fold_groups`, with each value carrying its
+    weight of rank mass. Per-group cumulative weights come from one flat
+    ``cumsum`` minus the group-start prefix (float association differs
+    from an isolated per-group cumsum by ulps — fine: the weighted path
+    is estimate-stable, not bit-exact; see ``update_weighted``).
+    Groups whose rows are all dropped (NaN / non-positive weight) emit
+    the canonical empty digest."""
+    from .sketch_common import segment_ranks, write_le_flat
+
+    v = np.asarray(values, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    g = np.asarray(inverse, dtype=np.int64)
+    m = ~np.isnan(v) & ~np.isnan(w) & (w > 0)
+    v, w, g = v[m], w[m], g[m]
+    order = np.lexsort((v, g))  # stable sort by value within group
+    v, w, g = v[order], w[order], g[order]
+    counts = np.bincount(g, minlength=n_groups).astype(np.int64)
+    gstarts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    totals = np.bincount(g, weights=w, minlength=n_groups)
+    totals = np.where(counts > 0, totals, 1.0)  # avoid 0/0 for empty groups
+    cw = np.cumsum(w)
+    base = np.concatenate(([0.0], cw))[gstarts]
+    q_mid = (cw - np.repeat(base, counts) - 0.5 * w) / np.repeat(
+        totals, counts
+    )
+    k_ = delta * (np.arcsin(2.0 * np.clip(q_mid, 0.0, 1.0) - 1.0) / np.pi + 0.5)
+    bucket = np.floor(k_).astype(np.int64)
+    stride = delta + 2
+    key = g * stride + bucket
+    uniq, inv2 = np.unique(key, return_inverse=True)
+    wsum = np.bincount(inv2, weights=w)
+    msum = np.bincount(inv2, weights=w * v)
+    means = msum / wsum
+    cent_g = uniq // stride
+    n_cent = np.bincount(cent_g, minlength=n_groups).astype(np.int64)
+    vmin = np.full(n_groups, np.inf)
+    vmax = np.full(n_groups, -np.inf)
+    nz = np.flatnonzero(counts)
+    if len(nz):
+        vmin[nz] = v[gstarts[nz]]
+        vmax[nz] = v[gstarts[nz] + counts[nz] - 1]
+    offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(32 + 16 * n_cent, out=offsets[1:])
+    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    hp = offsets[:-1]
+    for i, byte in enumerate(MAGIC):
+        data[hp + i] = byte
+    ones = np.ones(n_groups, dtype=np.int64)
+    write_le_flat(data, hp + 4, ones, 4)
+    write_le_flat(data, hp + 8, ones * delta, 4)
+    write_le_flat(data, hp + 12, n_cent, 4)
     write_le_flat(data, hp + 16, vmin.view(np.uint64), 8)
     write_le_flat(data, hp + 24, vmax.view(np.uint64), 8)
     if len(uniq):

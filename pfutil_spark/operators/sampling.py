@@ -118,6 +118,89 @@ def sql_split_expr(
     return "CASE " + " ".join(parts) + f" ELSE '{weights[-1][0]}' END"
 
 
+def geometric_mix_resample(
+    df: DataFrame, key: str, strata: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic temperature-style corpus rebalancing: per stratum
+    (e.g. language) keep exactly ``k_s = ceil(sqrt(n_s * n_min))`` rows —
+    the geometric mean of the stratum's own size and the smallest
+    stratum's size. This is the alpha=0.5 point of the standard
+    ``count^alpha`` temperature family used to flatten language mixes in
+    pretraining data; alpha=0.5 specifically because every float op in
+    ``k_s`` (int-product under 2^53, sqrt, ceil) is IEEE-correctly-rounded
+    and therefore bit-identical on any engine — general alpha needs
+    ``pow()``, whose last-ulp behavior is libm-specific, which would
+    break exact cross-engine reproducibility of the selected row set.
+
+    Within a stratum the kept rows are the ``k_s`` smallest sha256 draws
+    (:func:`hash_frac_hex_col`; ties broken by key), so the selection is
+    partition-independent, rerun-stable, and referentially consistent
+    with :func:`hash_sample` / :func:`hash_split_col` draws at the same
+    seed. Unlike a Bernoulli rate, the output size per stratum is EXACT.
+
+    Plan: one column-pruned counting scan (groupBy strata + a broadcast
+    1-row global min), then a rank window partitioned by strata over the
+    main scan. With few strata each partition is one task — fine for the
+    intended use (downsampling to a bounded mix you can afford to rank);
+    when k_s is huge, pre-filter with ``hash_sample(df, key, rate)`` at a
+    rate comfortably above ``k_s/n_s`` first and rank the survivors —
+    same result as long as the pre-filter keeps >= k_s rows per stratum.
+
+    Null keys draw null and sort last (explicitly — Spark's default is
+    nulls-first, most other engines' is nulls-last), so they are only
+    kept if a stratum is almost entirely null-keyed.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(strata)
+    counts = df.groupBy(s.alias("__stratum")).agg(F.count(F.lit(1)).alias("__n_s"))
+    n_min = counts.agg(F.min("__n_s").alias("__n_min"))
+    k_s = F.ceil(
+        F.sqrt(F.col("__n_s").cast("double") * F.col("__n_min"))
+    ).alias("__k_s")
+    plan = counts.crossJoin(F.broadcast(n_min)).select("__stratum", k_s)
+    draw = hash_frac_hex_col(key, seed)
+    w = Window.partitionBy(s).orderBy(
+        draw.asc_nulls_last(), F.col(key).asc_nulls_last()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(plan), s.eqNullSafe(F.col("__stratum")))
+        .filter(F.col("__rn") <= F.col("__k_s"))
+        .drop("__stratum", "__k_s", "__rn")
+    )
+
+
+def sql_geometric_mix_expr(
+    table: str,
+    key_sql: str,
+    strata_sql: str,
+    seed: int = 0,
+    key_alias: str = "key",
+    strata_alias: str = "stratum",
+) -> str:
+    """ANSI/DuckDB mirror of :func:`geometric_mix_resample` — a full
+    SELECT returning the kept ``(key, strata)`` rows (aliased
+    ``key_alias``/``strata_alias``), for oracles and cross-engine
+    reproduction of the exact row set."""
+    frac = sql_frac_expr(key_sql, seed)
+    return (
+        f"WITH cnt AS (SELECT {strata_sql} AS stratum, count(*) AS n_s"
+        f" FROM {table} GROUP BY {strata_sql}),"
+        " m AS (SELECT min(n_s) AS n_min FROM cnt),"
+        " k AS (SELECT stratum,"
+        " CAST(ceil(sqrt(CAST(n_s AS DOUBLE) * (SELECT n_min FROM m))) AS BIGINT)"
+        " AS k_s FROM cnt),"
+        f" r AS (SELECT {key_sql} AS key, {strata_sql} AS stratum,"
+        f" row_number() OVER (PARTITION BY {strata_sql}"
+        f" ORDER BY {frac} ASC NULLS LAST, {key_sql} ASC NULLS LAST) AS rn"
+        f" FROM {table})"
+        f" SELECT r.key AS {key_alias}, r.stratum AS {strata_alias}"
+        " FROM r JOIN k USING (stratum)"
+        " WHERE rn <= k_s"
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key: str | Column,

@@ -23,6 +23,7 @@ from pfutil_spark.kernel import bloom, cms, kll, kmv, tdigest
 
 SKETCH_COL = "sketch"
 _ELEM = "__pf_elem"
+_WT = "__pf_wt"
 
 
 @dataclass
@@ -63,6 +64,13 @@ class KernelSpec:
     merge_groups: Callable | None = None
     valid_flat: Callable | None = None
     fold_bytes_bound: Callable | None = None
+    # weighted-element hooks (sketches whose rank mass can carry a
+    # per-row weight, e.g. t-digest): update_weighted(state, values,
+    # weights) -> state; fold_groups_weighted(values, weights, inverse,
+    # n_groups) -> (data, offsets). Required when sketch_agg is called
+    # with a weight column.
+    update_weighted: Callable | None = None
+    fold_groups_weighted: Callable | None = None
 
 
 # per-batch output ceiling for the direct-emit fold (well under the 2GB
@@ -73,6 +81,12 @@ DIRECT_EMIT_BYTES_CAP = 1 << 28
 def cms_spec(depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH) -> KernelSpec:
     def update(state, values):
         cms.update(state, values)
+        return state
+
+    def update_weighted(state, values, weights):
+        wt = np.asarray(weights).astype(np.int64)
+        m = wt > 0  # negative increments would break never-undercount
+        cms.update(state, np.asarray(values)[m], counts=wt[m])
         return state
 
     return KernelSpec(
@@ -87,6 +101,10 @@ def cms_spec(depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH) -> 
         # a group's sparse payload never exceeds its item count (dense is
         # only chosen when smaller), so rows*depth entries bound the lot
         fold_bytes_bound=lambda g, n: 20 * g + 12 * depth * n,
+        update_weighted=update_weighted,
+        fold_groups_weighted=lambda v, w, inv, n: cms.fold_groups_weighted(
+            v, w, inv, n, depth, width
+        ),
     )
 
 
@@ -167,6 +185,10 @@ def tdigest_spec(delta: int = tdigest.DEFAULT_DELTA) -> KernelSpec:
         state.update(values)
         return state
 
+    def update_weighted(state, values, weights):
+        state.update_weighted(values, weights)
+        return state
+
     return KernelSpec(
         zero=lambda: tdigest.TDigest(delta),
         update=update,
@@ -176,6 +198,10 @@ def tdigest_spec(delta: int = tdigest.DEFAULT_DELTA) -> KernelSpec:
         fold_groups=lambda v, inv, n: tdigest.fold_groups(v, inv, n, delta),
         valid_flat=lambda d, o: tdigest.valid_flat(d, o, delta),
         fold_bytes_bound=lambda g, n: 32 * g + 16 * min(n, g * (delta + 2)),
+        update_weighted=update_weighted,
+        fold_groups_weighted=lambda v, w, inv, n: tdigest.fold_groups_weighted(
+            v, w, inv, n, delta
+        ),
     )
 
 
@@ -197,6 +223,7 @@ def sketch_agg(
     max_groups_in_flight: int = 2048,
     direct_emit_groups: int = 4096,
     engine: str = "arrow",
+    weight: Column | None = None,
 ) -> DataFrame:
     """(by..., sketch) via partial (mapInArrow, per-partition accumulation)
     -> one shuffle -> merge. ``element`` must evaluate to LONG (pre-hash)
@@ -223,7 +250,8 @@ def sketch_agg(
       those groups. ``engine='pandas'`` keeps the r1-era applyInPandas
       fold (differential-test oracle)."""
     partials = sketch_partial(
-        df, element, spec, by, max_groups_in_flight, direct_emit_groups
+        df, element, spec, by, max_groups_in_flight, direct_emit_groups,
+        weight=weight,
     )
     return sketch_merge(partials, spec, by, engine=engine)
 
@@ -235,19 +263,29 @@ def sketch_partial(
     by: Sequence[str] = (),
     max_groups_in_flight: int = 2048,
     direct_emit_groups: int = 4096,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Stage P alone: one ``(by..., sketch)`` partial row per
     (partition, group) — checkpointable (see
     sources.checkpoint.ResumableSketchJob) and mergeable later via
-    :func:`sketch_merge` in any order/partitioning."""
+    :func:`sketch_merge` in any order/partitioning.
+
+    With ``weight`` (a DOUBLE column; requires ``spec.update_weighted``)
+    each element carries that much rank mass; rows with a null element
+    OR null weight are dropped (non-positive weights drop kernel-side)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from pfutil_spark.operators.hll_agg import _group_codes
 
     by = list(by)
-    pruned = df.select(*by, element.alias(_ELEM))
-    schema = _out_schema(pruned, by)
+    if weight is not None and spec.update_weighted is None:
+        raise ValueError("this sketch spec does not support weighted elements")
+    weighted = weight is not None  # plain bool: the Column itself must
+    # NOT be captured by partial_fn (a JVM handle — unpicklable)
+    wt_cols = [weight.alias(_WT)] if weighted else []
+    pruned = df.select(*by, element.alias(_ELEM), *wt_cols)
+    schema = _out_schema(pruned.select(*by, _ELEM), by)
 
     def partial_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         acc: dict[tuple, object] = {}
@@ -268,17 +306,26 @@ def sketch_partial(
                 key_fields = [batch.schema.field(c) for c in by]
                 seen = True
             elem = batch.column(_ELEM)
+            if weighted and batch.column(_WT).null_count:
+                batch = batch.filter(pc.is_valid(batch.column(_WT)))
+                elem = batch.column(_ELEM)
             if elem.null_count:
                 batch = batch.filter(pc.is_valid(elem))
                 elem = batch.column(_ELEM)
             if len(batch) == 0:
                 continue
             values = elem.to_numpy(zero_copy_only=False)
+            wts = (
+                batch.column(_WT).to_numpy(zero_copy_only=False)
+                if weighted
+                else None
+            )
+            fold = spec.fold_groups_weighted if weighted else spec.fold_groups
             if by:
                 inverse, first_idx = _group_codes(batch, by)
                 n_groups = len(first_idx)
                 if (
-                    spec.fold_groups is not None
+                    fold is not None
                     and n_groups >= direct_emit_groups
                     and (
                         spec.fold_bytes_bound is None
@@ -287,7 +334,11 @@ def sketch_partial(
                     )
                 ):
                     # high-cardinality batch: vectorized direct emit
-                    data, offs = spec.fold_groups(values, inverse, n_groups)
+                    data, offs = (
+                        fold(values, wts, inverse, n_groups)
+                        if weighted
+                        else fold(values, inverse, n_groups)
+                    )
                     if offs[-1] > (1 << 31) - 1:
                         raise ValueError(
                             "sketch_agg direct-emit batch exceeds 2GB of "
@@ -317,12 +368,21 @@ def sketch_partial(
                     st = acc.get(k)
                     if st is None:
                         st = acc[k] = spec.zero()
-                    acc[k] = spec.update(st, values[order[s:e]])
+                    sel = order[s:e]
+                    acc[k] = (
+                        spec.update_weighted(st, values[sel], wts[sel])
+                        if weighted
+                        else spec.update(st, values[sel])
+                    )
             else:
                 st = acc.get(())
                 if st is None:
                     st = acc[()] = spec.zero()
-                acc[()] = spec.update(st, values)
+                acc[()] = (
+                    spec.update_weighted(st, values, wts)
+                    if weighted
+                    else spec.update(st, values)
+                )
             if len(acc) > max_groups_in_flight:
                 yield flush()
                 acc = {}
@@ -500,6 +560,23 @@ def cms_sketch(
     return sketch_agg(df, _null_safe_hash(col), cms_spec(depth, width), by)
 
 
+def cms_weighted_sketch(
+    df: DataFrame, col: str, weight_col: str, by: Sequence[str] = (),
+    depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH,
+) -> DataFrame:
+    """Weighted count-min: each row adds ``weight_col`` (integer, > 0;
+    null/non-positive rows drop) to its item's counters — byte-weighted
+    token frequency, size-weighted key popularity. Same wire format; the
+    never-undercount guarantee now bounds the weighted totals."""
+    return sketch_agg(
+        df,
+        _null_safe_hash(col),
+        cms_spec(depth, width),
+        by,
+        weight=F.col(weight_col).cast("long"),
+    )
+
+
 def bloom_sketch(
     df: DataFrame, col: str, by: Sequence[str] = (),
     expected_n: int | None = None, fpr: float = 0.01,
@@ -520,6 +597,30 @@ def tdigest_sketch(
     df: DataFrame, col: str, by: Sequence[str] = (), delta: int = tdigest.DEFAULT_DELTA
 ) -> DataFrame:
     return sketch_agg(df, F.col(col).cast("double"), tdigest_spec(delta), by)
+
+
+def tdigest_weighted_sketch(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    by: Sequence[str] = (),
+    delta: int = tdigest.DEFAULT_DELTA,
+) -> DataFrame:
+    """Weighted t-digest: each row's value carries ``weight_col`` units
+    of rank mass — byte-weighted document-length quantiles,
+    duration-weighted latency percentiles, token-weighted quality-score
+    distributions. Same two-phase plan (partial -> one shuffle ->
+    merge), same wire format (``tdigest_quantiles_col`` reads it
+    unchanged); rows with null value/weight or weight <= 0 are dropped.
+    Weighted folds are estimate-stable, not bit-stable, across batch
+    splits (documented in kernel/tdigest.py::update_weighted)."""
+    return sketch_agg(
+        df,
+        F.col(col).cast("double"),
+        tdigest_spec(delta),
+        by,
+        weight=F.col(weight_col).cast("double"),
+    )
 
 
 def spacesaving_sketch(

@@ -7,4 +7,5 @@ from pfutil_spark.streaming.hll_stream import (  # noqa: F401
 )
 from pfutil_spark.streaming.sketch_stream import (  # noqa: F401
     streaming_quantiles_with_state,
+    streaming_topk_with_state,
 )

@@ -74,3 +74,75 @@ def streaming_quantiles_with_state(
     return stream_df.groupBy(*by).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_topk_with_state(
+    stream_df: DataFrame,
+    value: str,
+    by: Sequence[str],
+    k: int = 10,
+    m: int = 256,
+) -> DataFrame:
+    """Running per-key heavy hitters via ``applyInPandasWithState`` —
+    the GroupState is a serialized SpaceSaving summary (≤ m entries,
+    bounded bytes forever), updated with the vectorized
+    factorize/bincount batch fold each micro-batch. Emits the running
+    top-k values per key with their estimated counts and the guaranteed
+    max overcount (theta). Output mode: update.
+
+    SpaceSaving is the right streaming heavy-hitter state: single-pass,
+    mergeable (Agarwal et al., PODS'12 — replay under at-least-once
+    delivery widens theta, never undercounts), and every value whose
+    true frequency exceeds n/m is GUARANTEED present in the summary."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    import pandas as pd
+
+    from pfutil_spark.kernel import spacesaving
+
+    by = list(by)
+    out_schema = StructType(
+        [stream_df.schema[c] for c in by]
+        + [
+            StructField("n", LongType(), False),
+            StructField("top_values", ArrayType(StringType()), False),
+            StructField("top_counts", ArrayType(LongType()), False),
+            StructField("max_overcount", LongType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("sketch", BinaryType(), True)])
+
+    def fn(key, pdfs, state: GroupState):
+        ss = (
+            spacesaving.decode(bytes(state.get[0]))
+            if state.exists
+            else spacesaving.SpaceSaving(m)
+        )
+        for pdf in pdfs:
+            # object dtype: update_batch drops nulls at factorize and
+            # coerces non-string keys to str (the fold's tie-break domain)
+            ss.update_batch(pdf[value].to_numpy(dtype=object))
+        state.update((ss.encode(),))
+        top = ss.top_k(k)
+        yield pd.DataFrame(
+            [(
+                *key,
+                int(ss.n),
+                [v for v, _, _ in top],
+                [int(c) for _, c, _ in top],
+                int(ss.theta),
+            )],
+            columns=by + ["n", "top_values", "top_counts", "max_overcount"],
+        )
+
+    return stream_df.groupBy(*by).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -285,3 +285,84 @@ class TestKMV:
             kmv.KmvSketch(64).merge(kmv.KmvSketch(128))
         with pytest.raises(ValueError, match="k >= 3"):
             kmv.KmvSketch(2)
+
+
+class TestWeightedKernels:
+    def test_tdigest_weighted_equals_replication_and_drop_rules(self):
+        rng = np.random.default_rng(7)
+        vals = rng.normal(50, 10, 5000)
+        wts = rng.integers(1, 6, 5000).astype(float)
+        td_w = tdigest.TDigest(100)
+        td_w.update_weighted(vals, wts)
+        rep = np.repeat(vals, wts.astype(int))
+        assert td_w.n == rep.size
+        qs = np.array([0.05, 0.5, 0.95, 0.99])
+        for q, est in zip(qs, td_w.quantile(qs)):
+            rank = float(np.mean(rep <= est))
+            assert abs(rank - q) <= 0.02, (q, est, rank)
+        td = tdigest.TDigest(100)
+        td.update_weighted(
+            np.array([1.0, 2.0, np.nan, 4.0]), np.array([1.0, -1.0, 2.0, np.nan])
+        )
+        assert td.n == 1.0 and td.quantile(0.5) == 1.0
+
+    def test_tdigest_weighted_fold_matches_scalar_per_group(self):
+        rng = np.random.default_rng(5)
+        n = 50_000
+        g = rng.integers(0, 40, n)
+        v = rng.normal(0, 1, n) + g * 0.1
+        w = rng.random(n) * 3
+        data, offs = tdigest.fold_groups_weighted(v, w, g, 40)
+        assert tdigest.valid_flat(
+            np.frombuffer(bytes(data), dtype=np.uint8), offs, 100
+        ).all()
+        qs = np.array([0.1, 0.5, 0.9])
+        for gi in range(40):
+            dd = tdigest.decode(bytes(data[offs[gi] : offs[gi + 1]]))
+            m = g == gi
+            ref = tdigest.TDigest(100)
+            ref.update_weighted(v[m], w[m])
+            assert abs(dd.n - ref.n) < 1e-9 * max(1.0, ref.n)
+            assert np.abs(dd.quantile(qs) - ref.quantile(qs)).max() < 0.2
+
+    def test_tdigest_weighted_fold_empty_and_trailing_groups(self):
+        g = np.array([0, 0, 2])
+        v = np.array([1.0, 2.0, 3.0])
+        w = np.array([1.0, 1.0, np.nan])
+        data, offs = tdigest.fold_groups_weighted(v, w, g, 5)
+        for gi in (1, 2, 3, 4):  # group 2's only row dropped; 3-4 never seen
+            dd = tdigest.decode(bytes(data[offs[gi] : offs[gi + 1]]))
+            assert dd.n == 0.0, gi
+
+    def test_cms_weighted_fold_unit_weights_byte_identical(self):
+        rng = np.random.default_rng(3)
+        h = rng.integers(0, 2**63, 5000)
+        g = rng.integers(0, 20, 5000)
+        d1, o1 = cms.fold_groups(h, g, 20, 4, 512)
+        d2, o2 = cms.fold_groups_weighted(
+            h, np.ones(5000, dtype=np.int64), g, 20, 4, 512
+        )
+        assert (o1 == o2).all() and bytes(d1) == bytes(d2)
+
+    def test_cms_weighted_fold_matches_scalar_update(self):
+        rng = np.random.default_rng(3)
+        h = rng.integers(0, 2**63, 5000)
+        g = rng.integers(0, 20, 5000)
+        w = rng.integers(1, 9, 5000)
+        data, offs = cms.fold_groups_weighted(h, w, g, 20, 4, 512)
+        for gi in range(20):
+            st = cms.empty(4, 512)
+            m = g == gi
+            cms.update(st, h[m], counts=w[m])
+            assert bytes(data[offs[gi] : offs[gi + 1]]) == cms.encode(st), gi
+
+    def test_cms_weighted_nonpositive_weights_dropped(self):
+        data, offs = cms.fold_groups_weighted(
+            np.array([1, 2, 3], dtype=np.uint64),
+            np.array([5, 0, -2]),
+            np.zeros(3, dtype=np.int64),
+            1, 4, 512,
+        )
+        st = cms.empty(4, 512)
+        cms.update(st, np.array([1], dtype=np.uint64), counts=np.array([5]))
+        assert bytes(data) == cms.encode(st)

@@ -105,3 +105,31 @@ def test_extension_sketch_pandas_engine_has_sort(spark):
         ev, F.xxhash64("user_id"), kmv_spec(256), by=("event_type",), engine="pandas"
     )
     assert "Sort" in plan_of(df, "simple")
+
+
+def test_word_repetition_zero_python_two_shuffles(spark):
+    """The repetition-stats plan is pure JVM (explode + two partial-
+    aggregated groupBys): no Python eval nodes, exactly two Exchanges
+    (doc_id,word then doc_id), codegen throughout."""
+    from pfutil_spark.functions.text import word_repetition_stats
+
+    df = word_repetition_stats(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = plan_of(df, "simple")
+    assert "Python" not in plan, plan  # no BatchEvalPython / ArrowEvalPython
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan_of(df) or "partial" in plan_of(df).lower()
+
+
+def test_geometric_mix_plan_broadcasts_and_stays_jvm(spark):
+    """The mix-resample counting side reaches the main scan as two
+    BROADCASTs (1-row global min, per-stratum quotas); no Python nodes
+    anywhere; the rank window sorts within strata partitions only."""
+    from pfutil_spark.operators.sampling import geometric_mix_resample
+
+    df = geometric_mix_resample(
+        spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", "lang"
+    )
+    plan = plan_of(df, "simple")
+    assert "Python" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "Window" in plan, plan

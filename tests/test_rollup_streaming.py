@@ -390,6 +390,55 @@ class TestAsofAndSessions:
                 assert abs(true_rank - qq) <= 0.05, (r["event_type"], qq, est, true_rank)
 
 
+    def test_streaming_topk_with_state(self, spark, tmp_path):
+        """Running per-key heavy hitters with a SpaceSaving GroupState:
+        n is exact, reported counts never undercount (est >= true and
+        est - max_overcount <= true), and a value with true frequency
+        far above n/m is guaranteed reported."""
+        from pfutil_spark.streaming import streaming_topk_with_state
+
+        df = (
+            spark.range(20_000)
+            .withColumn("grp", (F.col("id") % 2 == 0).cast("string"))
+            .withColumn(
+                "val",
+                F.when(F.col("id") % 10 < 3, F.lit("hot"))  # ~30% one value
+                .otherwise(F.concat(F.lit("u"), (F.col("id") % 997).cast("string"))),
+            )
+            .select("grp", "val")
+        )
+        src = tmp_path / "tk_src"
+        df.write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        out = streaming_topk_with_state(stream, "val", ["grp"], k=5, m=256)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stks_out")
+            .option("checkpointLocation", str(tmp_path / "tkck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER ("
+            " PARTITION BY grp ORDER BY n DESC) rn FROM stks_out) WHERE rn = 1"
+        ).collect()
+        assert len(rows) == 2
+        exact = {
+            (r["grp"], r["val"]): r["c"]
+            for r in df.groupBy("grp", "val").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        n_per_grp = {g: sum(c for (gg, _), c in exact.items() if gg == g) for g in ("true", "false")}
+        for r in rows:
+            assert r["n"] == n_per_grp[r["grp"]]
+            assert r["top_values"][0] == "hot"  # 30% >> n/m guarantee
+            for v, est in zip(r["top_values"], r["top_counts"]):
+                true = exact.get((r["grp"], v), 0)
+                assert est >= true, (v, est, true)
+                assert est - r["max_overcount"] <= true, (v, est, true)
+
+
 class TestCube:
     def test_cube_covers_all_subsets_within_bound(self, spark):
         from pfutil_spark.operators.rollup import pf_cube

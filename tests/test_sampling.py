@@ -179,3 +179,93 @@ class TestStratified:
         a = {r["doc_id"] for r in strat.select("doc_id").collect()}
         b = {r["doc_id"] for r in plain.select("doc_id").collect()}
         assert a == b
+
+
+class TestGeometricMixResample:
+    def test_exact_per_stratum_sizes(self, spark):
+        """Kept count per stratum is EXACTLY ceil(sqrt(n_s * n_min)) —
+        the defining property (a Bernoulli sampler only hits it in
+        expectation); the smallest stratum is kept whole."""
+        import math
+
+        from pfutil_spark.operators.sampling import geometric_mix_resample
+
+        d = docs(spark)
+        totals = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+        n_min = min(totals.values())
+        out = geometric_mix_resample(d, "doc_id", "lang")
+        kept = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+        for lang, n_s in totals.items():
+            assert kept[lang] == math.ceil(math.sqrt(float(n_s) * n_min)), lang
+        smallest = min(totals, key=lambda k: (totals[k], k))
+        assert kept[smallest] == totals[smallest]
+
+    def test_partition_independent_and_selects_smallest_draws(self, spark):
+        """Same rows at any partitioning, and the kept rows per stratum
+        are exactly the k_s smallest (draw, key) pairs recomputed
+        independently from the full table."""
+        import math
+
+        from pfutil_spark.operators.sampling import geometric_mix_resample
+
+        d = docs(spark)
+        a = {(r["doc_id"], r["lang"])
+             for r in geometric_mix_resample(d, "doc_id", "lang").select("doc_id", "lang").collect()}
+        b = {(r["doc_id"], r["lang"])
+             for r in geometric_mix_resample(d.repartition(17), "doc_id", "lang").select("doc_id", "lang").collect()}
+        assert a == b
+        rows = d.select("doc_id", "lang", hash_frac_hex_col("doc_id").alias("fr")).collect()
+        by_lang: dict[str, list] = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append((r["fr"], r["doc_id"]))
+        n_min = min(len(v) for v in by_lang.values())
+        expect = set()
+        for lang, pairs in by_lang.items():
+            k = math.ceil(math.sqrt(float(len(pairs)) * n_min))
+            for _, did in sorted(pairs)[:k]:
+                expect.add((did, lang))
+        assert a == expect
+
+    def test_null_stratum_and_null_key(self, spark):
+        """A null stratum forms its own group (eqNullSafe join); null
+        keys draw null and sort LAST, so they are kept only when the
+        stratum has fewer non-null keys than its quota."""
+        rows = [(i, "a") for i in range(16)] + [(100 + i, None) for i in range(4)]
+        rows += [(None, "a")]  # null key in the big stratum: must lose
+        df = spark.createDataFrame(rows, "k int, s string")
+        from pfutil_spark.operators.sampling import geometric_mix_resample
+
+        out = geometric_mix_resample(df, "k", "s").collect()
+        kept_a = [r for r in out if r["s"] == "a"]
+        kept_null = [r for r in out if r["s"] is None]
+        assert len(kept_null) == 4  # smallest stratum kept whole (k=4)
+        assert len(kept_a) == 9  # ceil(sqrt(17*4)) = ceil(8.246) = 9
+        assert all(r["k"] is not None for r in kept_a)  # null key sorted last
+
+    def test_sql_mirror_exact_rowset(self, spark):
+        import duckdb
+
+        from pfutil_spark.operators.sampling import (
+            geometric_mix_resample,
+            sql_geometric_mix_expr,
+        )
+
+        d = docs(spark)
+        a = sorted(
+            (r["doc_id"], r["lang"])
+            for r in geometric_mix_resample(d, "doc_id", "lang", seed=3)
+            .select("doc_id", "lang")
+            .collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS"
+            " SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+        )
+        b = sorted(
+            tuple(r)
+            for r in con.sql(
+                sql_geometric_mix_expr("documents", "doc_id", "lang", seed=3)
+            ).fetchall()
+        )
+        assert a == b

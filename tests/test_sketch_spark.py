@@ -215,3 +215,127 @@ class TestKMVSpark:
         blm = bytes(bloom_sketch(df, "v", expected_n=100).collect()[0]["sketch"])
         state, kk = bloom_k.decode(blm)
         assert int(np.unpackbits(state).sum()) <= 2 * kk  # <= 2 items' bits
+
+
+class TestWeightedTDigestSpark:
+    def test_weighted_matches_integer_replication(self, spark):
+        """Integer weights == replicating each value weight times: the
+        weighted sketch's quantiles must land within rank error of the
+        exact quantiles of the replicated data, and n must equal the
+        exact weight sum."""
+        import pandas as pd
+
+        from pfutil_spark.operators.sketch_agg import tdigest_weighted_sketch
+
+        rng = np.random.default_rng(11)
+        pdf = pd.DataFrame({
+            "grp": rng.integers(0, 3, 4000).astype(str),
+            "v": rng.normal(100, 25, 4000),
+            "w": rng.integers(1, 7, 4000).astype(float),
+        })
+        df = spark.createDataFrame(pdf)
+        sk = tdigest_weighted_sketch(df, "v", "w", by=("grp",))
+        rows = sk.select(
+            "grp", tdigest_quantiles_col([0.25, 0.5, 0.9]).alias("q")
+        ).collect()
+        assert len(rows) == 3
+        for r in rows:
+            sub = pdf[pdf["grp"] == r["grp"]]
+            rep = np.repeat(sub["v"].to_numpy(), sub["w"].to_numpy().astype(int))
+            for q, est in zip((0.25, 0.5, 0.9), r["q"]):
+                true_rank = (rep <= est).mean()
+                assert abs(true_rank - q) <= 0.05, (r["grp"], q, true_rank)
+
+    def test_weighted_null_and_nonpositive_rows_dropped(self, spark):
+        import pandas as pd
+
+        from pfutil_spark.kernel import tdigest as td_k
+        from pfutil_spark.operators.sketch_agg import tdigest_weighted_sketch
+
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "v": [1.0, 2.0, None, 4.0, 5.0],
+                "w": [2.0, None, 1.0, 0.0, -3.0],
+            })
+        )
+        buf = tdigest_weighted_sketch(df, "v", "w").collect()[0]["sketch"]
+        d = td_k.decode(bytes(buf))
+        assert d.n == 2.0  # only (1.0, w=2) survives
+        assert d.quantile(0.5) == 1.0
+
+    def test_weighted_direct_emit_matches_accumulation(self, spark):
+        """Force the high-cardinality vectorized weighted fold
+        (direct_emit_groups=1) and compare against the accumulation
+        path: same weight totals, quantiles within rank error."""
+        import pandas as pd
+
+        from pfutil_spark.kernel import tdigest as td_k
+        from pfutil_spark.operators.sketch_agg import (
+            sketch_agg,
+            tdigest_spec,
+        )
+
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame({
+            "grp": rng.integers(0, 50, 20_000).astype(str),
+            "v": rng.normal(0, 1, 20_000),
+            "w": rng.random(20_000) * 4,
+        })
+        df = spark.createDataFrame(pdf).repartition(4)
+        spec = tdigest_spec(100)
+        fast = sketch_agg(
+            df, F.col("v"), spec, ("grp",),
+            direct_emit_groups=1, weight=F.col("w"),
+        ).collect()
+        slow = sketch_agg(
+            df, F.col("v"), spec, ("grp",),
+            direct_emit_groups=10**9, weight=F.col("w"),
+        ).collect()
+        a = {r["grp"]: td_k.decode(bytes(r["sketch"])) for r in fast}
+        b = {r["grp"]: td_k.decode(bytes(r["sketch"])) for r in slow}
+        assert set(a) == set(b) and len(a) == 50
+        qs = np.array([0.1, 0.5, 0.9])
+        for g in a:
+            assert abs(a[g].n - b[g].n) < 1e-6 * max(1.0, b[g].n)
+            sub = pdf[pdf["grp"] == g]
+            rep_v, rep_w = sub["v"].to_numpy(), sub["w"].to_numpy()
+            order = np.argsort(rep_v)
+            cw = np.cumsum(rep_w[order])
+            for q, ea, eb in zip(qs, a[g].quantile(qs), b[g].quantile(qs)):
+                for est in (ea, eb):
+                    true_rank = cw[np.searchsorted(rep_v[order], est, "right") - 1] / cw[-1] if est >= rep_v[order][0] else 0.0
+                    assert abs(true_rank - q) <= 0.06, (g, q, est, true_rank)
+
+    def test_weight_requires_spec_hook(self, spark):
+        from pfutil_spark.operators.sketch_agg import kll_spec, sketch_agg
+
+        df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+        with pytest.raises(ValueError, match="weighted"):
+            sketch_agg(df, F.col("v"), kll_spec(), weight=F.col("v")).collect()
+
+
+class TestWeightedCMSSpark:
+    def test_weighted_counts_never_undercount_and_track_exact(self, spark):
+        import pandas as pd
+
+        from pfutil_spark.operators.sketch_agg import cms_weighted_sketch
+
+        rng = np.random.default_rng(19)
+        pdf = pd.DataFrame({
+            "tok": rng.integers(0, 200, 8000).astype(str),
+            "nbytes": rng.integers(1, 50, 8000),
+        })
+        df = spark.createDataFrame(pdf).repartition(5)
+        sk = cms_weighted_sketch(df, "tok", "nbytes", depth=5, width=4096)
+        items = sorted(pdf["tok"].unique())
+        est = (
+            sk.select(cms_counts_col(df, items).alias("c"))
+            .collect()[0]["c"]
+        )
+        exact = pdf.groupby("tok")["nbytes"].sum()
+        total = int(pdf["nbytes"].sum())
+        eps = 2.0 * np.e / 4096
+        for tok, e in zip(items, est):
+            x = int(exact[tok])
+            assert e >= x, (tok, e, x)  # never undercount, weighted
+            assert e - x <= eps * total + 1, (tok, e, x)

@@ -471,3 +471,61 @@ class TestCacheScope:
         # plans still run (recompute, just uncached)
         p1.count(), p2.count()
         release_cached(p1, blocking=True), release_cached(p2, blocking=True)
+
+
+class TestWordRepetition:
+    def test_curated_docs_match_hand_computation(self, spark):
+        from pfutil_spark.functions.text import word_repetition_stats
+
+        rows = [
+            (1, "a a b"),          # dup 1-2/3, top a @ 2/3
+            (2, "b a b a"),        # tie a==b -> lexicographically min 'a'
+            (3, "x"),              # single word
+            (4, ""),               # empty text = one empty-string word
+            (5, "c c c c"),        # all same
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in word_repetition_stats(df).collect()}
+        r1 = out[1]
+        assert (r1["n_words"], r1["n_distinct_words"]) == (3, 2)
+        assert r1["dup_word_frac"] == round(1 - 2 / 3, 4)
+        assert (r1["top_word"], r1["top_word_frac"]) == ("a", round(2 / 3, 4))
+        r2 = out[2]
+        assert (r2["top_word"], r2["top_word_frac"]) == ("a", 0.5)
+        r3 = out[3]
+        assert (r3["n_words"], r3["dup_word_frac"], r3["top_word_frac"]) == (1, 0.0, 1.0)
+        r4 = out[4]
+        assert (r4["n_words"], r4["top_word"]) == (1, "")
+        r5 = out[5]
+        assert (r5["n_distinct_words"], r5["dup_word_frac"], r5["top_word_frac"]) == (
+            1, 0.75, 1.0,
+        )
+
+    def test_matches_python_on_real_docs(self, spark):
+        """Differential vs a pure-Python computation on sf0.001.
+
+        Rounding note: Python's round() is banker's; Spark AND DuckDB
+        both round halfway cases away from zero (hit in practice:
+        13/32 = 0.40625 -> 0.4063) — so the reference here must use
+        half-up, and cross-engine oracle parity is unaffected."""
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from pfutil_spark.functions.text import word_repetition_stats
+
+        def r4(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {r["doc_id"]: r for r in word_repetition_stats(d).collect()}
+        for row in d.select("doc_id", "text").collect():
+            words = row["text"].split(" ")
+            c = Counter(words)
+            top_cnt = max(c.values())
+            top_word = min(w for w, n in c.items() if n == top_cnt)
+            g = got[row["doc_id"]]
+            assert g["n_words"] == len(words)
+            assert g["n_distinct_words"] == len(c)
+            assert g["dup_word_frac"] == r4(1.0 - len(c) / len(words))
+            assert g["top_word"] == top_word
+            assert g["top_word_frac"] == r4(top_cnt / len(words))
