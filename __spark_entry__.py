@@ -1031,6 +1031,32 @@ def _q_weighted_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SpaceSaving heavy hitters
+    (operators/sketch_agg.py::spacesaving_weighted_sketch): top order
+    priorities by TOTAL PRICE (in exact cents), single pass. With
+    distinct values <= m the summary is exact (theta stays 0), so this
+    is EXACT DuckDB parity, not a bound — while the same plan at 10^9
+    distinct keys degrades gracefully to the guaranteed-error regime."""
+    from pfutil_spark.operators.sketch_agg import (
+        spacesaving_topk_col,
+        spacesaving_weighted_sketch,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    )
+    sk = spacesaving_weighted_sketch(o, "o_orderpriority", "cents", m=256)
+    return (
+        sk.select(F.explode(spacesaving_topk_col(3)).alias("t"))
+        .select(
+            F.col("t.value").alias("o_orderpriority"),
+            F.col("t.est_count").alias("total_cents"),
+        )
+        .orderBy(F.col("total_cents").desc(), "o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -1066,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix_sample": _q_lang_mix_sample,
         "sampled_customer_orders": _q_sampled_customer_orders,
         "weighted_quantile_bound": _q_weighted_quantile_bound,
+        "weighted_topk": _q_weighted_topk,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -1308,6 +1335,13 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE {_sampling.sql_frac_expr('c_custkey', seed=7)}"
             f" < '{_sampling._threshold_hex(0.2)}'"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "weighted_topk": (
+            "SELECT o_orderpriority,"
+            " CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+            "  AS BIGINT) AS total_cents"
+            " FROM orders GROUP BY o_orderpriority"
+            " ORDER BY total_cents DESC, o_orderpriority LIMIT 3"
         ),
         "weighted_quantile_bound": (
             "SELECT l_returnflag,"

@@ -153,6 +153,12 @@ def spacesaving_spec(m: int = 256) -> KernelSpec:
         state.update_batch(values)
         return state
 
+    def update_weighted(state, values, weights):
+        wt = np.asarray(weights).astype(np.int64)
+        keep = wt > 0  # zero/negative weights must not seed theta+0 items
+        state.update_batch(np.asarray(values, dtype=object)[keep], wt[keep])
+        return state
+
     return KernelSpec(
         zero=lambda: ss.SpaceSaving(m),
         update=update,
@@ -160,6 +166,7 @@ def spacesaving_spec(m: int = 256) -> KernelSpec:
         encode=lambda s: s.encode(),
         decode=ss.decode,
         valid_flat=lambda d, o: ss.valid_flat(d, o, m),
+        update_weighted=update_weighted,
     )
 
 
@@ -543,6 +550,13 @@ def merge_sketch_batch(
 # public sketch builders
 # ---------------------------------------------------------------------------
 
+def _long_weight(weight_col: str) -> Column:
+    """Integer weight column with NaN treated as NULL (dropped rows):
+    a bare ``cast("long")`` on a double NaN throws under ANSI mode."""
+    w = F.col(weight_col).cast("double")
+    return F.when(~F.isnan(w), w).cast("long")
+
+
 def _null_safe_hash(col: str) -> Column:
     """xxhash64 that propagates NULL: Spark's xxhash64(NULL) returns the
     SEED (42), which would smuggle null rows into hash-keyed sketches as
@@ -573,7 +587,7 @@ def cms_weighted_sketch(
         _null_safe_hash(col),
         cms_spec(depth, width),
         by,
-        weight=F.col(weight_col).cast("long"),
+        weight=_long_weight(weight_col),
     )
 
 
@@ -628,6 +642,24 @@ def spacesaving_sketch(
 ) -> DataFrame:
     """Mergeable SpaceSaving heavy-hitters summary over ``col``."""
     return sketch_agg(df, F.col(col).cast("string"), spacesaving_spec(m), by)
+
+
+def spacesaving_weighted_sketch(
+    df: DataFrame, col: str, weight_col: str, by: Sequence[str] = (), m: int = 256
+) -> DataFrame:
+    """Weighted heavy hitters: each row contributes ``weight_col``
+    (integer, > 0; null/non-positive rows drop) to its value's count —
+    "which tokens account for the most BYTES", "which repos the most
+    files". When a group's distinct values fit in m the summary is
+    EXACT (theta stays 0); above m the usual SpaceSaving guarantees
+    bound the weighted totals."""
+    return sketch_agg(
+        df,
+        F.col(col).cast("string"),
+        spacesaving_spec(m),
+        by,
+        weight=_long_weight(weight_col),
+    )
 
 
 def kmv_sketch(

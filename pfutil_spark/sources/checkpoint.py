@@ -155,8 +155,12 @@ class ResumableSketchJob:
             "metrics": _complete(self.metrics_path, self.spark),
         }
 
-    def run(self, df: DataFrame, element) -> DataFrame:
-        """Execute (or resume) the job; returns the merged sketch table."""
+    def run(self, df: DataFrame, element, weight=None) -> DataFrame:
+        """Execute (or resume) the job; returns the merged sketch table.
+        ``weight`` (optional Column) flows to ``sketch_partial`` — the
+        weighted-sketch jobs checkpoint/resume identically because the
+        weight only affects how partials are BUILT, never how the
+        already-encoded partials merge."""
         from pfutil_spark.operators.sketch_agg import sketch_merge, sketch_partial
 
         if _complete(self.merged_path, self.spark):
@@ -165,7 +169,7 @@ class ResumableSketchJob:
         if _complete(self.partial_path, self.spark):
             partials = self.spark.read.parquet(self.partial_path)
         else:
-            sketch_partial(df, element, self.spec, self.by).withColumn(
+            sketch_partial(df, element, self.spec, self.by, weight=weight).withColumn(
                 "_partition_id", F.spark_partition_id()
             ).write.mode("overwrite").parquet(self.partial_path)
             partials = self.spark.read.parquet(self.partial_path)

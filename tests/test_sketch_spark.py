@@ -339,3 +339,86 @@ class TestWeightedCMSSpark:
             x = int(exact[tok])
             assert e >= x, (tok, e, x)  # never undercount, weighted
             assert e - x <= eps * total + 1, (tok, e, x)
+
+
+class TestWeightedSpaceSavingSpark:
+    def test_exact_regime_weighted_totals(self, spark):
+        """distinct <= m: weighted SpaceSaving totals are EXACT and
+        theta stays 0; resumable-job pass-through builds the same."""
+        import pandas as pd
+
+        from pfutil_spark.kernel import spacesaving as ss_k
+        from pfutil_spark.operators.sketch_agg import (
+            spacesaving_topk_col,
+            spacesaving_weighted_sketch,
+        )
+
+        rng = np.random.default_rng(23)
+        pdf = pd.DataFrame({
+            "val": rng.integers(0, 12, 6000).astype(str),
+            "w": rng.integers(1, 100, 6000),
+        })
+        df = spark.createDataFrame(pdf).repartition(7)
+        sk = spacesaving_weighted_sketch(df, "val", "w", m=64)
+        buf = sk.collect()[0]["sketch"]
+        d = ss_k.decode(bytes(buf))
+        exact = pdf.groupby("val")["w"].sum()
+        assert d.theta == 0
+        assert d.n == int(pdf["w"].sum())
+        top = sk.select(spacesaving_topk_col(5).alias("t")).collect()[0]["t"]
+        expect = sorted(
+            ((int(c), v) for v, c in exact.items()), key=lambda t: (-t[0], t[1])
+        )[:5]
+        got = [(r["est_count"], r["value"]) for r in top]
+        assert got == expect
+        assert all(r["max_overcount"] == 0 for r in top)
+
+    def test_weighted_nonpositive_and_null_dropped(self, spark):
+        import pandas as pd
+
+        from pfutil_spark.kernel import spacesaving as ss_k
+        from pfutil_spark.operators.sketch_agg import spacesaving_weighted_sketch
+
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "val": ["a", "a", "b", "c", None],
+                "w": [3.0, None, 0.0, -5.0, 7.0],
+            })
+        )
+        buf = spacesaving_weighted_sketch(df, "val", "w", m=8).collect()[0]["sketch"]
+        d = ss_k.decode(bytes(buf))
+        assert d.counts == {"a": 3}
+        assert d.n == 3
+
+    def test_weighted_resumable_job_roundtrip(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F2
+
+        from pfutil_spark.kernel import spacesaving as ss_k
+        from pfutil_spark.operators.sketch_agg import spacesaving_spec
+        from pfutil_spark.sources.checkpoint import ResumableSketchJob
+
+        pdf = pd.DataFrame({
+            "grp": (["x"] * 50 + ["y"] * 50),
+            "val": [str(i % 7) for i in range(100)],
+            "w": list(range(1, 101)),
+        })
+        df = spark.createDataFrame(pdf).repartition(3)
+        job = ResumableSketchJob(
+            spark, str(tmp_path / "wss"), spacesaving_spec(16), by=("grp",)
+        )
+        out = job.run(
+            df, F2.col("val").cast("string"), weight=F2.col("w").cast("long")
+        )
+        got = {r["grp"]: ss_k.decode(bytes(r["sketch"])) for r in out.collect()}
+        for g in ("x", "y"):
+            sub = pdf[pdf["grp"] == g]
+            exact = sub.groupby("val")["w"].sum()
+            assert got[g].n == int(sub["w"].sum())
+            for v, c in exact.items():
+                assert got[g].estimate(v) == int(c)  # theta 0: exact
+        # resume: rerunning returns the checkpointed result
+        out2 = job.run(df, F2.col("val").cast("string"), weight=F2.col("w").cast("long"))
+        a = sorted((r["grp"], bytes(r["sketch"])) for r in out.collect())
+        b = sorted((r["grp"], bytes(r["sketch"])) for r in out2.collect())
+        assert a == b
