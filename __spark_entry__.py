@@ -940,9 +940,10 @@ def _q_hll_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document
     (functions/text.py::word_repetition_stats): word counts, duplicate-
-    word fraction, most-frequent word + fraction. Exact DuckDB parity
-    (integer counts; the two fractions are single IEEE divisions rounded
-    to 4dp — same float ops in both engines)."""
+    word fraction, most-frequent word + fraction. Exact DuckDB parity:
+    integer counts, and the two fractions are single IEEE divisions
+    emitted UNROUNDED (bit-identical doubles cross-engine; round(x,4)
+    would NOT be — engines disagree at boundary ratios)."""
     from pfutil_spark.functions.text import word_repetition_stats
 
     return word_repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
@@ -1313,11 +1314,14 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY doc_id),"
             " t AS (SELECT doc_id, min(word) AS top_word FROM wc"
             "  JOIN s USING (doc_id) WHERE cnt = top_cnt GROUP BY doc_id)"
+            # fractions UNROUNDED: one IEEE division each, so the
+            # doubles are bit-identical cross-engine; round(x,4) is NOT
+            # (HALF_UP vs scale-multiply diverge at boundary ratios)
             " SELECT s.doc_id, n_words, n_distinct_words,"
-            " round(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 4)"
+            " 1.0 - CAST(n_distinct_words AS DOUBLE) / n_words"
             "  AS dup_word_frac,"
             " t.top_word,"
-            " round(CAST(top_cnt AS DOUBLE) / n_words, 4) AS top_word_frac"
+            " CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac"
             " FROM s JOIN t USING (doc_id) ORDER BY s.doc_id"
         ),
         "lang_mix_sample": (

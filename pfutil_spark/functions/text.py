@@ -63,9 +63,13 @@ def word_repetition_stats(
     paper, arXiv:2112.11446).
 
     Output columns: ``key``, ``n_words``, ``n_distinct_words``,
-    ``dup_word_frac`` (= 1 - distinct/total, rounded to 4dp),
-    ``top_word`` (ties broken by lexicographically smallest word),
-    ``top_word_frac``.
+    ``dup_word_frac`` (= 1 - distinct/total), ``top_word`` (ties broken
+    by lexicographically smallest word), ``top_word_frac``. The two
+    fractions are emitted UNROUNDED: each is one IEEE division (plus one
+    subtraction), so the exact double — and its shortest string repr —
+    is engine-independent, whereas ``round(x, 4)`` is NOT (Spark's
+    BigDecimal HALF_UP vs DuckDB's scale-multiply disagree on boundary
+    ratios like 1 - 83/160 = 0.48124999999999996).
 
     Plan shape (zero Python, fully oracle-able): explode the
     ``sep``-split token array, partial-aggregated groupBy (key, word),
@@ -97,11 +101,11 @@ def word_repetition_stats(
         F.col("__k").alias(key),
         n_words,
         F.col("n_distinct_words"),
-        F.round(
-            F.lit(1.0) - F.col("n_distinct_words").cast("double") / n_words, 4
+        (
+            F.lit(1.0) - F.col("n_distinct_words").cast("double") / n_words
         ).alias("dup_word_frac"),
         F.col("__top.w").alias("top_word"),
-        F.round((-F.col("__top.nc")).cast("double") / n_words, 4).alias("top_word_frac"),
+        ((-F.col("__top.nc")).cast("double") / n_words).alias("top_word_frac"),
     )
 
 

@@ -149,6 +149,42 @@ def merge_all(digests: list[TDigest]) -> TDigest:
 # vectorized grouped fold over flat buffers (zero per-group Python).
 # ---------------------------------------------------------------------------
 
+def _emit_groups(
+    means: np.ndarray,
+    wsum: np.ndarray,
+    cent_g: np.ndarray,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    n_groups: int,
+    delta: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Serialize per-group centroid lists (sorted by group, then mean)
+    into flat wire buffers — the single definition of the t-digest
+    layout (header 32B: MAGIC/version/delta/n_c/vmin/vmax, then means,
+    then weights) shared by the unit-weight and weighted folds."""
+    from .sketch_common import segment_ranks, write_le_flat
+
+    n_cent = np.bincount(cent_g, minlength=n_groups).astype(np.int64)
+    offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(32 + 16 * n_cent, out=offsets[1:])
+    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    hp = offsets[:-1]
+    for i, byte in enumerate(MAGIC):
+        data[hp + i] = byte
+    ones = np.ones(n_groups, dtype=np.int64)
+    write_le_flat(data, hp + 4, ones, 4)             # version
+    write_le_flat(data, hp + 8, ones * delta, 4)     # delta
+    write_le_flat(data, hp + 12, n_cent, 4)          # centroid count
+    write_le_flat(data, hp + 16, vmin.view(np.uint64), 8)
+    write_le_flat(data, hp + 24, vmax.view(np.uint64), 8)
+    if len(cent_g):
+        rank = segment_ranks(cent_g)
+        mpos = offsets[cent_g] + 32 + 8 * rank
+        wpos = offsets[cent_g] + 32 + 8 * n_cent[cent_g] + 8 * rank
+        write_le_flat(data, mpos, means.view(np.uint64), 8)
+        write_le_flat(data, wpos, wsum.view(np.uint64), 8)
+    return data, offsets
+
 def fold_groups(
     values: np.ndarray, inverse: np.ndarray, n_groups: int, delta: int = DEFAULT_DELTA
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -158,8 +194,6 @@ def fold_groups(
     every cumulative-rank term an exact integer, so the within-group
     arithmetic matches the scalar path bit for bit). Returns flat wire
     buffers ``(data, offsets)``."""
-    from .sketch_common import segment_ranks, write_le_flat
-
     v = np.asarray(values, dtype=np.float64)
     g = np.asarray(inverse, dtype=np.int64)
     m = ~np.isnan(v)
@@ -183,7 +217,6 @@ def fold_groups(
     msum = np.bincount(inv2, weights=v)
     means = msum / wsum
     cent_g = uniq // stride
-    n_cent = np.bincount(cent_g, minlength=n_groups).astype(np.int64)
     # per-group vmin/vmax from the group-sorted values
     vmin = np.full(n_groups, np.inf)
     vmax = np.full(n_groups, -np.inf)
@@ -191,25 +224,7 @@ def fold_groups(
     if len(nz):
         vmin[nz] = v[gstarts[nz]]
         vmax[nz] = v[gstarts[nz] + counts[nz] - 1]
-    offsets = np.zeros(n_groups + 1, dtype=np.int64)
-    np.cumsum(32 + 16 * n_cent, out=offsets[1:])
-    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
-    hp = offsets[:-1]
-    for i, byte in enumerate(MAGIC):
-        data[hp + i] = byte
-    ones = np.ones(n_groups, dtype=np.int64)
-    write_le_flat(data, hp + 4, ones, 4)             # version
-    write_le_flat(data, hp + 8, ones * delta, 4)     # delta
-    write_le_flat(data, hp + 12, n_cent, 4)          # centroid count
-    write_le_flat(data, hp + 16, vmin.view(np.uint64), 8)
-    write_le_flat(data, hp + 24, vmax.view(np.uint64), 8)
-    if len(uniq):
-        rank = segment_ranks(cent_g)
-        mpos = offsets[cent_g] + 32 + 8 * rank
-        wpos = offsets[cent_g] + 32 + 8 * n_cent[cent_g] + 8 * rank
-        write_le_flat(data, mpos, means.view(np.uint64), 8)
-        write_le_flat(data, wpos, wsum.view(np.uint64), 8)
-    return data, offsets
+    return _emit_groups(means, wsum, cent_g, vmin, vmax, n_groups, delta)
 
 
 def fold_groups_weighted(
@@ -227,8 +242,6 @@ def fold_groups_weighted(
     is estimate-stable, not bit-exact; see ``update_weighted``).
     Groups whose rows are all dropped (NaN / non-positive weight) emit
     the canonical empty digest."""
-    from .sketch_common import segment_ranks, write_le_flat
-
     v = np.asarray(values, dtype=np.float64)
     w = np.asarray(weights, dtype=np.float64)
     g = np.asarray(inverse, dtype=np.int64)
@@ -254,32 +267,13 @@ def fold_groups_weighted(
     msum = np.bincount(inv2, weights=w * v)
     means = msum / wsum
     cent_g = uniq // stride
-    n_cent = np.bincount(cent_g, minlength=n_groups).astype(np.int64)
     vmin = np.full(n_groups, np.inf)
     vmax = np.full(n_groups, -np.inf)
     nz = np.flatnonzero(counts)
     if len(nz):
         vmin[nz] = v[gstarts[nz]]
         vmax[nz] = v[gstarts[nz] + counts[nz] - 1]
-    offsets = np.zeros(n_groups + 1, dtype=np.int64)
-    np.cumsum(32 + 16 * n_cent, out=offsets[1:])
-    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
-    hp = offsets[:-1]
-    for i, byte in enumerate(MAGIC):
-        data[hp + i] = byte
-    ones = np.ones(n_groups, dtype=np.int64)
-    write_le_flat(data, hp + 4, ones, 4)
-    write_le_flat(data, hp + 8, ones * delta, 4)
-    write_le_flat(data, hp + 12, n_cent, 4)
-    write_le_flat(data, hp + 16, vmin.view(np.uint64), 8)
-    write_le_flat(data, hp + 24, vmax.view(np.uint64), 8)
-    if len(uniq):
-        rank = segment_ranks(cent_g)
-        mpos = offsets[cent_g] + 32 + 8 * rank
-        wpos = offsets[cent_g] + 32 + 8 * n_cent[cent_g] + 8 * rank
-        write_le_flat(data, mpos, means.view(np.uint64), 8)
-        write_le_flat(data, wpos, wsum.view(np.uint64), 8)
-    return data, offsets
+    return _emit_groups(means, wsum, cent_g, vmin, vmax, n_groups, delta)
 
 
 def valid_flat(data: np.ndarray, offsets: np.ndarray, delta: int) -> np.ndarray:

@@ -54,8 +54,13 @@ def hash_frac_hex_col(key: str | Column, seed: int = 0) -> Column:
 
 def sql_frac_expr(key_sql: str, seed: int = 0) -> str:
     """The ANSI/DuckDB mirror of :func:`hash_frac_hex_col` — for oracles
-    and cross-engine reproduction of the exact sample."""
-    return f"substr(sha256(concat(CAST({key_sql} AS VARCHAR), '#{seed}')), 1, {_HEX_W})"
+    and cross-engine reproduction of the exact sample.
+
+    Concatenation is ``||`` (NULL-propagating, per the SQL standard) and
+    NOT ``concat()``: DuckDB's concat IGNORES null arguments, so a null
+    key would hash as just ``'#seed'`` and draw a real (possibly
+    sampled) value, while the Spark side's null draw is never sampled."""
+    return f"substr(sha256(CAST({key_sql} AS VARCHAR) || '#{seed}'), 1, {_HEX_W})"
 
 
 def _keep_cond(frac: Column, rate: float) -> Column:
@@ -196,7 +201,10 @@ def sql_geometric_mix_expr(
         f" ORDER BY {frac} ASC NULLS LAST, {key_sql} ASC NULLS LAST) AS rn"
         f" FROM {table})"
         f" SELECT r.key AS {key_alias}, r.stratum AS {strata_alias}"
-        " FROM r JOIN k USING (stratum)"
+        # IS NOT DISTINCT FROM: the Spark side joins quotas with
+        # eqNullSafe, so a NULL stratum is a real stratum with its own
+        # quota — a plain USING join would silently drop those rows
+        " FROM r JOIN k ON r.stratum IS NOT DISTINCT FROM k.stratum"
         " WHERE rn <= k_s"
     )
 

@@ -551,10 +551,11 @@ def merge_sketch_batch(
 # ---------------------------------------------------------------------------
 
 def _long_weight(weight_col: str) -> Column:
-    """Integer weight column with NaN treated as NULL (dropped rows):
-    a bare ``cast("long")`` on a double NaN throws under ANSI mode."""
-    w = F.col(weight_col).cast("double")
-    return F.when(~F.isnan(w), w).cast("long")
+    """Integer weight column with NaN / Infinity / out-of-long-range
+    values treated as NULL (dropped rows): a bare ``cast("long")``
+    throws CAST_OVERFLOW on any of them under ANSI mode (the default
+    here), aborting the job instead of dropping the row."""
+    return F.col(weight_col).cast("double").try_cast("long")
 
 
 def _null_safe_hash(col: str) -> Column:

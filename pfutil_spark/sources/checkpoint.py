@@ -147,6 +147,7 @@ class ResumableSketchJob:
     partial_path = property(lambda self: f"{self.dir}/stage=partial")
     merged_path = property(lambda self: f"{self.dir}/stage=merged")
     metrics_path = property(lambda self: f"{self.dir}/stage=metrics")
+    params_path = property(lambda self: f"{self.dir}/stage=params")
 
     def stages_complete(self) -> dict[str, bool]:
         return {
@@ -155,14 +156,42 @@ class ResumableSketchJob:
             "metrics": _complete(self.metrics_path, self.spark),
         }
 
+    def _check_params(self, element, weight) -> None:
+        """Persist the build parameters next to the partials and refuse
+        to resume under different ones: checkpointed partials already
+        bake in the element/weight expressions, so silently merging them
+        under a changed weight would return WRONG sketches with no
+        error. The expressions are compared by their Column string form
+        (deterministic for a given construction)."""
+        row = {
+            "element_expr": str(element),
+            "weight_expr": str(weight) if weight is not None else "",
+            "by": ",".join(self.by),
+        }
+        if _complete(self.params_path, self.spark):
+            prev = self.spark.read.parquet(self.params_path).collect()[0].asDict()
+            if prev != row:
+                raise ValueError(
+                    "checkpoint at {} was built with different parameters: "
+                    "{} vs requested {}; use a fresh checkpoint_dir (or "
+                    "delete the stale one)".format(self.dir, prev, row)
+                )
+        else:
+            self.spark.createDataFrame(
+                [tuple(row.values())], "element_expr string, weight_expr string, by string"
+            ).coalesce(1).write.mode("overwrite").parquet(self.params_path)
+
     def run(self, df: DataFrame, element, weight=None) -> DataFrame:
         """Execute (or resume) the job; returns the merged sketch table.
         ``weight`` (optional Column) flows to ``sketch_partial`` — the
         weighted-sketch jobs checkpoint/resume identically because the
         weight only affects how partials are BUILT, never how the
-        already-encoded partials merge."""
+        already-encoded partials merge. The build parameters are
+        recorded at stage=params; resuming with a different element /
+        weight / by raises instead of silently merging stale partials."""
         from pfutil_spark.operators.sketch_agg import sketch_merge, sketch_partial
 
+        self._check_params(element, weight)
         if _complete(self.merged_path, self.spark):
             return self.spark.read.parquet(self.merged_path)
 

@@ -88,3 +88,28 @@ def test_resumable_sketch_job_kmv(spark, tmp_path):
     assert os.path.getmtime(os.path.join(job.partial_path, "_SUCCESS")) == partial_mtime
     out3 = {r["grp"]: bytes(r["sketch"]) for r in job.run(_df(spark), elem).collect()}
     assert out3 == out1
+
+
+def test_sketch_job_refuses_resume_with_changed_params(spark, tmp_path):
+    """Checkpointed partials bake in the element/weight expressions;
+    resuming the same directory with different ones must raise, not
+    silently merge stale partials (self-review r4 finding)."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pfutil_spark.operators.sketch_agg import spacesaving_spec
+    from pfutil_spark.sources.checkpoint import ResumableSketchJob
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"val": ["a", "b", "a"], "w": [1, 2, 3]})
+    )
+    job = ResumableSketchJob(spark, str(tmp_path / "ck"), spacesaving_spec(8))
+    job.run(df, F.col("val").cast("string"))
+    # same params: resume fine
+    job.run(df, F.col("val").cast("string"))
+    # adding a weight (or changing the element) must refuse
+    with pytest.raises(ValueError, match="different parameters"):
+        job.run(df, F.col("val").cast("string"), weight=F.col("w").cast("long"))
+    with pytest.raises(ValueError, match="different parameters"):
+        job.run(df, F.col("w").cast("string"))

@@ -241,6 +241,29 @@ class TestGeometricMixResample:
         assert len(kept_null) == 4  # smallest stratum kept whole (k=4)
         assert len(kept_a) == 9  # ceil(sqrt(17*4)) = ceil(8.246) = 9
         assert all(r["k"] is not None for r in kept_a)  # null key sorted last
+        # the SQL mirror must keep null strata too (IS NOT DISTINCT FROM
+        # quota join — a USING join silently dropped them; r4 review)
+        import duckdb
+
+        from pfutil_spark.operators.sampling import sql_geometric_mix_expr
+
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t(k INT, s VARCHAR)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)",
+            [(r["k"], r["s"]) for r in df.collect()],
+        )
+        mirror = sorted(
+            ((r[0], r[1]) for r in con.sql(
+                sql_geometric_mix_expr("t", "k", "s")
+            ).fetchall()),
+            key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+        )
+        mine = sorted(
+            ((r["k"], r["s"]) for r in out),
+            key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+        )
+        assert mirror == mine
 
     def test_sql_mirror_exact_rowset(self, spark):
         import duckdb

@@ -488,8 +488,8 @@ class TestWordRepetition:
         out = {r["doc_id"]: r for r in word_repetition_stats(df).collect()}
         r1 = out[1]
         assert (r1["n_words"], r1["n_distinct_words"]) == (3, 2)
-        assert r1["dup_word_frac"] == round(1 - 2 / 3, 4)
-        assert (r1["top_word"], r1["top_word_frac"]) == ("a", round(2 / 3, 4))
+        assert r1["dup_word_frac"] == 1.0 - 2 / 3
+        assert (r1["top_word"], r1["top_word_frac"]) == ("a", 2 / 3)
         r2 = out[2]
         assert (r2["top_word"], r2["top_word_frac"]) == ("a", 0.5)
         r3 = out[3]
@@ -502,19 +502,14 @@ class TestWordRepetition:
         )
 
     def test_matches_python_on_real_docs(self, spark):
-        """Differential vs a pure-Python computation on sf0.001.
-
-        Rounding note: Python's round() is banker's; Spark AND DuckDB
-        both round halfway cases away from zero (hit in practice:
-        13/32 = 0.40625 -> 0.4063) — so the reference here must use
-        half-up, and cross-engine oracle parity is unaffected."""
+        """Differential vs a pure-Python computation on sf0.001 —
+        EXACT float equality: the fractions are unrounded single IEEE
+        divisions, identical in numpy/Python/Spark/DuckDB. (The
+        round(x,4) this replaced diverged between engines at boundary
+        ratios like 1 - 83/160; see word_repetition_stats docstring.)"""
         from collections import Counter
-        from decimal import ROUND_HALF_UP, Decimal
 
         from pfutil_spark.functions.text import word_repetition_stats
-
-        def r4(x: float) -> float:
-            return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
 
         d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         got = {r["doc_id"]: r for r in word_repetition_stats(d).collect()}
@@ -526,6 +521,6 @@ class TestWordRepetition:
             g = got[row["doc_id"]]
             assert g["n_words"] == len(words)
             assert g["n_distinct_words"] == len(c)
-            assert g["dup_word_frac"] == r4(1.0 - len(c) / len(words))
+            assert g["dup_word_frac"] == 1.0 - len(c) / len(words)
             assert g["top_word"] == top_word
-            assert g["top_word_frac"] == r4(top_cnt / len(words))
+            assert g["top_word_frac"] == top_cnt / len(words)
