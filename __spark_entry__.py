@@ -1058,6 +1058,69 @@ def _q_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan multi-sketch profile (operators/sketch_agg.py::
+    sketch_multi): per language, a KMV distinct-sha sketch AND a
+    t-digest of document lengths from a SINGLE scan + SINGLE shuffle
+    (plan-gated in tests/test_sketch_spark.py). The query re-verifies
+    both estimates in-plan: KMV within 3 sample-RSEs of the exact
+    distinct count (exact below k=1024 distinct), the t-digest p50 at
+    rank 0.5 +/- 0.05."""
+    from pfutil_spark.operators.sketch_agg import (
+        _null_safe_hash,
+        kmv_estimate_col,
+        kmv_spec,
+        sketch_multi,
+        tdigest_quantiles_col,
+        tdigest_spec,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.length("text").cast("double").alias("len"),
+    )
+    prof = sketch_multi(
+        docs,
+        {
+            "sha_kmv": (_null_safe_hash("sha"), kmv_spec(1024)),
+            "len_td": (F.col("len"), tdigest_spec(100)),
+        },
+        by=("lang",),
+    ).select(
+        "lang",
+        kmv_estimate_col("sha_kmv").alias("kmv_est"),
+        tdigest_quantiles_col([0.5], "len_td").getItem(0).alias("p50"),
+    )
+    exact = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("sha").alias("exact_distinct"),
+    )
+    j = docs.join(F.broadcast(prof), "lang")
+    rank = j.groupBy("lang").agg(
+        (
+            F.sum(F.when(F.col("len") <= F.col("p50"), 1.0).otherwise(0.0))
+            / F.count(F.lit(1))
+        ).alias("__rank")
+    )
+    rse3 = 3.0 / (1024 - 2) ** 0.5
+    return (
+        exact.join(prof, "lang")
+        .join(rank, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "exact_distinct",
+            (
+                F.abs(F.col("kmv_est") - F.col("exact_distinct"))
+                <= F.greatest(F.col("exact_distinct") * rse3, F.lit(1.0))
+            ).alias("kmv_ok"),
+            (F.abs(F.col("__rank") - 0.5) <= 0.05).alias("p50_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -1094,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_customer_orders": _q_sampled_customer_orders,
         "weighted_quantile_bound": _q_weighted_quantile_bound,
         "weighted_topk": _q_weighted_topk,
+        "sketch_profile_report": _q_sketch_profile_report,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -1339,6 +1403,12 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE {_sampling.sql_frac_expr('c_custkey', seed=7)}"
             f" < '{_sampling._threshold_hex(0.2)}'"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "sketch_profile_report": (
+            "SELECT lang, count(*) AS n_docs,"
+            " count(DISTINCT sha256(text)) AS exact_distinct,"
+            " TRUE AS kmv_ok, TRUE AS p50_ok"
+            " FROM documents GROUP BY lang ORDER BY lang"
         ),
         "weighted_topk": (
             "SELECT o_orderpriority,"

@@ -550,6 +550,210 @@ def merge_sketch_batch(
 # public sketch builders
 # ---------------------------------------------------------------------------
 
+def sketch_multi(
+    df: DataFrame,
+    metrics: "dict[str, tuple[Column, KernelSpec]]",
+    by: Sequence[str] = (),
+    max_groups_in_flight: int = 2048,
+    direct_emit_groups: int = 4096,
+) -> DataFrame:
+    """N DIFFERENT sketches over the same table in ONE scan and ONE
+    shuffle — the profile-report shape ("per language: distinct shas
+    (KMV), length quantiles (t-digest), token counts (CMS), membership
+    (Bloom)") that would otherwise cost one scan+shuffle per metric.
+    Mirrors ``operators/multi.pf_partial_multi`` (the HLL 4-metric
+    report) generalized over arbitrary :class:`KernelSpec`s.
+
+    ``metrics`` maps output column name -> (element Column, spec); each
+    element must evaluate to a fixed 8-byte type (pre-hashed LONG or
+    DOUBLE). Nulls are dropped PER METRIC (a row missing one column
+    still feeds the others); a group whose rows are all null for one
+    metric still gets that metric's canonical empty sketch.
+
+    Scale posture matches :func:`sketch_agg`: low-cardinality batches
+    accumulate per (partition, group) across batches; high-cardinality
+    batches direct-emit via each spec's vectorized ``fold_groups`` (all
+    metrics must provide one, and the summed ``fold_bytes_bound`` must
+    fit the cap — else the batch falls back to accumulation). The merge
+    stage repartitions ONCE on the keys and merges every metric column
+    inside the same task via :func:`merge_sketch_batch` (validated
+    singles passthrough per column)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pfutil_spark.operators.hll_agg import _group_codes
+
+    by = list(by)
+    names = list(metrics.keys())
+    specs = [metrics[m][1] for m in names]
+    mcols = [f"__pf_m_{i}" for i in range(len(names))]
+    pruned = df.select(
+        *by, *[metrics[m][0].alias(c) for m, c in zip(names, mcols)]
+    )
+    schema = StructType(
+        [pruned.schema[c] for c in by]
+        + [StructField(m, BinaryType(), False) for m in names]
+    )
+
+    def partial_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        acc: dict[tuple, list] = {}
+        key_fields: list = []
+        seen = False
+
+        def flush() -> "pa.RecordBatch":
+            keys = list(acc.keys())
+            arrays = [
+                pa.array([k[j] for k in keys], type=key_fields[j].type)
+                for j in range(len(by))
+            ]
+            for i, spec in enumerate(specs):
+                arrays.append(
+                    pa.array(
+                        [
+                            spec.encode(
+                                acc[k][i] if acc[k][i] is not None else spec.zero()
+                            )
+                            for k in keys
+                        ],
+                        type=pa.binary(),
+                    )
+                )
+            return pa.record_batch(arrays, names=by + names)
+
+        for batch in batches:
+            if not seen:
+                key_fields = [batch.schema.field(c) for c in by]
+                seen = True
+            if len(batch) == 0:
+                continue
+            if by:
+                inverse, first_idx = _group_codes(batch, by)
+                n_groups = len(first_idx)
+            else:
+                inverse = np.zeros(len(batch), dtype=np.int64)
+                first_idx = np.array([0], dtype=np.int64)
+                n_groups = 1
+            # per-metric valid rows (nulls drop independently)
+            per_metric = []
+            for c in mcols:
+                col = batch.column(c)
+                if col.null_count:
+                    idx = np.flatnonzero(
+                        pc.is_valid(col).to_numpy(zero_copy_only=False)
+                    )
+                    vals = col.take(pa.array(idx)).to_numpy(zero_copy_only=False)
+                    inv = inverse[idx]
+                else:
+                    vals = col.to_numpy(zero_copy_only=False)
+                    inv = inverse
+                per_metric.append((vals, inv))
+            if (
+                by
+                and n_groups >= direct_emit_groups
+                and all(s.fold_groups is not None for s in specs)
+                and all(
+                    s.fold_bytes_bound is None
+                    or s.fold_bytes_bound(n_groups, len(v)) <= DIRECT_EMIT_BYTES_CAP
+                    for s, (v, _) in zip(specs, per_metric)
+                )
+            ):
+                arrays = [
+                    batch.column(c).take(pa.array(first_idx)) for c in by
+                ]
+                for spec, (vals, inv) in zip(specs, per_metric):
+                    data, offs = spec.fold_groups(vals, inv, n_groups)
+                    if offs[-1] > (1 << 31) - 1:
+                        raise ValueError(
+                            "sketch_multi direct-emit batch exceeds 2GB of "
+                            "sketch bytes; lower spark.sql.execution.arrow."
+                            "maxRecordsPerBatch or the sketch widths"
+                        )
+                    arrays.append(
+                        pa.Array.from_buffers(
+                            pa.binary(),
+                            n_groups,
+                            [
+                                None,
+                                pa.py_buffer(offs.astype(np.int32)),
+                                pa.py_buffer(data),
+                            ],
+                        )
+                    )
+                yield pa.record_batch(arrays, names=by + names)
+                continue
+            if by:
+                take = pa.array(first_idx)
+                key_cols = [batch.column(c).take(take).to_pylist() for c in by]
+                group_keys = [
+                    tuple(col[g] for col in key_cols) for g in range(n_groups)
+                ]
+            else:
+                group_keys = [()]
+            for k in group_keys:
+                if k not in acc:
+                    acc[k] = [None] * len(specs)
+            for i, (spec, (vals, inv)) in enumerate(zip(specs, per_metric)):
+                order = np.argsort(inv, kind="stable")
+                sorted_inv = inv[order]
+                bounds = np.flatnonzero(np.diff(sorted_inv)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(sorted_inv)]))
+                for s, e in zip(starts, ends):
+                    if s == e:
+                        continue
+                    k = group_keys[int(sorted_inv[s])]
+                    st = acc[k][i]
+                    if st is None:
+                        st = acc[k][i] = spec.zero()
+                    acc[k][i] = spec.update(st, vals[order[s:e]])
+            if len(acc) > max_groups_in_flight:
+                yield flush()
+                acc = {}
+        if not acc and not by:
+            acc[()] = [None] * len(specs)
+        if acc:
+            yield flush()
+
+    partials = pruned.mapInArrow(partial_fn, schema)
+
+    # merge: ONE repartition on the keys; every metric column merges
+    # inside the same task (validated singles passthrough per column)
+    target = (
+        partials.repartition(*[F.col(c) for c in by])
+        if by
+        else partials.repartition(1)
+    )
+
+    def merge_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        try:
+            batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
+        except pa.lib.ArrowInvalid as e:
+            raise ValueError(
+                "sketch_multi merge partition exceeds 2GB of sketch bytes; "
+                "raise spark.sql.shuffle.partitions"
+            ) from e
+        merged_cols = []
+        key_arrays = None
+        for m, spec in zip(names, specs):
+            sub = pa.record_batch(
+                [batch.column(c) for c in by] + [batch.column(m)],
+                names=by + [m],
+            )
+            out = merge_sketch_batch(sub, by, m, spec)
+            if key_arrays is None:
+                key_arrays = [out.column(c) for c in by]
+            # merge_sketch_batch names its sketch output SKETCH_COL
+            merged_cols.append(out.column(SKETCH_COL))
+        yield pa.record_batch(key_arrays + merged_cols, names=by + names)
+
+    return target.mapInArrow(merge_fn, schema)
+
+
 def _long_weight(weight_col: str) -> Column:
     """Integer weight column with NaN / Infinity / out-of-long-range
     values treated as NULL (dropped rows): a bare ``cast("long")``

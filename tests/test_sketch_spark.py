@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from pfutil_spark.kernel import bloom as bloom_k
 from pfutil_spark.operators.sketch_agg import (
+    _null_safe_hash,
     bloom_might_contain_col,
     bloom_sketch,
     cms_counts_col,
@@ -422,3 +423,147 @@ class TestWeightedSpaceSavingSpark:
         a = sorted((r["grp"], bytes(r["sketch"])) for r in out.collect())
         b = sorted((r["grp"], bytes(r["sketch"])) for r in out2.collect())
         assert a == b
+
+
+class TestSketchMulti:
+    def test_multi_equals_single_metric_jobs(self, spark):
+        """One-scan multi-sketch report == the separate single-metric
+        jobs: byte-equal for the byte-deterministic sketches (KMV, CMS),
+        weight-total-equal + quantile-close for t-digest."""
+        from pfutil_spark.kernel import kmv as kmv_k
+        from pfutil_spark.kernel import tdigest as td_k
+        from pfutil_spark.operators.sketch_agg import (
+            cms_sketch,
+            cms_spec,
+            kmv_sketch,
+            kmv_spec,
+            sketch_multi,
+            tdigest_sketch,
+            tdigest_spec,
+        )
+
+        ev = events(spark, "sf0.001").select("event_type", "user_id", "value")
+        metrics = {
+            "users_kmv": (_null_safe_hash("user_id"), kmv_spec(256)),
+            "value_td": (F.col("value").cast("double"), tdigest_spec(100)),
+            "users_cms": (_null_safe_hash("user_id"), cms_spec(4, 1024)),
+        }
+        multi = {
+            r["event_type"]: r
+            for r in sketch_multi(ev, metrics, by=("event_type",)).collect()
+        }
+        kk = {
+            r["event_type"]: bytes(r["sketch"])
+            for r in kmv_sketch(ev, "user_id", by=("event_type",), k=256).collect()
+        }
+        cc = {
+            r["event_type"]: bytes(r["sketch"])
+            for r in cms_sketch(
+                ev, "user_id", by=("event_type",), depth=4, width=1024
+            ).collect()
+        }
+        tt = {
+            r["event_type"]: bytes(r["sketch"])
+            for r in tdigest_sketch(ev, "value", by=("event_type",)).collect()
+        }
+        assert set(multi) == set(kk)
+        for et, r in multi.items():
+            assert bytes(r["users_kmv"]) == kk[et]
+            assert bytes(r["users_cms"]) == cc[et]
+            a, b = td_k.decode(bytes(r["value_td"])), td_k.decode(tt[et])
+            assert a.n == b.n
+            qs = np.array([0.1, 0.5, 0.9])
+            span = max(1e-9, b.vmax - b.vmin)
+            assert np.abs(a.quantile(qs) - b.quantile(qs)).max() <= 0.05 * span
+            # KMV estimates usable straight off the multi column
+            assert kmv_k.decode(bytes(r["users_kmv"])).estimate() >= 0
+
+    def test_multi_per_metric_nulls_and_empty_groups(self, spark):
+        import pandas as pd
+
+        from pfutil_spark.kernel import kmv as kmv_k
+        from pfutil_spark.kernel import tdigest as td_k
+        from pfutil_spark.operators.sketch_agg import (
+            kmv_spec,
+            sketch_multi,
+            tdigest_spec,
+        )
+
+        pdf = pd.DataFrame({
+            "g": ["a", "a", "b", "b"],
+            "u": ["u1", "u2", None, None],   # b: all-null for the KMV metric
+            "v": [None, None, 1.0, 2.0],     # a: all-null for the t-digest
+        })
+        df = spark.createDataFrame(pdf)
+        out = {
+            r["g"]: r
+            for r in sketch_multi(
+                df,
+                {
+                    "u_kmv": (_null_safe_hash("u"), kmv_spec(16)),
+                    "v_td": (F.col("v").cast("double"), tdigest_spec(50)),
+                },
+                by=("g",),
+            ).collect()
+        }
+        assert kmv_k.decode(bytes(out["a"]["u_kmv"])).estimate() == 2
+        assert kmv_k.decode(bytes(out["b"]["u_kmv"])).estimate() == 0
+        assert td_k.decode(bytes(out["a"]["v_td"])).n == 0
+        assert td_k.decode(bytes(out["b"]["v_td"])).n == 2
+
+    def test_multi_direct_emit_matches_accumulation_bytes(self, spark):
+        """High-cardinality direct emit (every spec's vectorized fold)
+        produces byte-identical results to the accumulation path for the
+        byte-deterministic sketches."""
+        from pfutil_spark.operators.sketch_agg import (
+            cms_spec,
+            kmv_spec,
+            sketch_multi,
+        )
+
+        df = (
+            spark.range(30_000)
+            .select(
+                (F.col("id") % 6000).cast("string").alias("k"),
+                F.col("id").alias("x"),
+            )
+            .withColumn("hx", _null_safe_hash("x"))
+            .repartition(4)
+        )
+        metrics = {
+            "m_kmv": (F.col("hx"), kmv_spec(32)),
+            "m_cms": (F.col("hx"), cms_spec(3, 256)),
+        }
+        fast = {
+            r["k"]: (bytes(r["m_kmv"]), bytes(r["m_cms"]))
+            for r in sketch_multi(df, metrics, by=("k",), direct_emit_groups=1).collect()
+        }
+        slow = {
+            r["k"]: (bytes(r["m_kmv"]), bytes(r["m_cms"]))
+            for r in sketch_multi(
+                df, metrics, by=("k",), direct_emit_groups=10**9
+            ).collect()
+        }
+        assert fast == slow and len(fast) == 6000
+
+    def test_multi_single_shuffle_plan(self, spark):
+        from pfutil_spark.operators.sketch_agg import (
+            kmv_spec,
+            sketch_multi,
+            tdigest_spec,
+        )
+
+        ev = events(spark, "sf0.001")
+        df = sketch_multi(
+            ev,
+            {
+                "a": (_null_safe_hash("user_id"), kmv_spec(64)),
+                "b": (F.col("value").cast("double"), tdigest_spec(50)),
+            },
+            by=("event_type",),
+        )
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        n_exchange = plan.count("Exchange")
+        assert n_exchange == 1, plan
