@@ -12,7 +12,13 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, BooleanType, LongType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+)
 
 from pfutil_spark.kernel import hll
 
@@ -54,3 +60,45 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("pf_dump", pf_dump)
     spark.udf.register("pf_merge_pair", pf_merge_pair)
     spark.udf.register("pf_is_valid", pf_is_valid)
+
+    # extension-sketch evaluators (r4): checkpointed KMV / t-digest /
+    # CMS / SpaceSaving tables become SQL-queryable the same way
+    from pfutil_spark.kernel import cms, kmv, spacesaving, tdigest
+
+    @F.pandas_udf(DoubleType())
+    def kmv_estimate(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [kmv.decode(bytes(b)).estimate() for b in s], dtype="float64"
+        )
+
+    @F.pandas_udf(DoubleType())
+    def tdigest_quantile(s: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float(tdigest.decode(bytes(b)).quantile(float(qq)))
+                for b, qq in zip(s, q)
+            ],
+            dtype="float64",
+        )
+
+    @F.pandas_udf(LongType())
+    def cms_total(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(cms.total(cms.decode(bytes(b)))) for b in s], dtype="int64"
+        )
+
+    @F.pandas_udf(StringType())
+    def ss_topk_json(s: pd.Series, k: pd.Series) -> pd.Series:
+        import json
+
+        return pd.Series(
+            [
+                json.dumps(spacesaving.decode(bytes(b)).top_k(int(kk)))
+                for b, kk in zip(s, k)
+            ]
+        )
+
+    spark.udf.register("kmv_estimate", kmv_estimate)
+    spark.udf.register("tdigest_quantile", tdigest_quantile)
+    spark.udf.register("cms_total", cms_total)
+    spark.udf.register("ss_topk_json", ss_topk_json)

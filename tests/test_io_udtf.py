@@ -70,3 +70,53 @@ def test_partial_shuffle_bytes_sparse_for_long_tail(spark):
         by=("g",),
     ).collect()
     assert len(bytes(big[0]["sketch"])) == hll.HLL_DENSE_SIZE
+
+
+def test_extension_sketch_sql_functions(spark):
+    """Checkpoint-style sketch tables are queryable in plain SQL for
+    every sketch family (r4): kmv_estimate / tdigest_quantile /
+    cms_total / ss_topk_json."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pfutil_spark.functions.sql import register_sql_functions
+    from pfutil_spark.operators.sketch_agg import (
+        cms_sketch,
+        kmv_sketch,
+        spacesaving_sketch,
+        tdigest_sketch,
+    )
+
+    register_sql_functions(spark)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kmv_sketch(ev, "user_id", by=("event_type",)).createOrReplaceTempView("t_kmv")
+    tdigest_sketch(ev, "value", by=("event_type",)).createOrReplaceTempView("t_td")
+    cms_sketch(ev, "user_id", by=("event_type",)).createOrReplaceTempView("t_cms")
+    spacesaving_sketch(ev, "user_id", by=("event_type",)).createOrReplaceTempView("t_ss")
+
+    exact = {
+        r["event_type"]: (r["d"], r["n"], r["p50"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"),
+            F.count("user_id").alias("n"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for r in spark.sql("SELECT event_type, kmv_estimate(sketch) AS e FROM t_kmv").collect():
+        d = exact[r["event_type"]][0]
+        assert abs(r["e"] - d) <= max(2.0, 0.15 * d)
+    for r in spark.sql(
+        "SELECT event_type, tdigest_quantile(sketch, 0.5) AS q FROM t_td"
+    ).collect():
+        p50 = exact[r["event_type"]][2]
+        assert abs(r["q"] - p50) <= max(1.0, 0.2 * abs(p50))
+    for r in spark.sql("SELECT event_type, cms_total(sketch) AS t FROM t_cms").collect():
+        assert r["t"] == exact[r["event_type"]][1]
+    for r in spark.sql(
+        "SELECT event_type, ss_topk_json(sketch, 3) AS j FROM t_ss"
+    ).collect():
+        top = json.loads(r["j"])
+        assert 1 <= len(top) <= 3 and all(len(t) == 3 for t in top)

@@ -232,3 +232,60 @@ def test_decode_sparse_pairs_roundtrip(d):
     back = hll.empty_registers()
     back[np.array(r, dtype=np.int64)] = np.array(v, dtype=np.uint8)
     np.testing.assert_array_equal(back, regs)
+
+
+@given(
+    n=st.integers(1, 400),
+    n_groups=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_weighted_cms_fold_matches_scalar(n, n_groups, seed):
+    """Property: the vectorized weighted CMS fold is byte-identical to
+    per-group scalar weighted updates, for any row/group/weight mix
+    (incl. zero/negative weights, which both paths must drop)."""
+    from pfutil_spark.kernel import cms
+
+    rng = np.random.default_rng(seed)
+    h = rng.integers(0, 2**63, n)
+    g = np.sort(rng.integers(0, n_groups, n)).astype(np.int64)
+    w = rng.integers(-2, 30, n)
+    data, offs = cms.fold_groups_weighted(h, w, g, n_groups, 3, 64)
+    for gi in range(n_groups):
+        st_ = cms.empty(3, 64)
+        m = (g == gi) & (w > 0)
+        cms.update(st_, h[m], counts=w[m])
+        assert bytes(data[offs[gi] : offs[gi + 1]]) == cms.encode(st_), gi
+
+
+@given(
+    n=st.integers(1, 300),
+    n_groups=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_weighted_tdigest_fold_matches_scalar(n, n_groups, seed):
+    """Property: the grouped weighted t-digest fold matches the scalar
+    update_weighted per group — same total weight (exactly), quantile
+    estimates within a small tolerance of each other — with NaN values,
+    NaN weights, and non-positive weights mixed in."""
+    from pfutil_spark.kernel import tdigest
+
+    rng = np.random.default_rng(seed)
+    v = rng.normal(0, 10, n)
+    v[rng.random(n) < 0.05] = np.nan
+    w = rng.exponential(2.0, n)
+    w[rng.random(n) < 0.05] = np.nan
+    w[rng.random(n) < 0.05] = 0.0
+    g = np.sort(rng.integers(0, n_groups, n)).astype(np.int64)
+    data, offs = tdigest.fold_groups_weighted(v, w, g, n_groups, 50)
+    qs = np.array([0.1, 0.5, 0.9])
+    for gi in range(n_groups):
+        got = tdigest.decode(bytes(data[offs[gi] : offs[gi + 1]]))
+        ref = tdigest.TDigest(50)
+        m = g == gi
+        ref.update_weighted(v[m], w[m])
+        assert abs(got.n - ref.n) <= 1e-9 * max(1.0, ref.n)
+        if ref.n > 0:
+            span = max(1e-9, ref.vmax - ref.vmin)
+            assert np.abs(got.quantile(qs) - ref.quantile(qs)).max() <= 0.25 * span
