@@ -1121,6 +1121,53 @@ def _q_sketch_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven quantile bucketing (operators/sketch_agg.py::
+    tdigest_edges + bucket_col): length-decile features computed as a
+    pure-codegen comparison chain against t-digest edges (the standard
+    "bucket by length decile" pretraining shard/curriculum key). Every
+    decile bucket must hold 10% +/- 8% (abs) of the docs — t-digest rank
+    error + value ties. The oracle re-states the exact doc count and the
+    bound per bucket."""
+    from pfutil_spark.operators.sketch_agg import (
+        bucket_col,
+        tdigest_edges,
+        tdigest_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("len")
+    )
+    edges = tdigest_edges(
+        tdigest_sketch(docs, "len"), [i / 10.0 for i in range(1, 10)]
+    )
+    counts = (
+        docs.select(bucket_col("len", edges).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    spine = spark.range(10).select(F.col("id").alias("bucket"))
+    # total stays IN the plan (broadcast 1-row agg — no hidden action)
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        spine.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_docs",
+            (
+                F.abs(
+                    F.coalesce(F.col("__n"), F.lit(0)).cast("double")
+                    / F.col("n_docs")
+                    - 0.1
+                )
+                <= 0.08
+            ).alias("frac_ok"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -1158,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantile_bound": _q_weighted_quantile_bound,
         "weighted_topk": _q_weighted_topk,
         "sketch_profile_report": _q_sketch_profile_report,
+        "length_decile_buckets": _q_length_decile_buckets,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -1403,6 +1451,12 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE {_sampling.sql_frac_expr('c_custkey', seed=7)}"
             f" < '{_sampling._threshold_hex(0.2)}'"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "length_decile_buckets": (
+            "SELECT i AS bucket,"
+            " (SELECT count(*) FROM documents) AS n_docs,"
+            " TRUE AS frac_ok"
+            " FROM (SELECT unnest(range(10)) AS i) ORDER BY bucket"
         ),
         "sketch_profile_report": (
             "SELECT lang, count(*) AS n_docs,"

@@ -754,6 +754,34 @@ def sketch_multi(
     return target.mapInArrow(merge_fn, schema)
 
 
+def tdigest_edges(
+    sketch_df: DataFrame, qs: Sequence[float], sketch_col: str = SKETCH_COL
+) -> list[float]:
+    """Quantile edge values from a (single-row) t-digest sketch table —
+    the index-building driver action of the bucketing pattern: one tiny
+    collect (a few KB of sketch bytes, same class of documented action
+    as the Bloom broadcast), after which bucketing is pure codegen."""
+    buf = sketch_df.select(sketch_col).first()[0]
+    return [
+        float(x)
+        for x in tdigest.decode(bytes(buf)).quantile(
+            np.asarray(list(qs), dtype=np.float64)
+        )
+    ]
+
+
+def bucket_col(col: str | Column, edges: Sequence[float]) -> Column:
+    """Bucket index (0..len(edges)) for ``col`` against ascending edge
+    values — e.g. length-decile features from `tdigest_edges(...,
+    [0.1..0.9])`. Pure JVM: a sum of ``col > edge`` comparisons over
+    literal edges, whole-stage-codegen'd, no UDF; NULL stays NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx: Column = F.lit(0)
+    for e in edges:
+        idx = idx + F.when(c > F.lit(float(e)), 1).otherwise(0)
+    return F.when(c.isNotNull(), idx.cast("long"))
+
+
 def _long_weight(weight_col: str) -> Column:
     """Integer weight column with NaN / Infinity / out-of-long-range
     values treated as NULL (dropped rows): a bare ``cast("long")``

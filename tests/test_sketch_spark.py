@@ -567,3 +567,36 @@ class TestSketchMulti:
         )
         n_exchange = plan.count("Exchange")
         assert n_exchange == 1, plan
+
+
+class TestQuantileBucketing:
+    def test_bucket_col_pure_jvm_and_balanced(self, spark):
+        """tdigest_edges + bucket_col: deciles of a continuous column
+        land ~10% per bucket; the bucketing plan has no Python nodes;
+        null values bucket to NULL."""
+        from pfutil_spark.operators.sketch_agg import (
+            bucket_col,
+            tdigest_edges,
+            tdigest_sketch,
+        )
+
+        df = spark.range(20_000).select(
+            (F.col("id") % 9973).cast("double").alias("v")
+        )
+        edges = tdigest_edges(tdigest_sketch(df, "v"), [i / 10 for i in range(1, 10)])
+        assert len(edges) == 9 and edges == sorted(edges)
+        bucketed = df.select(bucket_col("v", edges).alias("b"))
+        plan = bucketed._jdf.queryExecution().explainString(
+            bucketed._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "Python" not in plan, plan
+        counts = {r["b"]: r["count"] for r in bucketed.groupBy("b").count().collect()}
+        assert set(counts) == set(range(10))
+        for b, c in counts.items():
+            assert abs(c / 20_000 - 0.1) <= 0.05, (b, c)
+        # nulls stay null
+        df2 = spark.createDataFrame([(None,), (1.0,)], "v double")
+        got = {r["v"]: r["b"] for r in df2.select("v", bucket_col("v", edges).alias("b")).collect()}
+        assert got[None] is None and got[1.0] == 0
