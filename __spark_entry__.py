@@ -1168,6 +1168,29 @@ def _q_length_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT table (operators/dedup.py::keep_best_per_cluster
+    over the verified near-dup clusters): one representative per
+    cluster — the LONGEST document, ties to the smallest doc_id. EXACT
+    DuckDB parity via the recursive-CTE cluster fixpoint + the same
+    window rank."""
+    from pfutil_spark.operators.dedup import keep_best_per_cluster
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    clustered = _clusters_df(spark, sf_dir).join(d, "doc_id")
+    return (
+        keep_best_per_cluster(
+            clustered,
+            "cluster_id",
+            preference=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        )
+        .select("cluster_id", "doc_id", "n_chars")
+        .orderBy("cluster_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -1206,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_topk": _q_weighted_topk,
         "sketch_profile_report": _q_sketch_profile_report,
         "length_decile_buckets": _q_length_decile_buckets,
+        "dedup_representatives": _q_dedup_representatives,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -1544,6 +1568,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": (
             _CLUSTER_CTE + " SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
+        ),
+        "dedup_representatives": (
+            _CLUSTER_CTE + " SELECT c.cluster_id, c.doc_id,"
+            " length(d.text) AS n_chars"
+            " FROM clusters c JOIN documents d USING (doc_id)"
+            " QUALIFY row_number() OVER (PARTITION BY c.cluster_id"
+            "  ORDER BY length(d.text) DESC, c.doc_id ASC) = 1"
+            " ORDER BY c.cluster_id"
         ),
         "cluster_split": (
             _CLUSTER_CTE + " SELECT doc_id, cluster_id, "

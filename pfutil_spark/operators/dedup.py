@@ -17,7 +17,7 @@ like any other equi-join.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -561,6 +561,39 @@ def connected_components(
     members = prev.select(F.col("b").alias("node"), F.col("a").alias("component"))
     return members.union(roots).groupBy("node").agg(
         F.min("component").alias("component")
+    )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    cluster_col: str = "cluster_id",
+    preference: "Sequence[Column] | None" = None,
+) -> DataFrame:
+    """The dedup OUTPUT table: one representative row per near-dup
+    cluster, chosen by the ``preference`` ordering (first column is the
+    primary criterion — e.g. ``[F.col("quality").desc(),
+    F.col("doc_id")]`` keeps the highest-quality doc, ties to the
+    smallest id). Defaults to smallest ``cluster_col`` member
+    (``[F.col(cluster_col)]`` is wrong for that — pass the id column).
+
+    Composes with :func:`assign_dedup_clusters`:
+    ``keep_best_per_cluster(assign_dedup_clusters(df, pairs, "doc_id"),
+    preference=[F.length("text").desc(), F.col("doc_id")])``.
+
+    Scale: one rank window partitioned by ``cluster_col`` — cluster ids
+    are near-unique (singletons keep their own id), so the window
+    shuffle is as balanced as the data itself; no skew beyond a
+    pathological single giant cluster (which a dedup pipeline should
+    cap upstream anyway)."""
+    from pyspark.sql import Window
+
+    if preference is None:
+        raise ValueError("pass an explicit preference ordering (e.g. [quality.desc(), id])")
+    w = Window.partitionBy(cluster_col).orderBy(*preference)
+    return (
+        df.withColumn("__kb_rn", F.row_number().over(w))
+        .filter(F.col("__kb_rn") == 1)
+        .drop("__kb_rn")
     )
 
 

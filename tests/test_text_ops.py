@@ -524,3 +524,35 @@ class TestWordRepetition:
             assert g["dup_word_frac"] == 1.0 - len(c) / len(words)
             assert g["top_word"] == top_word
             assert g["top_word_frac"] == top_cnt / len(words)
+
+
+class TestKeepBestPerCluster:
+    def test_keeps_argmax_with_ties_to_smallest_id(self, spark):
+        from pyspark.sql import functions as F2
+
+        from pfutil_spark.operators.dedup import keep_best_per_cluster
+
+        rows = [
+            # (doc_id, cluster_id, quality)
+            (1, 1, 5.0), (2, 1, 9.0), (3, 1, 9.0),   # tie at 9 -> keep id 2
+            (4, 4, 1.0),                               # singleton
+            (5, 5, None), (6, 5, 2.0),                 # null quality loses
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, cluster_id int, q double")
+        kept = {
+            r["cluster_id"]: r["doc_id"]
+            for r in keep_best_per_cluster(
+                df, "cluster_id",
+                preference=[F2.col("q").desc_nulls_last(), F2.col("doc_id")],
+            ).collect()
+        }
+        assert kept == {1: 2, 4: 4, 5: 6}
+
+    def test_requires_explicit_preference(self, spark):
+        import pytest
+
+        from pfutil_spark.operators.dedup import keep_best_per_cluster
+
+        df = spark.range(3).select(F.col("id").alias("cluster_id"))
+        with pytest.raises(ValueError, match="preference"):
+            keep_best_per_cluster(df, "cluster_id")
