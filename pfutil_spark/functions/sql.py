@@ -62,22 +62,22 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("pf_is_valid", pf_is_valid)
 
     # extension-sketch evaluators (r4): checkpointed KMV / t-digest /
-    # CMS / SpaceSaving tables become SQL-queryable the same way
-    from pfutil_spark.kernel import cms, kmv, spacesaving, tdigest
+    # CMS / SpaceSaving tables become SQL-queryable the same way.
+    # KMV / t-digest route through the SAME evaluator bodies as the
+    # Column helpers (sketch_agg._kmv_estimate_series /
+    # _tdigest_quantiles_of) so the two surfaces cannot diverge.
+    from pfutil_spark.kernel import cms, spacesaving
+    from pfutil_spark.operators.sketch_agg import (
+        _kmv_estimate_series,
+        _tdigest_quantiles_of,
+    )
 
-    @F.pandas_udf(DoubleType())
-    def kmv_estimate(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [kmv.decode(bytes(b)).estimate() for b in s], dtype="float64"
-        )
+    kmv_estimate = F.pandas_udf(_kmv_estimate_series, DoubleType())
 
     @F.pandas_udf(DoubleType())
     def tdigest_quantile(s: pd.Series, q: pd.Series) -> pd.Series:
         return pd.Series(
-            [
-                float(tdigest.decode(bytes(b)).quantile(float(qq)))
-                for b, qq in zip(s, q)
-            ],
+            [float(_tdigest_quantiles_of(b, float(qq))) for b, qq in zip(s, q)],
             dtype="float64",
         )
 

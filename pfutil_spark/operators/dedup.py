@@ -573,8 +573,10 @@ def keep_best_per_cluster(
     cluster, chosen by the ``preference`` ordering (first column is the
     primary criterion — e.g. ``[F.col("quality").desc(),
     F.col("doc_id")]`` keeps the highest-quality doc, ties to the
-    smallest id). Defaults to smallest ``cluster_col`` member
-    (``[F.col(cluster_col)]`` is wrong for that — pass the id column).
+    smallest id). ``preference`` is REQUIRED — a silent default
+    ordering here would silently pick arbitrary representatives, so the
+    choice must be explicit (always end it with a unique id column to
+    make the result deterministic).
 
     Composes with :func:`assign_dedup_clusters`:
     ``keep_best_per_cluster(assign_dedup_clusters(df, pairs, "doc_id"),

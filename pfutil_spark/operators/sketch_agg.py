@@ -458,7 +458,11 @@ def sketch_merge(
 
 
 def merge_sketch_batch(
-    batch: "pa.RecordBatch", keys: list[str], sketch_col: str, spec: KernelSpec
+    batch: "pa.RecordBatch",
+    keys: list[str],
+    sketch_col: str,
+    spec: KernelSpec,
+    codes: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> "pa.RecordBatch":
     """Merge ALL groups of one Arrow batch (a merge task's partition) in
     one pass — module-level so tests can drive it directly and assert
@@ -479,7 +483,10 @@ def merge_sketch_batch(
 
     n = batch.num_rows
     sk = batch.column(sketch_col)
-    if keys:
+    if codes is not None:  # precomputed by a multi-metric caller
+        inverse, first_idx = codes
+        n_groups = len(first_idx)
+    elif keys:
         inverse, first_idx = _group_codes(batch, keys)
         n_groups = len(first_idx)
     else:
@@ -647,15 +654,19 @@ def sketch_multi(
                     vals = col.to_numpy(zero_copy_only=False)
                     inv = inverse
                 per_metric.append((vals, inv))
+            # the byte gate sums over metrics: k folds co-reside in the
+            # same output batch, so the cap must bound their TOTAL
+            # (specs without a bound contribute 0, as in sketch_agg)
+            total_bound = sum(
+                s.fold_bytes_bound(n_groups, len(v))
+                for s, (v, _) in zip(specs, per_metric)
+                if s.fold_bytes_bound is not None
+            )
             if (
                 by
                 and n_groups >= direct_emit_groups
                 and all(s.fold_groups is not None for s in specs)
-                and all(
-                    s.fold_bytes_bound is None
-                    or s.fold_bytes_bound(n_groups, len(v)) <= DIRECT_EMIT_BYTES_CAP
-                    for s, (v, _) in zip(specs, per_metric)
-                )
+                and total_bound <= DIRECT_EMIT_BYTES_CAP
             ):
                 arrays = [
                     batch.column(c).take(pa.array(first_idx)) for c in by
@@ -737,6 +748,14 @@ def sketch_multi(
                 "sketch_multi merge partition exceeds 2GB of sketch bytes; "
                 "raise spark.sql.shuffle.partitions"
             ) from e
+        # group codes computed ONCE per partition, shared by all metrics
+        if by:
+            shared_codes = _group_codes(batch, by)
+        else:
+            shared_codes = (
+                np.zeros(batch.num_rows, dtype=np.int64),
+                np.array([0], dtype=np.int64),
+            )
         merged_cols = []
         key_arrays = None
         for m, spec in zip(names, specs):
@@ -744,7 +763,7 @@ def sketch_multi(
                 [batch.column(c) for c in by] + [batch.column(m)],
                 names=by + [m],
             )
-            out = merge_sketch_batch(sub, by, m, spec)
+            out = merge_sketch_batch(sub, by, m, spec, codes=shared_codes)
             if key_arrays is None:
                 key_arrays = [out.column(c) for c in by]
             # merge_sketch_batch names its sketch output SKETCH_COL
@@ -905,11 +924,15 @@ def kmv_sketch(
     return sketch_agg(df, _null_safe_hash(col), kmv_spec(k), by)
 
 
-def kmv_estimate_col(sketch_col: str | Column = SKETCH_COL) -> Column:
-    @F.pandas_udf(DoubleType())
-    def _est(s: pd.Series) -> pd.Series:
-        return pd.Series([kmv.decode(bytes(b)).estimate() for b in s])
+def _kmv_estimate_series(s: pd.Series) -> pd.Series:
+    """Shared KMV-estimate evaluator body (Column helper + SQL
+    registration use the SAME implementation — keep them in sync by
+    construction)."""
+    return pd.Series([kmv.decode(bytes(b)).estimate() for b in s])
 
+
+def kmv_estimate_col(sketch_col: str | Column = SKETCH_COL) -> Column:
+    _est = F.pandas_udf(_kmv_estimate_series, DoubleType())
     c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
     return _est(c)
 
@@ -1038,12 +1061,18 @@ def kll_quantiles_col(qs: Sequence[float], sketch_col: str = SKETCH_COL) -> Colu
     return _q(F.col(sketch_col))
 
 
+def _tdigest_quantiles_of(buf: bytes, qarr: np.ndarray) -> np.ndarray:
+    """Shared t-digest quantile evaluator body (Column helper + SQL
+    registration route through this one function)."""
+    return tdigest.decode(bytes(buf)).quantile(qarr)
+
+
 def tdigest_quantiles_col(qs: Sequence[float], sketch_col: str = SKETCH_COL) -> Column:
     qarr = np.asarray(list(qs), dtype=np.float64)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _q(s: pd.Series) -> pd.Series:
-        return pd.Series([tdigest.decode(b).quantile(qarr).tolist() for b in s])
+        return pd.Series([_tdigest_quantiles_of(b, qarr).tolist() for b in s])
 
     return _q(F.col(sketch_col))
 
