@@ -559,7 +559,7 @@ def merge_sketch_batch(
 
 def sketch_multi(
     df: DataFrame,
-    metrics: "dict[str, tuple[Column, KernelSpec]]",
+    metrics: "dict[str, tuple[Column, KernelSpec] | tuple[Column, KernelSpec, Column]]",
     by: Sequence[str] = (),
     max_groups_in_flight: int = 2048,
     direct_emit_groups: int = 4096,
@@ -571,11 +571,14 @@ def sketch_multi(
     Mirrors ``operators/multi.pf_partial_multi`` (the HLL 4-metric
     report) generalized over arbitrary :class:`KernelSpec`s.
 
-    ``metrics`` maps output column name -> (element Column, spec); each
-    element must evaluate to a fixed 8-byte type (pre-hashed LONG or
-    DOUBLE). Nulls are dropped PER METRIC (a row missing one column
-    still feeds the others); a group whose rows are all null for one
-    metric still gets that metric's canonical empty sketch.
+    ``metrics`` maps output column name -> (element Column, spec) or
+    (element, spec, weight Column) for weighted metrics (the spec must
+    provide ``update_weighted``); each element must evaluate to a fixed
+    8-byte type (pre-hashed LONG or DOUBLE). Nulls are dropped PER
+    METRIC — element OR weight null drops that row for that metric only
+    (a row missing one column still feeds the others); a group whose
+    rows are all null for one metric still gets that metric's canonical
+    empty sketch.
 
     Scale posture matches :func:`sketch_agg`: low-cardinality batches
     accumulate per (partition, group) across batches; high-cardinality
@@ -593,9 +596,18 @@ def sketch_multi(
     by = list(by)
     names = list(metrics.keys())
     specs = [metrics[m][1] for m in names]
+    wt_exprs = [metrics[m][2] if len(metrics[m]) > 2 else None for m in names]
+    # plain bools/strings for the closure — never capture Column objects
+    weighted_flags = [w is not None for w in wt_exprs]
+    for m, spec, wf in zip(names, specs, weighted_flags):
+        if wf and spec.update_weighted is None:
+            raise ValueError(f"metric {m!r}: this spec does not support weighted elements")
     mcols = [f"__pf_m_{i}" for i in range(len(names))]
+    wcols = [f"__pf_w_{i}" if wf else None for i, wf in enumerate(weighted_flags)]
     pruned = df.select(
-        *by, *[metrics[m][0].alias(c) for m, c in zip(names, mcols)]
+        *by,
+        *[metrics[m][0].alias(c) for m, c in zip(names, mcols)],
+        *[w.alias(wc) for w, wc in zip(wt_exprs, wcols) if w is not None],
     )
     schema = StructType(
         [pruned.schema[c] for c in by]
@@ -640,39 +652,59 @@ def sketch_multi(
                 inverse = np.zeros(len(batch), dtype=np.int64)
                 first_idx = np.array([0], dtype=np.int64)
                 n_groups = 1
-            # per-metric valid rows (nulls drop independently)
+            # per-metric valid rows (element OR weight nulls drop
+            # independently per metric)
             per_metric = []
-            for c in mcols:
+            for i, c in enumerate(mcols):
                 col = batch.column(c)
-                if col.null_count:
-                    idx = np.flatnonzero(
-                        pc.is_valid(col).to_numpy(zero_copy_only=False)
+                wcol = batch.column(wcols[i]) if weighted_flags[i] else None
+                nulls = col.null_count or (wcol is not None and wcol.null_count)
+                if nulls:
+                    mask = pc.is_valid(col)
+                    if wcol is not None:
+                        mask = pc.and_(mask, pc.is_valid(wcol))
+                    take = pa.array(np.flatnonzero(mask.to_numpy(zero_copy_only=False)))
+                    vals = col.take(take).to_numpy(zero_copy_only=False)
+                    wts = (
+                        wcol.take(take).to_numpy(zero_copy_only=False)
+                        if wcol is not None
+                        else None
                     )
-                    vals = col.take(pa.array(idx)).to_numpy(zero_copy_only=False)
-                    inv = inverse[idx]
+                    inv = inverse[take.to_numpy(zero_copy_only=False)]
                 else:
                     vals = col.to_numpy(zero_copy_only=False)
+                    wts = wcol.to_numpy(zero_copy_only=False) if wcol is not None else None
                     inv = inverse
-                per_metric.append((vals, inv))
+                per_metric.append((vals, wts, inv))
             # the byte gate sums over metrics: k folds co-reside in the
             # same output batch, so the cap must bound their TOTAL
             # (specs without a bound contribute 0, as in sketch_agg)
             total_bound = sum(
                 s.fold_bytes_bound(n_groups, len(v))
-                for s, (v, _) in zip(specs, per_metric)
+                for s, (v, _, __) in zip(specs, per_metric)
                 if s.fold_bytes_bound is not None
             )
+            folds = [
+                (s.fold_groups_weighted if wf else s.fold_groups)
+                for s, wf in zip(specs, weighted_flags)
+            ]
             if (
                 by
                 and n_groups >= direct_emit_groups
-                and all(s.fold_groups is not None for s in specs)
+                and all(f is not None for f in folds)
                 and total_bound <= DIRECT_EMIT_BYTES_CAP
             ):
                 arrays = [
                     batch.column(c).take(pa.array(first_idx)) for c in by
                 ]
-                for spec, (vals, inv) in zip(specs, per_metric):
-                    data, offs = spec.fold_groups(vals, inv, n_groups)
+                for fold, wf, (vals, wts, inv) in zip(
+                    folds, weighted_flags, per_metric
+                ):
+                    data, offs = (
+                        fold(vals, wts, inv, n_groups)
+                        if wf
+                        else fold(vals, inv, n_groups)
+                    )
                     if offs[-1] > (1 << 31) - 1:
                         raise ValueError(
                             "sketch_multi direct-emit batch exceeds 2GB of "
@@ -703,7 +735,9 @@ def sketch_multi(
             for k in group_keys:
                 if k not in acc:
                     acc[k] = [None] * len(specs)
-            for i, (spec, (vals, inv)) in enumerate(zip(specs, per_metric)):
+            for i, (spec, wf, (vals, wts, inv)) in enumerate(
+                zip(specs, weighted_flags, per_metric)
+            ):
                 order = np.argsort(inv, kind="stable")
                 sorted_inv = inv[order]
                 bounds = np.flatnonzero(np.diff(sorted_inv)) + 1
@@ -716,7 +750,12 @@ def sketch_multi(
                     st = acc[k][i]
                     if st is None:
                         st = acc[k][i] = spec.zero()
-                    acc[k][i] = spec.update(st, vals[order[s:e]])
+                    sel = order[s:e]
+                    acc[k][i] = (
+                        spec.update_weighted(st, vals[sel], wts[sel])
+                        if wf
+                        else spec.update(st, vals[sel])
+                    )
             if len(acc) > max_groups_in_flight:
                 yield flush()
                 acc = {}

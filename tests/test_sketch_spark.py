@@ -600,3 +600,114 @@ class TestQuantileBucketing:
         df2 = spark.createDataFrame([(None,), (1.0,)], "v double")
         got = {r["v"]: r["b"] for r in df2.select("v", bucket_col("v", edges).alias("b")).collect()}
         assert got[None] is None and got[1.0] == 0
+
+
+class TestSketchMultiWeighted:
+    def test_weighted_metric_equals_single_weighted_job(self, spark):
+        """A 3-tuple (element, spec, weight) metric inside sketch_multi
+        equals the standalone weighted job: byte-equal for weighted CMS,
+        weight-total-equal for weighted t-digest; unweighted metrics in
+        the same call are unaffected (byte-equal to their single jobs)."""
+        import pandas as pd
+
+        from pfutil_spark.kernel import tdigest as td_k
+        from pfutil_spark.operators.sketch_agg import (
+            cms_spec,
+            cms_weighted_sketch,
+            kmv_sketch,
+            kmv_spec,
+            sketch_multi,
+            tdigest_spec,
+            tdigest_weighted_sketch,
+            _long_weight,
+        )
+
+        rng = np.random.default_rng(31)
+        pdf = pd.DataFrame({
+            "grp": rng.integers(0, 4, 6000).astype(str),
+            "tok": rng.integers(0, 300, 6000).astype(str),
+            "v": rng.normal(10, 3, 6000),
+            "w": rng.integers(1, 20, 6000),
+        })
+        df = (
+            spark.createDataFrame(pdf)
+            .withColumn("htok", _null_safe_hash("tok"))
+            .repartition(5)
+        )
+        metrics = {
+            "tok_cms_w": (F.col("htok"), cms_spec(4, 512), _long_weight("w")),
+            "v_td_w": (
+                F.col("v").cast("double"),
+                tdigest_spec(100),
+                F.col("w").cast("double"),
+            ),
+            "tok_kmv": (F.col("htok"), kmv_spec(64)),
+        }
+        multi = {
+            r["grp"]: r for r in sketch_multi(df, metrics, by=("grp",)).collect()
+        }
+        cms_single = {
+            r["grp"]: bytes(r["sketch"])
+            for r in cms_weighted_sketch(
+                df, "tok", "w", by=("grp",), depth=4, width=512
+            ).collect()
+        }
+        kmv_single = {
+            r["grp"]: bytes(r["sketch"])
+            for r in kmv_sketch(df, "tok", by=("grp",), k=64).collect()
+        }
+        td_single = {
+            r["grp"]: td_k.decode(bytes(r["sketch"]))
+            for r in tdigest_weighted_sketch(df, "v", "w", by=("grp",)).collect()
+        }
+        for g, r in multi.items():
+            assert bytes(r["tok_cms_w"]) == cms_single[g]
+            assert bytes(r["tok_kmv"]) == kmv_single[g]
+            a = td_k.decode(bytes(r["v_td_w"]))
+            assert abs(a.n - td_single[g].n) <= 1e-9 * td_single[g].n
+            exact_w = pdf[pdf["grp"] == g]["w"].sum()
+            assert abs(a.n - exact_w) <= 1e-9 * exact_w
+
+    def test_weighted_direct_emit_matches_accumulation(self, spark):
+        import pandas as pd
+
+        from pfutil_spark.operators.sketch_agg import (
+            cms_spec,
+            sketch_multi,
+            _long_weight,
+            _null_safe_hash,
+        )
+
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame({
+            "k": rng.integers(0, 5000, 20_000).astype(str),
+            "w": rng.integers(1, 9, 20_000),
+        })
+        df = (
+            spark.createDataFrame(pdf)
+            .withColumn("hk", _null_safe_hash("k"))
+            .repartition(4)
+        )
+        metrics = {"m": (F.col("hk"), cms_spec(3, 256), _long_weight("w"))}
+        fast = {
+            r["k"]: bytes(r["m"])
+            for r in sketch_multi(df, metrics, by=("k",), direct_emit_groups=1).collect()
+        }
+        slow = {
+            r["k"]: bytes(r["m"])
+            for r in sketch_multi(
+                df, metrics, by=("k",), direct_emit_groups=10**9
+            ).collect()
+        }
+        assert fast == slow and len(fast) == pdf["k"].nunique()
+
+    def test_weighted_metric_requires_hook(self, spark):
+        import pytest as pt
+
+        from pfutil_spark.operators.sketch_agg import kll_spec, sketch_multi
+
+        df = spark.range(5).select(F.col("id").cast("double").alias("v"))
+        with pt.raises(ValueError, match="weighted"):
+            sketch_multi(
+                df, {"x": (F.col("v"), kll_spec(), F.col("v"))}, by=()
+            )
