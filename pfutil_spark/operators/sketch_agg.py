@@ -570,6 +570,8 @@ def sketch_multi(
     (Bloom)") that would otherwise cost one scan+shuffle per metric.
     Mirrors ``operators/multi.pf_partial_multi`` (the HLL 4-metric
     report) generalized over arbitrary :class:`KernelSpec`s.
+    ``sketch_multi_partial`` + ``sketch_multi_merge`` expose the two
+    stages for checkpointing (ResumableSketchMultiJob).
 
     ``metrics`` maps output column name -> (element Column, spec) or
     (element, spec, weight Column) for weighted metrics (the spec must
@@ -588,6 +590,24 @@ def sketch_multi(
     stage repartitions ONCE on the keys and merges every metric column
     inside the same task via :func:`merge_sketch_batch` (validated
     singles passthrough per column)."""
+    partials = sketch_multi_partial(
+        df, metrics, by, max_groups_in_flight, direct_emit_groups
+    )
+    return sketch_multi_merge(
+        partials, {m: metrics[m][1] for m in metrics}, by
+    )
+
+
+def sketch_multi_partial(
+    df: DataFrame,
+    metrics: "dict[str, tuple[Column, KernelSpec] | tuple[Column, KernelSpec, Column]]",
+    by: Sequence[str] = (),
+    max_groups_in_flight: int = 2048,
+    direct_emit_groups: int = 4096,
+) -> DataFrame:
+    """Stage P of :func:`sketch_multi`: one row per (partition, group)
+    with one binary column PER METRIC — checkpointable; merge later (in
+    any order/partitioning) with :func:`sketch_multi_merge`."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -764,14 +784,35 @@ def sketch_multi(
         if acc:
             yield flush()
 
-    partials = pruned.mapInArrow(partial_fn, schema)
+    return pruned.mapInArrow(partial_fn, schema)
 
-    # merge: ONE repartition on the keys; every metric column merges
-    # inside the same task (validated singles passthrough per column)
+
+def sketch_multi_merge(
+    partials: DataFrame,
+    metric_specs: "dict[str, KernelSpec]",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Merge stage of the multi-sketch report — usable standalone on a
+    CHECKPOINTED partial table (sources.checkpoint.ResumableSketchMultiJob):
+    ONE repartition on the keys, every metric column merges inside the
+    same task (group codes computed once, validated singles passthrough
+    per column)."""
+    import pyarrow as pa
+
+    from pfutil_spark.operators.hll_agg import _group_codes
+
+    by = list(by)
+    names = list(metric_specs.keys())
+    specs = [metric_specs[m] for m in names]
+    schema = StructType(
+        [partials.schema[c] for c in by]
+        + [StructField(m, BinaryType(), False) for m in names]
+    )
+    pruned = partials.select(*by, *names)
     target = (
-        partials.repartition(*[F.col(c) for c in by])
+        pruned.repartition(*[F.col(c) for c in by])
         if by
-        else partials.repartition(1)
+        else pruned.repartition(1)
     )
 
     def merge_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:

@@ -215,3 +215,96 @@ class ResumableSketchJob:
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(self.metrics_path)
+
+
+class ResumableSketchMultiJob:
+    """Stage-checkpointed MULTI-sketch report (one scan, N metric
+    columns — operators.sketch_agg.sketch_multi split at its
+    partial/merge boundary):
+
+        <dir>/stage=params/   build parameters (resume guard)
+        <dir>/stage=partial/  (by..., metric_1..metric_N, _partition_id)
+        <dir>/stage=merged/   (by..., metric_1..metric_N)
+        <dir>/stage=metrics/  per-partition partial counts + bytes
+
+    Resume correctness: every metric's merge is associative/commutative
+    (same specs as ResumableSketchJob), so merging checkpointed partials
+    in any order — or twice — yields the same result per column."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        metrics: dict,
+        by: Sequence[str] = (),
+    ):
+        self.spark = spark
+        self.dir = checkpoint_dir.rstrip("/")
+        self.metrics = dict(metrics)
+        self.by = list(by)
+
+    partial_path = property(lambda self: f"{self.dir}/stage=partial")
+    merged_path = property(lambda self: f"{self.dir}/stage=merged")
+    metrics_path = property(lambda self: f"{self.dir}/stage=metrics")
+    params_path = property(lambda self: f"{self.dir}/stage=params")
+
+    def _check_params(self) -> None:
+        row = {
+            "metric_exprs": ";".join(
+                f"{m}={str(t[0])}|w={str(t[2]) if len(t) > 2 else ''}"
+                for m, t in self.metrics.items()
+            ),
+            "by": ",".join(self.by),
+        }
+        if _complete(self.params_path, self.spark):
+            prev = self.spark.read.parquet(self.params_path).collect()[0].asDict()
+            if prev != row:
+                raise ValueError(
+                    "checkpoint at {} was built with different parameters: "
+                    "{} vs requested {}; use a fresh checkpoint_dir".format(
+                        self.dir, prev, row
+                    )
+                )
+        else:
+            self.spark.createDataFrame(
+                [tuple(row.values())], "metric_exprs string, by string"
+            ).coalesce(1).write.mode("overwrite").parquet(self.params_path)
+
+    def run(self, df: DataFrame) -> DataFrame:
+        from pfutil_spark.operators.sketch_agg import (
+            sketch_multi_merge,
+            sketch_multi_partial,
+        )
+
+        self._check_params()
+        if _complete(self.merged_path, self.spark):
+            return self.spark.read.parquet(self.merged_path)
+
+        names = list(self.metrics.keys())
+        if _complete(self.partial_path, self.spark):
+            partials = self.spark.read.parquet(self.partial_path)
+        else:
+            sketch_multi_partial(df, self.metrics, self.by).withColumn(
+                "_partition_id", F.spark_partition_id()
+            ).write.mode("overwrite").parquet(self.partial_path)
+            partials = self.spark.read.parquet(self.partial_path)
+
+        if not _complete(self.metrics_path, self.spark):
+            partials.groupBy("_partition_id").agg(
+                F.count(F.lit(1)).alias("n_partial_rows"),
+                *[
+                    F.sum(F.length(m)).alias(f"{m}_bytes")
+                    for m in names
+                ],
+            ).write.mode("overwrite").parquet(self.metrics_path)
+
+        merged = sketch_multi_merge(
+            partials.drop("_partition_id"),
+            {m: t[1] for m, t in self.metrics.items()},
+            self.by,
+        )
+        merged.write.mode("overwrite").parquet(self.merged_path)
+        return self.spark.read.parquet(self.merged_path)
+
+    def job_metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self.metrics_path)

@@ -113,3 +113,53 @@ def test_sketch_job_refuses_resume_with_changed_params(spark, tmp_path):
         job.run(df, F.col("val").cast("string"), weight=F.col("w").cast("long"))
     with pytest.raises(ValueError, match="different parameters"):
         job.run(df, F.col("w").cast("string"))
+
+
+def test_sketch_multi_job_resumes_and_guards_params(spark, tmp_path):
+    """ResumableSketchMultiJob: run -> byte-stable resume (KMV/CMS are
+    byte-deterministic) -> params guard on changed metrics."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pfutil_spark.operators.sketch_agg import (
+        _null_safe_hash,
+        cms_spec,
+        kmv_spec,
+    )
+    from pfutil_spark.sources.checkpoint import ResumableSketchMultiJob
+
+    pdf = pd.DataFrame({
+        "grp": ["a"] * 40 + ["b"] * 40,
+        "u": [str(i % 13) for i in range(80)],
+        "w": list(range(1, 81)),
+    })
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("hu", _null_safe_hash("u"))
+        .repartition(3)
+    )
+    metrics = {
+        "u_kmv": (F.col("hu"), kmv_spec(32)),
+        "u_cms_w": (F.col("hu"), cms_spec(3, 128), F.col("w").cast("long")),
+    }
+    job = ResumableSketchMultiJob(spark, str(tmp_path / "multi"), metrics, by=("grp",))
+    out1 = sorted(
+        (r["grp"], bytes(r["u_kmv"]), bytes(r["u_cms_w"])) for r in job.run(df).collect()
+    )
+    assert len(out1) == 2
+    # resume returns the checkpointed result byte-identically
+    out2 = sorted(
+        (r["grp"], bytes(r["u_kmv"]), bytes(r["u_cms_w"])) for r in job.run(df).collect()
+    )
+    assert out1 == out2
+    # lineage metrics exist per partition
+    m = job.job_metrics().collect()
+    assert len(m) >= 1 and all(r["u_kmv_bytes"] > 0 for r in m)
+    # changed metrics on the same dir refuse
+    job2 = ResumableSketchMultiJob(
+        spark, str(tmp_path / "multi"),
+        {"u_kmv": (F.col("hu"), kmv_spec(64))}, by=("grp",),
+    )
+    with pytest.raises(ValueError, match="different parameters"):
+        job2.run(df)
