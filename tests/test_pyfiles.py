@@ -68,3 +68,39 @@ def test_executor_style_zipimport(pyfiles_zip, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr
     assert "ZIPIMPORT_OK" in proc.stdout
+
+
+def test_spark_submit_pyfiles_end_to_end(pyfiles_zip, tmp_path):
+    """The literal north_rule deployment path: spark-submit --py-files
+    <zip> with a job that refuses to run unless pfutil_spark resolves
+    FROM THE ZIP, then builds a Redis-wire HLL and checks the estimate
+    bound. Runs from a neutral cwd with PYTHONPATH scrubbed so the repo
+    checkout cannot leak in."""
+    import json
+    import shutil
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=2",
+            "--py-files", pyfiles_zip,
+            os.path.join(REPO, "tools", "submit_example.py"),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["pyfiles_ok"], out
+    assert out["within_bound"], out
+    assert set(out["estimates"]) == {"0", "1", "2"}
