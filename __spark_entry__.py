@@ -701,6 +701,33 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
+def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup CLUSTERS: the exact LSH-found pair set
+    (same construction as embedding_near_dups) fed through connected
+    components (operators/dedup.py) — cluster sizes per component id.
+    EXACT DuckDB parity via all-pairs cosine + recursive-CTE fixpoint."""
+    from pfutil_spark.operators.dedup import assign_dedup_clusters
+    from pfutil_spark.operators.similarity import all_pairs_above
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    aug = e.unionByName(dup)
+    pairs = all_pairs_above(
+        aug, "embedding", "vec_id", min_cosine=0.95, n_planes=12, dim=64
+    )
+    clustered = assign_dedup_clusters(
+        aug.select("vec_id"), pairs.select("id_a", "id_b"), "vec_id"
+    )
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
 def _q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hourly distinct-user sketches (bucket = group key,
     ONE scan + ONE shuffle), vs exact per bucket — bound boolean oracle."""
@@ -1247,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_distinct_report": _q_multi_distinct_report,
         # round-2 additions
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_clusters": _q_embedding_clusters,
         "hll_time_rollup": _q_hll_time_rollup,
         "video_frame_sample": _q_video_frame_sample,
         "text_stats": _q_text_stats,
@@ -1642,6 +1670,26 @@ def oracle_sql() -> dict[str, str]:
             " FROM aug a JOIN aug b ON a.vec_id < b.vec_id"
             " WHERE list_cosine_similarity(a.e, b.e) >= 0.95"
             " ORDER BY id_a, id_b"
+        ),
+        "embedding_clusters": (
+            "WITH RECURSIVE aug AS ("
+            " SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
+            " UNION ALL SELECT vec_id + 100000,"
+            "  list_transform(embedding::DOUBLE[], x -> x * 1.001)"
+            " FROM embeddings WHERE vec_id < 20),"
+            " pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+            "  FROM aug a JOIN aug b ON a.vec_id < b.vec_id"
+            "  WHERE list_cosine_similarity(a.e, b.e) >= 0.95),"
+            " edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+            "  UNION ALL SELECT id_b, id_a FROM pairs),"
+            " reach(node, root) AS ("
+            "  SELECT vec_id, vec_id FROM aug"
+            "  UNION"
+            "  SELECT e2.b, reach.root FROM reach JOIN edges e2 ON e2.a = reach.node),"
+            " clusters AS (SELECT node AS vec_id, min(root) AS cluster_id"
+            "  FROM reach GROUP BY node)"
+            " SELECT cluster_id, count(*) AS n_members FROM clusters"
+            " GROUP BY cluster_id ORDER BY cluster_id"
         ),
         "hll_time_rollup": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
