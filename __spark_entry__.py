@@ -1059,6 +1059,51 @@ def _q_weighted_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_kll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted KLL (operators/sketch_agg.py::kll_weighted_sketch):
+    token-count-weighted median of document length per language —
+    "the doc length a randomly chosen TOKEN sits in" rather than a
+    randomly chosen document. Weights enter by binary expansion
+    (kernel/kll.py::update_weighted — level-b items weigh exactly 2**b,
+    zero added rank error at insertion), so the published KLL rank bound
+    applies to the weighted CDF. The plan re-verifies its own estimate:
+    the exact weighted CDF at the estimated p50 must sit within 4% of
+    0.5. Oracle re-states the exact per-language token totals (the SAME
+    token expression as text_stats, exact cross-engine) and the bound."""
+    from pfutil_spark.functions.text import token_count_col
+    from pfutil_spark.operators.sketch_agg import (
+        kll_quantiles_col,
+        kll_weighted_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("double").alias("len"),
+        token_count_col("text").alias("toks"),
+    )
+    est = kll_weighted_sketch(docs, "len", "toks", by=("lang",)).select(
+        "lang", kll_quantiles_col([0.5]).getItem(0).alias("p50")
+    )
+    w = F.col("toks").cast("double")
+    return (
+        docs.join(F.broadcast(est), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum("toks").cast("long").alias("total_tokens"),
+            (
+                F.sum(F.when(F.col("len") <= F.col("p50"), w).otherwise(0.0))
+                / F.sum(w)
+            ).alias("__rank"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            (F.abs(F.col("__rank") - 0.5) <= 0.04).alias("within_bound"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted SpaceSaving heavy hitters
     (operators/sketch_agg.py::spacesaving_weighted_sketch): top order
@@ -1253,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix_sample": _q_lang_mix_sample,
         "sampled_customer_orders": _q_sampled_customer_orders,
         "weighted_quantile_bound": _q_weighted_quantile_bound,
+        "weighted_kll_bound": _q_weighted_kll_bound,
         "weighted_topk": _q_weighted_topk,
         "sketch_profile_report": _q_sketch_profile_report,
         "length_decile_buckets": _q_length_decile_buckets,
@@ -1528,6 +1574,14 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,"
             " TRUE AS within_bound"
             " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "weighted_kll_bound": (
+            "SELECT lang,"
+            " CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0"
+            "   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+            "  AS BIGINT) AS total_tokens,"
+            " TRUE AS within_bound"
+            " FROM documents GROUP BY lang ORDER BY lang"
         ),
         "kmv_set_ops_bound": (
             "SELECT"

@@ -20,6 +20,15 @@ _C = 2.0 / 3.0
 _MIN_CAP = 8
 
 
+def _int_weights(weights: np.ndarray) -> np.ndarray:
+    """Weights as int64; non-finite floats become 0 (dropped by the
+    w > 0 filter) instead of tripping undefined float->int casts."""
+    w = np.asarray(weights)
+    if w.dtype.kind == "f":
+        w = np.where(np.isfinite(w), w, 0.0).astype(np.int64)
+    return w.astype(np.int64, copy=False)
+
+
 class KllSketch:
     __slots__ = ("k", "levels", "n", "compactions")
 
@@ -51,6 +60,31 @@ class KllSketch:
             return
         self.levels[0] = np.concatenate([self.levels[0], values])
         self.n += len(values)
+        self._compress()
+
+    def update_weighted(self, values: np.ndarray, weights: np.ndarray) -> None:
+        """Weighted batch update via binary expansion of the (positive,
+        integer) weight: an item of weight w is inserted at level b for
+        every set bit b of w. Level-b items carry weight ``2**b`` — the
+        exact invariant compaction maintains — so insertion itself adds
+        ZERO rank error; the KLL error analysis applies unchanged to the
+        subsequent compactions. Rows with NaN value or weight <= 0 are
+        dropped. Unit weights reduce exactly to :meth:`update` (all
+        items land in level 0 in original order)."""
+        v = np.asarray(values, dtype=np.float64)
+        w = _int_weights(weights)
+        m = ~np.isnan(v) & (w > 0)
+        v, w = v[m], w[m]
+        if len(v) == 0:
+            return
+        maxbits = int(w.max()).bit_length()
+        while len(self.levels) < maxbits:
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for b in range(maxbits):
+            sel = ((w >> b) & 1).astype(bool)
+            if sel.any():
+                self.levels[b] = np.concatenate([self.levels[b], v[sel]])
+        self.n += int(w.sum())
         self._compress()
 
     def _compress(self) -> None:
@@ -223,6 +257,139 @@ def fold_groups_level0(
     for gi, b in enc_big.items():
         data[offsets[gi] : offsets[gi] + len(b)] = np.frombuffer(b, dtype=np.uint8)
     return data, offsets
+
+
+def _total_cap_table(max_levels: int, k: int) -> np.ndarray:
+    """``table[L]`` = total capacity of an L-level sketch (the threshold
+    below which ``_compress`` never fires) — must mirror ``_cap`` /
+    ``_total_cap`` exactly; byte parity of the weighted fold depends on
+    agreeing with the scalar about the no-compaction regime."""
+    caps = np.array(
+        [max(_MIN_CAP, int(np.ceil(k * (_C ** h)))) for h in range(max_levels)],
+        dtype=np.int64,
+    )
+    return np.concatenate(([0], np.cumsum(caps)))
+
+
+def _bit_lengths(x: np.ndarray) -> np.ndarray:
+    """Exact per-element ``int.bit_length`` for non-negative int64.
+    (float log2 would misround near 2**53+ boundaries — the fold's
+    n_levels must match the scalar's EXACT bit_length byte-for-byte)."""
+    out = np.zeros(len(x), dtype=np.int64)
+    # positive int64 has at most 63 bits; b=63 would shift into the sign
+    # bit (INT64_MIN) and make the comparison vacuously true
+    for b in range(63):
+        out += (x >= (np.int64(1) << np.int64(b))).astype(np.int64)
+    return out
+
+
+def fold_groups_weighted(
+    values: np.ndarray,
+    weights: np.ndarray,
+    inverse: np.ndarray,
+    n_groups: int,
+    k: int = DEFAULT_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted grouped direct-emit fold: binary-expansion insertion (see
+    :meth:`KllSketch.update_weighted`) vectorized over all groups of a
+    batch — level-b buffer of group g = g's values whose weight has bit
+    b set, in original row order. Byte-identical to
+    ``KllSketch(k).update_weighted(group_values, group_weights)`` for
+    every group in the no-compaction regime (total expanded items <=
+    the L-level capacity, L = bit_length of the group's max weight);
+    larger groups compact through the scalar sketch, same as
+    :func:`fold_groups_level0`. Rows with NaN value or weight <= 0
+    drop; all-dropped groups emit the canonical empty sketch."""
+    from .sketch_common import segment_ranks, write_le_flat
+
+    v = np.asarray(values, dtype=np.float64)
+    w = _int_weights(weights)
+    g = np.asarray(inverse, dtype=np.int64)
+    m = ~np.isnan(v) & (w > 0)
+    v, w, g = v[m], w[m], g[m]
+    order = np.argsort(g, kind="stable")  # within-group original order
+    v, w, g = v[order], w[order], g[order]
+    counts_rows = np.bincount(g, minlength=n_groups).astype(np.int64)
+    gstarts = np.concatenate(([0], np.cumsum(counts_rows)))[:-1]
+    ne = np.flatnonzero(counts_rows > 0)
+    wmax = np.zeros(n_groups, dtype=np.int64)
+    wsum = np.zeros(n_groups, dtype=np.int64)
+    if len(ne):
+        wmax[ne] = np.maximum.reduceat(w, gstarts[ne])
+        wsum[ne] = np.add.reduceat(w, gstarts[ne])
+    n_levels = np.maximum(_bit_lengths(wmax), 1)  # empty group -> 1 level
+    B = int(n_levels.max())
+    # per-(level, group) item counts + the expanded (b-major) item stream
+    counts2d = np.zeros((B, n_groups), dtype=np.int64)
+    exp_g, exp_v = [], []
+    for b in range(B):
+        selb = ((w >> b) & 1).astype(bool)
+        if selb.any():
+            gb = g[selb]
+            counts2d[b] = np.bincount(gb, minlength=n_groups)
+            exp_g.append(gb)
+            exp_v.append(v[selb])
+    copies = counts2d.sum(axis=0)
+    big = copies > _total_cap_table(B, k)[n_levels]
+    enc_big: dict[int, bytes] = {}
+    for gi in np.flatnonzero(big):
+        sk = KllSketch(k)
+        s = gstarts[gi]
+        sk.update_weighted(v[s : s + counts_rows[gi]], w[s : s + counts_rows[gi]])
+        enc_big[int(gi)] = sk.encode()
+    row_len = 28 + 4 * n_levels + 8 * copies
+    for gi, b in enc_big.items():
+        row_len[gi] = len(b)
+    offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(row_len, out=offsets[1:])
+    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    small = ~big
+    hp = offsets[:-1][small]
+    for i, byte in enumerate(MAGIC):
+        data[hp + i] = byte
+    ones = np.ones(int(small.sum()), dtype=np.int64)
+    write_le_flat(data, hp + 4, ones, 4)                 # version
+    write_le_flat(data, hp + 8, ones * k, 4)             # k
+    write_le_flat(data, hp + 12, n_levels[small], 4)     # n_levels
+    write_le_flat(data, hp + 16, ones * 0, 4)            # compactions = 0
+    write_le_flat(data, hp + 20, wsum[small], 8)         # n = sum(weights)
+    small_ids = np.flatnonzero(small)
+    seg = np.repeat(np.arange(len(small_ids), dtype=np.int64), n_levels[small_ids])
+    lvl = segment_ranks(seg)
+    write_le_flat(                                       # sizes[0..L)
+        data,
+        offsets[small_ids][seg] + 28 + 4 * lvl,
+        counts2d[lvl, np.repeat(small_ids, n_levels[small_ids])],
+        4,
+    )
+    if exp_g:
+        eg = np.concatenate(exp_g)
+        ev = np.concatenate(exp_v)
+        # stable sort by group turns the b-major stream into per-group
+        # (level0 items..., level1 items...) with original row order
+        # inside each level — exactly the scalar's level layout
+        eo = np.argsort(eg, kind="stable")
+        eg, ev = eg[eo], ev[eo]
+        sel = small[eg]  # groups are small/big atomically
+        if sel.any():
+            eg_s, ev_s = eg[sel], ev[sel]
+            pos = offsets[eg_s] + 28 + 4 * n_levels[eg_s] + 8 * segment_ranks(eg_s)
+            write_le_flat(data, pos, ev_s.view(np.uint64), 8)
+    for gi, b in enc_big.items():
+        data[offsets[gi] : offsets[gi] + len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return data, offsets
+
+
+def popcount_sum(x: np.ndarray) -> int:
+    """Total set bits across non-negative int64 ``x`` — the exact
+    expanded-item count of a weighted KLL fold (sizes the direct-emit
+    byte gate)."""
+    total = 0
+    x = np.asarray(x).astype(np.int64, copy=False)
+    x = x[x > 0]
+    for b in range(63):  # positive int64: bit 63 is the sign bit
+        total += int(((x >> np.int64(b)) & np.int64(1)).sum())
+    return total
 
 
 def valid_flat(data: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:

@@ -71,11 +71,27 @@ class KernelSpec:
     # with a weight column.
     update_weighted: Callable | None = None
     fold_groups_weighted: Callable | None = None
+    # weight-aware direct-emit byte gate: fold_bytes_bound_weighted(
+    # n_groups, n_rows, weights) -> int. Only needed when the weighted
+    # fold's output size depends on the weight VALUES (KLL's binary
+    # expansion emits one item per set weight bit); specs without it
+    # gate weighted batches on the plain fold_bytes_bound.
+    fold_bytes_bound_weighted: Callable | None = None
 
 
 # per-batch output ceiling for the direct-emit fold (well under the 2GB
 # Arrow int32-offset limit, and a sane executor-memory bound)
 DIRECT_EMIT_BYTES_CAP = 1 << 28
+
+
+def _emit_bytes_bound(spec: "KernelSpec", weighted: bool, n_groups: int,
+                      n_rows: int, wts) -> int | None:
+    """Byte bound for a direct-emit fold of one batch (None = ungated)."""
+    if weighted and spec.fold_bytes_bound_weighted is not None:
+        return spec.fold_bytes_bound_weighted(n_groups, n_rows, wts)
+    if spec.fold_bytes_bound is not None:
+        return spec.fold_bytes_bound(n_groups, n_rows)
+    return None
 
 
 def cms_spec(depth: int = cms.DEFAULT_DEPTH, width: int = cms.DEFAULT_WIDTH) -> KernelSpec:
@@ -134,6 +150,10 @@ def kll_spec(k: int = kll.DEFAULT_K) -> KernelSpec:
         state.update(values)
         return state
 
+    def update_weighted(state, values, weights):
+        state.update_weighted(values, weights)
+        return state
+
     return KernelSpec(
         zero=lambda: kll.KllSketch(k),
         update=update,
@@ -143,6 +163,15 @@ def kll_spec(k: int = kll.DEFAULT_K) -> KernelSpec:
         fold_groups=lambda v, inv, n: kll.fold_groups_level0(v, inv, n, k),
         valid_flat=lambda d, o: kll.valid_flat(d, o, k),
         fold_bytes_bound=lambda g, n: 32 * g + 8 * n,
+        update_weighted=update_weighted,
+        fold_groups_weighted=lambda v, w, inv, n: kll.fold_groups_weighted(
+            v, w, inv, n, k
+        ),
+        # binary expansion emits one 8-byte item per set weight bit;
+        # header worst case 28 + 4*63 per group (compacted big groups
+        # only ever shrink below this)
+        fold_bytes_bound_weighted=lambda g, n, w: 280 * g
+        + 8 * kll.popcount_sum(w),
     )
 
 
@@ -331,14 +360,13 @@ def sketch_partial(
             if by:
                 inverse, first_idx = _group_codes(batch, by)
                 n_groups = len(first_idx)
+                bound = _emit_bytes_bound(
+                    spec, weighted, n_groups, len(values), wts
+                )
                 if (
                     fold is not None
                     and n_groups >= direct_emit_groups
-                    and (
-                        spec.fold_bytes_bound is None
-                        or spec.fold_bytes_bound(n_groups, len(values))
-                        <= DIRECT_EMIT_BYTES_CAP
-                    )
+                    and (bound is None or bound <= DIRECT_EMIT_BYTES_CAP)
                 ):
                     # high-cardinality batch: vectorized direct emit
                     data, offs = (
@@ -700,9 +728,14 @@ def sketch_multi_partial(
             # same output batch, so the cap must bound their TOTAL
             # (specs without a bound contribute 0, as in sketch_agg)
             total_bound = sum(
-                s.fold_bytes_bound(n_groups, len(v))
-                for s, (v, _, __) in zip(specs, per_metric)
-                if s.fold_bytes_bound is not None
+                b
+                for b in (
+                    _emit_bytes_bound(s, wf, n_groups, len(v), w)
+                    for s, wf, (v, w, __) in zip(
+                        specs, weighted_flags, per_metric
+                    )
+                )
+                if b is not None
             )
             folds = [
                 (s.fold_groups_weighted if wf else s.fold_groups)
@@ -937,6 +970,30 @@ def kll_sketch(
     df: DataFrame, col: str, by: Sequence[str] = (), k: int = kll.DEFAULT_K
 ) -> DataFrame:
     return sketch_agg(df, F.col(col).cast("double"), kll_spec(k), by)
+
+
+def kll_weighted_sketch(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    by: Sequence[str] = (),
+    k: int = kll.DEFAULT_K,
+) -> DataFrame:
+    """Weighted KLL: each row's value carries ``weight_col`` (integer,
+    > 0; null / non-positive / non-finite rows drop) units of rank mass
+    via binary-expansion insertion (kernel/kll.py::update_weighted) —
+    token-weighted length quantiles, byte-weighted score distributions.
+    Same wire format (``kll_quantiles_col`` reads it unchanged); same
+    two-phase plan. Insertion adds zero rank error (level-b items weigh
+    exactly 2**b); unlike t-digest's weighted path, unit weights stay
+    BYTE-identical to the unweighted sketch."""
+    return sketch_agg(
+        df,
+        F.col(col).cast("double"),
+        kll_spec(k),
+        by,
+        weight=_long_weight(weight_col),
+    )
 
 
 def tdigest_sketch(

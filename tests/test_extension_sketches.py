@@ -366,3 +366,89 @@ class TestWeightedKernels:
         st = cms.empty(4, 512)
         cms.update(st, np.array([1], dtype=np.uint64), counts=np.array([5]))
         assert bytes(data) == cms.encode(st)
+
+    # -- weighted KLL (binary-expansion insertion) --------------------------
+
+    def test_kll_weighted_unit_weights_byte_identical(self):
+        rng = np.random.default_rng(11)
+        v = rng.normal(size=4000)
+        a = kll.KllSketch(200)
+        b = kll.KllSketch(200)
+        for s in range(0, len(v), 900):
+            a.update(v[s : s + 900])
+            b.update_weighted(v[s : s + 900], np.ones(len(v[s : s + 900]), dtype=np.int64))
+        assert a.encode() == b.encode()
+
+    def test_kll_weighted_quantiles_vs_exact_weighted_rank(self):
+        rng = np.random.default_rng(12)
+        v = rng.uniform(0, 1000, 20_000)
+        w = rng.integers(1, 500, 20_000)
+        sk = kll.KllSketch(200)
+        for s in range(0, len(v), 3000):
+            sk.update_weighted(v[s : s + 3000], w[s : s + 3000])
+        assert sk.n == int(w.sum())
+        order = np.argsort(v)
+        cum = np.cumsum(w[order])
+        for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+            est = sk.quantile(q)
+            rank = cum[np.searchsorted(v[order], est, "right") - 1] / cum[-1]
+            assert abs(rank - q) < 0.03, (q, est, rank)
+
+    def test_kll_weighted_drop_rules(self):
+        sk = kll.KllSketch(200)
+        sk.update_weighted(
+            np.array([1.0, 2.0, np.nan, 4.0, 5.0]),
+            np.array([3, 0, 2, -1, np.nan], dtype=object).astype(float),
+        )
+        # only (1.0, w=3) survives: NaN value, zero/negative/NaN weights drop
+        assert sk.n == 3 and sk.quantile(0.5) == 1.0
+
+    def test_kll_weighted_fold_matches_scalar_per_group(self):
+        rng = np.random.default_rng(13)
+        n, ng = 30_000, 500
+        g = rng.integers(0, ng, n)
+        v = rng.normal(size=n)
+        w = rng.integers(1, 100, n)
+        v[g == 5] = np.nan   # all-dropped group (NaN values)
+        w[g == 6] = 0        # all-dropped group (zero weights)
+        g[g == 7] = 8        # never-seen group id 7
+        data, offs = kll.fold_groups_weighted(v, w, g, ng, 200)
+        assert kll.valid_flat(
+            np.frombuffer(bytes(data), dtype=np.uint8), offs.astype(np.int64), 200
+        ).all()
+        for gi in range(ng):
+            m = g == gi
+            ref = kll.KllSketch(200)
+            ref.update_weighted(v[m], w[m])
+            assert bytes(data[offs[gi] : offs[gi + 1]]) == ref.encode(), gi
+
+    def test_kll_weighted_fold_big_group_compacts(self):
+        """A group whose expanded items exceed the level capacities goes
+        through the scalar sketch — same bytes as the scalar update."""
+        rng = np.random.default_rng(14)
+        n = 5000
+        v = rng.normal(size=n)
+        w = rng.integers(1, 1000, n)
+        g = np.zeros(n, dtype=np.int64)
+        data, offs = kll.fold_groups_weighted(v, w, g, 1, 200)
+        ref = kll.KllSketch(200)
+        ref.update_weighted(v, w)
+        assert ref.compactions > 0  # really exercised the big path
+        assert bytes(data[offs[0] : offs[1]]) == ref.encode()
+
+    def test_kll_weighted_huge_weight_levels(self):
+        sk = kll.KllSketch(200)
+        sk.update_weighted(np.array([42.0]), np.array([(1 << 40) + 12345]))
+        assert sk.n == (1 << 40) + 12345
+        assert sk.quantile(0.5) == 42.0
+        # round-trips and merges like any other sketch
+        other = kll.KllSketch(200)
+        other.update(np.full(10, 7.0))
+        merged = kll.decode(sk.encode()).merge(other)
+        assert merged.n == sk.n + 10
+        assert merged.quantile(0.5) == 42.0  # weight dominates
+
+    def test_kll_popcount_sum(self):
+        assert kll.popcount_sum(np.array([1, 3, 7, (1 << 62) + 1])) == 8
+        assert kll.popcount_sum(np.array([0, -5])) == 0  # nonpositive ignored
+        assert kll.popcount_sum(np.array([], dtype=np.int64)) == 0

@@ -289,3 +289,30 @@ def test_weighted_tdigest_fold_matches_scalar(n, n_groups, seed):
         if ref.n > 0:
             span = max(1e-9, ref.vmax - ref.vmin)
             assert np.abs(got.quantile(qs) - ref.quantile(qs)).max() <= 0.25 * span
+
+
+@given(
+    n=st.integers(1, 300),
+    n_groups=st.integers(1, 10),
+    wmax=st.sampled_from([2, 7, 63, 1 << 20]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_weighted_kll_fold_matches_scalar(n, n_groups, wmax, seed):
+    """Property: the vectorized weighted KLL fold is BYTE-identical to
+    per-group scalar update_weighted for any row/group/weight mix
+    (incl. NaN values, zero/negative weights, and weights big enough to
+    populate many levels or trip the big-group compaction path)."""
+    from pfutil_spark.kernel import kll
+
+    rng = np.random.default_rng(seed)
+    v = rng.normal(0, 10, n)
+    v[rng.random(n) < 0.05] = np.nan
+    w = rng.integers(-1, wmax + 1, n)
+    g = np.sort(rng.integers(0, n_groups, n)).astype(np.int64)
+    data, offs = kll.fold_groups_weighted(v, w, g, n_groups, 64)
+    for gi in range(n_groups):
+        m = g == gi
+        ref = kll.KllSketch(64)
+        ref.update_weighted(v[m], w[m])
+        assert bytes(data[offs[gi] : offs[gi + 1]]) == ref.encode(), gi

@@ -308,11 +308,14 @@ class TestWeightedTDigestSpark:
                     assert abs(true_rank - q) <= 0.06, (g, q, est, true_rank)
 
     def test_weight_requires_spec_hook(self, spark):
-        from pfutil_spark.operators.sketch_agg import kll_spec, sketch_agg
+        # bloom has no weighted semantics (membership is weight-blind)
+        from pfutil_spark.operators.sketch_agg import bloom_spec, sketch_agg
 
-        df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+        df = spark.range(10).select(F.col("id").alias("v"))
         with pytest.raises(ValueError, match="weighted"):
-            sketch_agg(df, F.col("v"), kll_spec(), weight=F.col("v")).collect()
+            sketch_agg(
+                df, F.xxhash64("v"), bloom_spec(1 << 10, 3), weight=F.col("v")
+            ).collect()
 
 
 class TestWeightedCMSSpark:
@@ -340,6 +343,110 @@ class TestWeightedCMSSpark:
             x = int(exact[tok])
             assert e >= x, (tok, e, x)  # never undercount, weighted
             assert e - x <= eps * total + 1, (tok, e, x)
+
+
+class TestWeightedKLLSpark:
+    def test_weighted_matches_integer_replication(self, spark):
+        """kll_weighted_sketch(v, w) quantiles must land within rank
+        error of the exact weighted quantiles, per group."""
+        import pandas as pd
+
+        from pfutil_spark.kernel import kll as kll_k
+        from pfutil_spark.operators.sketch_agg import (
+            kll_quantiles_col,
+            kll_weighted_sketch,
+        )
+
+        rng = np.random.default_rng(21)
+        pdf = pd.DataFrame({
+            "grp": rng.integers(0, 4, 12_000).astype(str),
+            "v": rng.uniform(0, 100, 12_000),
+            "w": rng.integers(1, 50, 12_000),
+        })
+        df = spark.createDataFrame(pdf).repartition(4)
+        rows = (
+            kll_weighted_sketch(df, "v", "w", by=("grp",))
+            .select("grp", kll_quantiles_col([0.1, 0.5, 0.9]).alias("qs"), "sketch")
+            .collect()
+        )
+        assert len(rows) == 4
+        for r in rows:
+            sub = pdf[pdf["grp"] == r["grp"]]
+            order = np.argsort(sub["v"].to_numpy())
+            sv = sub["v"].to_numpy()[order]
+            cw = np.cumsum(sub["w"].to_numpy()[order])
+            assert kll_k.decode(bytes(r["sketch"])).n == int(cw[-1])
+            for q, est in zip((0.1, 0.5, 0.9), r["qs"]):
+                rank = cw[np.searchsorted(sv, est, "right") - 1] / cw[-1]
+                assert abs(rank - q) <= 0.04, (r["grp"], q, est, rank)
+
+    def test_weighted_direct_emit_matches_accumulation_bytes(self, spark):
+        """Single upstream partition + one Arrow batch: the vectorized
+        weighted fold (direct_emit_groups=1) and the accumulation path
+        see identical per-group row sequences, so the no-compaction
+        byte parity of the kernel must survive the whole plan."""
+        import pandas as pd
+
+        from pfutil_spark.operators.sketch_agg import kll_spec, sketch_agg
+
+        rng = np.random.default_rng(22)
+        pdf = pd.DataFrame({
+            "grp": rng.integers(0, 60, 3000).astype(str),
+            "v": rng.normal(0, 1, 3000),
+            "w": rng.integers(1, 6, 3000),
+        })
+        df = spark.createDataFrame(pdf).coalesce(1)
+        spec = kll_spec(200)
+        fast = {
+            r["grp"]: bytes(r["sketch"])
+            for r in sketch_agg(
+                df, F.col("v"), spec, ("grp",),
+                direct_emit_groups=1, weight=F.col("w").cast("long"),
+            ).collect()
+        }
+        slow = {
+            r["grp"]: bytes(r["sketch"])
+            for r in sketch_agg(
+                df, F.col("v"), spec, ("grp",),
+                direct_emit_groups=10**9, weight=F.col("w").cast("long"),
+            ).collect()
+        }
+        assert fast == slow and len(fast) == 60
+
+    def test_weighted_null_and_nonpositive_rows_dropped(self, spark):
+        from pfutil_spark.kernel import kll as kll_k
+        from pfutil_spark.operators.sketch_agg import kll_weighted_sketch
+
+        df = spark.createDataFrame(
+            [(1.0, 3.0), (2.0, None), (None, 5.0), (4.0, 0.0),
+             (5.0, -2.0), (6.0, float("nan"))],
+            "v double, w double",
+        )
+        buf = kll_weighted_sketch(df, "v", "w").collect()[0]["sketch"]
+        sk = kll_k.decode(bytes(buf))
+        assert sk.n == 3 and sk.quantile(0.5) == 1.0
+
+    def test_unit_weight_bytes_equal_unweighted(self, spark):
+        """weight=1 must be byte-identical to the unweighted sketch —
+        the guarantee t-digest's float path can't make, KLL's binary
+        expansion can."""
+        from pfutil_spark.operators.sketch_agg import kll_sketch, kll_weighted_sketch
+
+        df = (
+            spark.range(5000)
+            .select(
+                (F.col("id") % 7).cast("string").alias("grp"),
+                (F.col("id") * 0.37).alias("v"),
+                F.lit(1).alias("w"),
+            )
+            .coalesce(1)
+        )
+        a = {r["grp"]: bytes(r["sketch"]) for r in kll_sketch(df, "v", by=("grp",)).collect()}
+        b = {
+            r["grp"]: bytes(r["sketch"])
+            for r in kll_weighted_sketch(df, "v", "w", by=("grp",)).collect()
+        }
+        assert a == b and len(a) == 7
 
 
 class TestWeightedSpaceSavingSpark:
