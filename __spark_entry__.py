@@ -964,6 +964,42 @@ def _q_hll_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_SPLITS = (("eval", 0.05), ("train", 0.95))
+
+
+def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.py): hold out
+    a deterministic 5% eval split (hash_split_col — all rows of a key
+    land together, mirrored exactly by sql_split_expr), then flag every
+    TRAIN document sharing any 5-word shingle with ANY eval document.
+    The production path is exercised: shingles are pure-JVM exprs,
+    hashed to 8-byte join keys, and the eval shingle set broadcasts (no
+    corpus shuffle). EXACT DuckDB parity — the oracle regenerates both
+    splits and the full word-shingle overlap relationally."""
+    from pfutil_spark.operators.contamination import contaminated_ids
+    from pfutil_spark.operators.sampling import hash_split_col
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split", hash_split_col("doc_id", _CONTAM_SPLITS, seed=13)
+    )
+    ev = docs.filter(F.col("split") == "eval")
+    tr = docs.filter(F.col("split") == "train")
+    flagged = contaminated_ids(tr, ev, n=5, broadcast_eval=True).withColumn(
+        "__f", F.lit(1)
+    )
+    return (
+        tr.join(F.broadcast(flagged), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("__f").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document
     (functions/text.py::word_repetition_stats): word counts, duplicate-
@@ -1296,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all exact DuckDB parity
         "doc_repetition": _q_doc_repetition,
         "lang_mix_sample": _q_lang_mix_sample,
+        "ngram_contamination": _q_ngram_contamination,
         "sampled_customer_orders": _q_sampled_customer_orders,
         "weighted_quantile_bound": _q_weighted_quantile_bound,
         "weighted_kll_bound": _q_weighted_kll_bound,
@@ -1574,6 +1611,29 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,"
             " TRUE AS within_bound"
             " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "ngram_contamination": (
+            "WITH lab AS (SELECT doc_id, lang,"
+            "  regexp_split_to_array(trim(text), '\\s+') AS words,"
+            f"  {_sampling.sql_split_expr('doc_id', _CONTAM_SPLITS, seed=13)}"
+            "   AS split FROM documents),"
+            " g AS (SELECT unnest(range(1,"
+            "   (SELECT max(len(words)) + 1 FROM lab))) AS i),"
+            " evs AS (SELECT DISTINCT"
+            "   array_to_string(l.words[g.i::INT : g.i::INT + 4], ' ') AS sh"
+            "   FROM lab l JOIN g ON g.i + 4 <= len(l.words)"
+            "   WHERE l.split = 'eval'),"
+            " trs AS (SELECT DISTINCT l.doc_id,"
+            "   array_to_string(l.words[g.i::INT : g.i::INT + 4], ' ') AS sh"
+            "   FROM lab l JOIN g ON g.i + 4 <= len(l.words)"
+            "   WHERE l.split = 'train'),"
+            " fl AS (SELECT DISTINCT doc_id FROM trs"
+            "   WHERE sh IN (SELECT sh FROM evs))"
+            " SELECT l.lang, CAST(count(*) AS BIGINT) AS n_train,"
+            "  CAST(count(f.doc_id) AS BIGINT) AS n_flagged"
+            " FROM (SELECT doc_id, lang FROM lab WHERE split = 'train') l"
+            " LEFT JOIN fl f USING (doc_id)"
+            " GROUP BY l.lang ORDER BY l.lang"
         ),
         "weighted_kll_bound": (
             "SELECT lang,"

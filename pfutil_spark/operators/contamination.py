@@ -1,0 +1,96 @@
+"""Benchmark-contamination checks for training corpora: flag corpus
+documents sharing any word n-gram with an evaluation/benchmark set, and
+produce the decontaminated corpus — the standard n-gram-overlap
+decontamination step of large-scale training-data pipelines (no
+reference-repo counterpart; provided Spark-side like SURVEY.md §2.3).
+
+Scale posture (the part that matters at 100 TB):
+
+* Shingle generation is pure JVM (``split`` / ``sequence`` /
+  ``transform`` / ``slice`` / ``array_join`` — whole-stage codegen, no
+  Python), exploding to ~one row per word per document.
+* Each side is projected to ``xxhash64(shingle)`` IMMEDIATELY after the
+  explode (8-byte join keys instead of raw strings) and deduplicated
+  per side before the join — the distinct is the shuffle, and it
+  shuffles fixed-width longs.
+* The overlap test is a ``left_semi`` equi-join. Benchmark sets are
+  tiny next to a 100 TB corpus, so ``broadcast_eval=True`` turns the
+  whole check into a map-only pass over the corpus (no corpus shuffle
+  at all) — the intended production shape. AQE handles the non-broadcast
+  case.
+* 64-bit hash equality stands in for string equality: a false flag
+  needs an xxhash64 collision between two distinct shingles that also
+  co-occur across corpus/eval (~n^2/2^64; at 10^9 distinct shingles
+  ~5e-2 expected FALSE FLAGS corpus-wide — flags, not misses: the
+  conservative direction for decontamination). ``on_hash=False`` joins
+  on the raw shingle string for exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SH = "__pf_shingle"
+
+
+def word_shingles_col(text: str | Column, n: int) -> Column:
+    """array<string> of all ``n``-word shingles (space-rejoined runs of
+    ``n`` consecutive whitespace tokens) of ``text``; empty array when
+    the document has fewer than ``n`` tokens. Pure JVM expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.trim(c), r"\s+")
+    m = F.size(words) - F.lit(n - 1)
+    arr = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    # sequence(1, m) with m < 1 would count DOWN (Spark infers step -1)
+    return F.when(m >= 1, arr).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_keys(
+    df: DataFrame, text: str, n: int, on_hash: bool, extra: list[str]
+) -> DataFrame:
+    sh = F.explode(word_shingles_col(text, n)).alias(_SH)
+    out = df.select(*extra, sh)
+    if on_hash:
+        out = out.select(*extra, F.xxhash64(_SH).alias(_SH))
+    return out
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    on_hash: bool = True,
+    broadcast_eval: bool = False,
+) -> DataFrame:
+    """Distinct ``id_col`` values of corpus documents sharing at least
+    one ``n``-word shingle with ANY eval document. ``broadcast_eval``
+    ships the (deduplicated, hashed) eval shingle set to every executor
+    — the no-corpus-shuffle path for the usual tiny-benchmark case."""
+    ev = _shingle_keys(eval_df, text, n, on_hash, []).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = _shingle_keys(corpus, text, n, on_hash, [id_col])
+    return tr.join(ev, _SH, "left_semi").select(id_col).distinct()
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    on_hash: bool = True,
+    broadcast_eval: bool = False,
+) -> DataFrame:
+    """The corpus minus contaminated documents (left_anti on the flagged
+    id set — all columns preserved)."""
+    flagged = contaminated_ids(
+        corpus, eval_df, text, id_col, n, on_hash, broadcast_eval
+    )
+    return corpus.join(flagged, id_col, "left_anti")

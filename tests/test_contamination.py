@@ -1,0 +1,145 @@
+"""Benchmark-contamination operator (operators/contamination.py):
+word-shingle correctness, brute-force overlap parity, hash-vs-string
+join equivalence, decontamination complement, and the scale-posture
+plan gates (broadcast eval side, zero Python nodes)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pfutil_spark.operators.contamination import (
+    contaminated_ids,
+    decontaminate,
+    word_shingles_col,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+_PY_NODES = ("EvalPython", "PythonUDF", "MapInPandas", "MapInArrow", "FlatMapGroupsInPandas")
+
+
+def _assert_no_python(plan: str) -> None:
+    # NOTE: can't grep bare "Python" — createDataFrame test inputs scan
+    # as "applySchemaToPythonRDD" RDDs, which is input plumbing, not a
+    # Python eval node in the operator plan
+    for node in _PY_NODES:
+        assert node not in plan, plan
+
+
+def _brute_force_flags(corpus_rows, eval_rows, n):
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    ev = set()
+    for _, t in eval_rows:
+        ev |= shingles(t or "")
+    return {i for i, t in corpus_rows if t and shingles(t) & ev}
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    corpus_rows = [
+        (i, " ".join(rng.choice(vocab, rng.integers(2, 30)))) for i in range(300)
+    ]
+    corpus_rows += [(300, ""), (301, "   "), (302, None), (303, "one two")]
+    eval_rows = [
+        (1000 + i, " ".join(rng.choice(vocab, rng.integers(5, 25))))
+        for i in range(25)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string").repartition(5)
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    return corpus, ev, corpus_rows, eval_rows
+
+
+class TestWordShingles:
+    def test_values_and_edges(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b"), (3, ""), (4, "   "), (5, None)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["sh"]
+            for r in df.select(
+                "doc_id", word_shingles_col("text", 3).alias("sh")
+            ).collect()
+        }
+        assert got[1] == ["a b c", "b c d", "c d e"]
+        assert got[2] == [] and got[3] == [] and got[4] == []
+        assert got[5] is None or got[5] == []  # null text -> no shingles
+
+    def test_pure_jvm(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        plan = _plan(df.select(word_shingles_col("text", 2).alias("s")))
+        _assert_no_python(plan)
+
+
+class TestContaminationFlags:
+    def test_matches_brute_force(self, corpora):
+        corpus, ev, corpus_rows, eval_rows = corpora
+        expect = _brute_force_flags(corpus_rows, eval_rows, 3)
+        got = {
+            r["doc_id"] for r in contaminated_ids(corpus, ev, n=3).collect()
+        }
+        assert got == expect and len(expect) > 0
+
+    def test_hash_equals_string_join(self, corpora):
+        corpus, ev, *_ = corpora
+        a = {r["doc_id"] for r in contaminated_ids(corpus, ev, n=4, on_hash=True).collect()}
+        b = {r["doc_id"] for r in contaminated_ids(corpus, ev, n=4, on_hash=False).collect()}
+        assert a == b
+
+    def test_broadcast_matches_shuffle(self, corpora):
+        corpus, ev, *_ = corpora
+        a = {
+            r["doc_id"]
+            for r in contaminated_ids(corpus, ev, n=3, broadcast_eval=True).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in contaminated_ids(corpus, ev, n=3, broadcast_eval=False).collect()
+        }
+        assert a == b
+
+    def test_decontaminate_is_complement(self, corpora):
+        corpus, ev, corpus_rows, _ = corpora
+        flagged = {r["doc_id"] for r in contaminated_ids(corpus, ev, n=3).collect()}
+        clean = {r["doc_id"] for r in decontaminate(corpus, ev, n=3).collect()}
+        assert clean == {i for i, _ in corpus_rows} - flagged
+        # all columns survive
+        assert decontaminate(corpus, ev, n=3).columns == corpus.columns
+
+    def test_no_eval_overlap_keeps_everything(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(9, "x y z q")], "doc_id long, text string")
+        assert contaminated_ids(corpus, ev, n=3).count() == 0
+        assert decontaminate(corpus, ev, n=3).count() == 2
+
+
+class TestContaminationPlan:
+    def test_broadcast_eval_and_no_python(self, corpora):
+        """broadcast_eval must put the eval shingle set on a
+        BroadcastExchange (map-only corpus pass — the 100 TB shape) and
+        the whole flag plan must stay Python-free."""
+        corpus, ev, *_ = corpora
+        plan = _plan(contaminated_ids(corpus, ev, n=3, broadcast_eval=True))
+        assert "BroadcastExchange" in plan, plan
+        _assert_no_python(plan)
+
+    def test_hash_keys_cross_the_join(self, corpora):
+        """on_hash: the semi-join keys must be xxhash64 longs, not raw
+        shingle strings (8-byte shuffle/broadcast payloads)."""
+        corpus, ev, *_ = corpora
+        plan = _plan(contaminated_ids(corpus, ev, n=3))
+        assert "xxhash64" in plan, plan
