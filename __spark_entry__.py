@@ -1000,6 +1000,41 @@ def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining quality-filter funnel: survivor counts through the
+    cumulative stage chain all -> min_chars(>=150) -> min_tokens(>=40)
+    -> repetition (distinct-token ratio >= 0.4, the Gopher-style
+    dup-word filter). Every stage condition is a pure-JVM expression
+    (ONE scan, ONE partial-aggregated reduction, then a stack unpivot of
+    the four counters — no per-stage passes). EXACT DuckDB parity; the
+    distinct-ratio compare is a single IEEE division, exact
+    cross-engine (never round(x, N) a computed double — NOTES.md)."""
+    from pfutil_spark.functions.text import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = token_count_col("text")
+    n_distinct = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.array_distinct(words)))
+    c1 = F.length("text") >= 150
+    c2 = c1 & (n_tokens >= 40)
+    c3 = c2 & (n_distinct.cast("double") / n_tokens >= 0.4)
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum(c1.cast("long")).alias("c1"),
+        F.sum(c2.cast("long")).alias("c2"),
+        F.sum(c3.cast("long")).alias("c3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 0, 'all', c0, 1, 'min_chars', c1,"
+            " 2, 'min_tokens', c2, 3, 'repetition', c3)"
+            " AS (stage_idx, stage, n_docs)"
+        )
+    ).orderBy("stage_idx")
+
+
 def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document
     (functions/text.py::word_repetition_stats): word counts, duplicate-
@@ -1333,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
+        "quality_filter_funnel": _q_quality_filter_funnel,
         "sampled_customer_orders": _q_sampled_customer_orders,
         "weighted_quantile_bound": _q_weighted_quantile_bound,
         "weighted_kll_bound": _q_weighted_kll_bound,
@@ -1611,6 +1647,27 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,"
             " TRUE AS within_bound"
             " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "quality_filter_funnel": (
+            "WITH f AS (SELECT length(text) AS n_chars,"
+            "  CASE WHEN length(trim(text)) = 0 THEN 0"
+            "   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,"
+            "  CASE WHEN length(trim(text)) = 0 THEN 0"
+            "   ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))"
+            "   END AS n_distinct"
+            "  FROM documents),"
+            " a AS (SELECT CAST(count(*) AS BIGINT) AS c0,"
+            "  CAST(sum(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS c1,"
+            "  CAST(sum(CASE WHEN n_chars >= 150 AND n_tokens >= 40"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS c2,"
+            "  CAST(sum(CASE WHEN n_chars >= 150 AND n_tokens >= 40"
+            "   AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.4"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS c3 FROM f)"
+            " SELECT 0 AS stage_idx, 'all' AS stage, c0 AS n_docs FROM a"
+            " UNION ALL SELECT 1, 'min_chars', c1 FROM a"
+            " UNION ALL SELECT 2, 'min_tokens', c2 FROM a"
+            " UNION ALL SELECT 3, 'repetition', c3 FROM a"
+            " ORDER BY stage_idx"
         ),
         "ngram_contamination": (
             "WITH lab AS (SELECT doc_id, lang,"
