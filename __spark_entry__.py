@@ -1156,20 +1156,26 @@ def _q_weighted_kll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", kll_quantiles_col([0.5]).getItem(0).alias("p50")
     )
     w = F.col("toks").cast("double")
+    # left join + vacuous-TRUE guard: a lang whose docs are all
+    # null-text (absent from the sketch output) or all zero-token
+    # (sum(w) = 0 -> NULL rank) still emits its oracle row — the bound
+    # check is vacuously true when there is no token mass to rank.
     return (
-        docs.join(F.broadcast(est), "lang")
+        docs.join(F.broadcast(est), "lang", "left")
         .groupBy("lang")
         .agg(
             F.sum("toks").cast("long").alias("total_tokens"),
-            (
-                F.sum(F.when(F.col("len") <= F.col("p50"), w).otherwise(0.0))
-                / F.sum(w)
+            F.try_divide(  # ANSI-safe: zero token mass -> NULL, not error
+                F.sum(F.when(F.col("len") <= F.col("p50"), w).otherwise(0.0)),
+                F.sum(w),
             ).alias("__rank"),
         )
         .select(
             "lang",
             "total_tokens",
-            (F.abs(F.col("__rank") - 0.5) <= 0.04).alias("within_bound"),
+            F.coalesce(
+                F.abs(F.col("__rank") - 0.5) <= 0.04, F.lit(True)
+            ).alias("within_bound"),
         )
         .orderBy("lang")
     )

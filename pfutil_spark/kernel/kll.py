@@ -22,10 +22,15 @@ _MIN_CAP = 8
 
 def _int_weights(weights: np.ndarray) -> np.ndarray:
     """Weights as int64; non-finite floats become 0 (dropped by the
-    w > 0 filter) instead of tripping undefined float->int casts."""
+    w > 0 filter) and finite floats saturate at 2**62 — a float->int
+    cast of an out-of-range double is platform-defined (x86 yields
+    INT64_MIN, which the w > 0 filter would then silently DROP: the
+    heaviest row contributing nothing). 2**62 is float64-exact and
+    keeps the row's rank mass dominant."""
     w = np.asarray(weights)
     if w.dtype.kind == "f":
-        w = np.where(np.isfinite(w), w, 0.0).astype(np.int64)
+        w = np.where(np.isfinite(w), w, 0.0)
+        w = np.minimum(w, float(1 << 62)).astype(np.int64)
     return w.astype(np.int64, copy=False)
 
 
@@ -381,11 +386,11 @@ def fold_groups_weighted(
 
 
 def popcount_sum(x: np.ndarray) -> int:
-    """Total set bits across non-negative int64 ``x`` — the exact
-    expanded-item count of a weighted KLL fold (sizes the direct-emit
-    byte gate)."""
+    """Total set bits across ``x`` after ``_int_weights`` coercion —
+    the exact expanded-item count of a weighted KLL fold (sizes the
+    direct-emit byte gate)."""
     total = 0
-    x = np.asarray(x).astype(np.int64, copy=False)
+    x = _int_weights(x)  # same coercion as the folds the bound sizes
     x = x[x > 0]
     for b in range(63):  # positive int64: bit 63 is the sign bit
         total += int(((x >> np.int64(b)) & np.int64(1)).sum())

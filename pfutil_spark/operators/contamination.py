@@ -40,7 +40,13 @@ def word_shingles_col(text: str | Column, n: int) -> Column:
     the document has fewer than ``n`` tokens. Pure JVM expression."""
     c = F.col(text) if isinstance(text, str) else text
     words = F.split(F.trim(c), r"\s+")
-    m = F.size(words) - F.lit(n - 1)
+    # split('', '\s+') yields [''] — one phantom token. Without the
+    # zero-token guard, n=1 would emit the shingle "" for every blank
+    # document and any blank eval doc would flag ALL blank corpus docs.
+    n_tokens = F.when(F.length(F.trim(c)) > 0, F.size(words)).otherwise(
+        F.lit(0)
+    )
+    m = n_tokens - F.lit(n - 1)
     arr = F.transform(
         F.sequence(F.lit(1), m),
         lambda i: F.array_join(F.slice(words, i, n), " "),

@@ -360,8 +360,14 @@ def sketch_partial(
             if by:
                 inverse, first_idx = _group_codes(batch, by)
                 n_groups = len(first_idx)
-                bound = _emit_bytes_bound(
-                    spec, weighted, n_groups, len(values), wts
+                # bound evaluated only after the cheap gates pass: the
+                # weighted-KLL popcount bound is itself a batch-sized
+                # scan, wasted work on low-cardinality batches that take
+                # the accumulation path anyway
+                bound = (
+                    _emit_bytes_bound(spec, weighted, n_groups, len(values), wts)
+                    if fold is not None and n_groups >= direct_emit_groups
+                    else 0
                 )
                 if (
                     fold is not None
@@ -724,29 +730,33 @@ def sketch_multi_partial(
                     wts = wcol.to_numpy(zero_copy_only=False) if wcol is not None else None
                     inv = inverse
                 per_metric.append((vals, wts, inv))
-            # the byte gate sums over metrics: k folds co-reside in the
-            # same output batch, so the cap must bound their TOTAL
-            # (specs without a bound contribute 0, as in sketch_agg)
-            total_bound = sum(
-                b
-                for b in (
-                    _emit_bytes_bound(s, wf, n_groups, len(v), w)
-                    for s, wf, (v, w, __) in zip(
-                        specs, weighted_flags, per_metric
-                    )
-                )
-                if b is not None
-            )
             folds = [
                 (s.fold_groups_weighted if wf else s.fold_groups)
                 for s, wf in zip(specs, weighted_flags)
             ]
-            if (
+            direct_ok = (
                 by
                 and n_groups >= direct_emit_groups
                 and all(f is not None for f in folds)
-                and total_bound <= DIRECT_EMIT_BYTES_CAP
-            ):
+            )
+            if direct_ok:
+                # the byte gate sums over metrics: k folds co-reside in
+                # the same output batch, so the cap must bound their
+                # TOTAL (specs without a bound contribute 0, as in
+                # sketch_agg). Evaluated only after the cheap gates —
+                # weighted-KLL's popcount bound is a batch-sized scan.
+                total_bound = sum(
+                    b
+                    for b in (
+                        _emit_bytes_bound(s, wf, n_groups, len(v), w)
+                        for s, wf, (v, w, __) in zip(
+                            specs, weighted_flags, per_metric
+                        )
+                    )
+                    if b is not None
+                )
+                direct_ok = total_bound <= DIRECT_EMIT_BYTES_CAP
+            if direct_ok:
                 arrays = [
                     batch.column(c).take(pa.array(first_idx)) for c in by
                 ]

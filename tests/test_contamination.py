@@ -143,3 +143,30 @@ class TestContaminationPlan:
         corpus, ev, *_ = corpora
         plan = _plan(contaminated_ids(corpus, ev, n=3))
         assert "xxhash64" in plan, plan
+
+
+def test_unigram_blank_documents_not_flagged(spark):
+    """n=1 regression: split('', '\\s+') yields [''] — without the
+    zero-token guard every blank corpus doc matched any blank eval doc
+    via the phantom "" shingle and was silently deleted."""
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta"), (1, ""), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    blank_ev = spark.createDataFrame(
+        [(100, ""), (101, "   ")], "doc_id long, text string"
+    )
+    assert contaminated_ids(corpus, blank_ev, n=1).count() == 0
+    assert decontaminate(corpus, blank_ev, n=1).count() == 4
+    # a real unigram overlap still flags
+    ev = spark.createDataFrame([(102, "beta")], "doc_id long, text string")
+    assert {
+        r["doc_id"] for r in contaminated_ids(corpus, ev, n=1).collect()
+    } == {0}
+    # the documented contract: blank/null text -> EMPTY shingle array
+    rows = corpus.select(
+        "doc_id", word_shingles_col("text", 1).alias("s")
+    ).collect()
+    got = {r["doc_id"]: r["s"] for r in rows}
+    assert got[0] == ["alpha", "beta"]
+    assert got[1] == [] and got[2] == [] and got[3] == []

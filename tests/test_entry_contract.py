@@ -66,3 +66,22 @@ def test_query_against_oracle(spark, name):
     d = _rowset([[r[i] for i in dperm] for r in duck_rows])
     assert len(s) == len(d), (len(s), len(d))
     assert s == d
+
+def test_weighted_kll_bound_degenerate_langs(spark, tmp_path):
+    """Langs whose docs are all null-text (absent from the sketch
+    output) or all zero-token (zero weight mass -> NULL rank) must
+    still emit their oracle row with within_bound TRUE (vacuously: no
+    token mass to rank) — a fixture regeneration can't break parity."""
+    # 'cc' needs a near-continuous length CDF for the 4% rank check to
+    # be meaningful (single-token docs of 100 distinct lengths)
+    rows_in = [("aa", None), ("aa", None), ("bb", ""), ("bb", "   ")]
+    rows_in += [("cc", "x" * i) for i in range(1, 101)]
+    docs = spark.createDataFrame(rows_in, "lang string, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    df = entry_mod.queries()["weighted_kll_bound"](spark, str(tmp_path))
+    rows = {r["lang"]: r for r in df.collect()}
+    assert set(rows) == {"aa", "bb", "cc"}
+    assert all(r["within_bound"] for r in rows.values())
+    assert rows["aa"]["total_tokens"] is None  # all-null sum (oracle: NULL)
+    assert rows["bb"]["total_tokens"] == 0
+    assert rows["cc"]["total_tokens"] == 100

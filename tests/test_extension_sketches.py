@@ -452,3 +452,30 @@ class TestWeightedKernels:
         assert kll.popcount_sum(np.array([1, 3, 7, (1 << 62) + 1])) == 8
         assert kll.popcount_sum(np.array([0, -5])) == 0  # nonpositive ignored
         assert kll.popcount_sum(np.array([], dtype=np.int64)) == 0
+
+    def test_kll_popcount_sum_float_weights_no_warning(self):
+        """popcount_sum shares _int_weights coercion: NaN/inf -> 0,
+        finite overflow saturates, and no RuntimeWarning fires (the old
+        bare int64 cast was platform-defined on such inputs)."""
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            # 3.0 -> 2 bits; nan/inf -> 0; 1e300 saturates to 2**62 -> 1
+            assert kll.popcount_sum(np.array([3.0, np.nan, np.inf, 1e300])) == 3
+
+    def test_kll_weight_overflow_saturates_not_dropped(self):
+        """A finite float weight beyond int64 range saturates at 2**62
+        instead of hitting the platform-defined float->int cast (x86:
+        INT64_MIN, which the w > 0 filter then silently DROPPED — the
+        heaviest row contributing nothing)."""
+        import warnings
+
+        sk = kll.KllSketch(200)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            sk.update_weighted(
+                np.array([42.0, 7.0]), np.array([1e300, 1.0])
+            )
+        assert sk.n == (1 << 62) + 1
+        assert sk.quantile(0.5) == 42.0  # saturated row still dominates

@@ -448,6 +448,34 @@ class TestWeightedKLLSpark:
         }
         assert a == b and len(a) == 7
 
+    def test_byte_gate_lazy_on_accumulation_path(self, spark):
+        """The weighted byte bound (a popcount scan of the whole weight
+        array) must NOT be evaluated on batches that take the
+        accumulation path — low-cardinality batches pay only the cheap
+        n_groups gate."""
+        import dataclasses
+
+        from pfutil_spark.operators.sketch_agg import kll_spec, sketch_agg
+
+        def boom(g, n, w):  # pragma: no cover - failure marker
+            raise AssertionError("byte bound computed on accumulation path")
+
+        spec = dataclasses.replace(kll_spec(), fold_bytes_bound_weighted=boom)
+        df = (
+            spark.range(2000)
+            .select(
+                (F.col("id") % 3).cast("string").alias("grp"),
+                (F.col("id") * 0.31).alias("v"),
+                (F.col("id") % 5 + 1).alias("w"),
+            )
+            .coalesce(1)
+        )
+        out = sketch_agg(
+            df, F.col("v"), spec, by=("grp",), weight=F.col("w"),
+            direct_emit_groups=1 << 30,
+        )
+        assert out.count() == 3  # would raise if the bound were eager
+
 
 class TestWeightedSpaceSavingSpark:
     def test_exact_regime_weighted_totals(self, spark):
@@ -811,10 +839,11 @@ class TestSketchMultiWeighted:
     def test_weighted_metric_requires_hook(self, spark):
         import pytest as pt
 
-        from pfutil_spark.operators.sketch_agg import kll_spec, sketch_multi
+        from pfutil_spark.operators.sketch_agg import bloom_spec, sketch_multi
 
+        # bloom has no weighted hooks (set membership has no rank mass)
         df = spark.range(5).select(F.col("id").cast("double").alias("v"))
         with pt.raises(ValueError, match="weighted"):
             sketch_multi(
-                df, {"x": (F.col("v"), kll_spec(), F.col("v"))}, by=()
+                df, {"x": (F.col("v"), bloom_spec(), F.col("v"))}, by=()
             )
