@@ -746,6 +746,50 @@ def _q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bound_check(est, exact, ["bucket_s"], "exact_users").orderBy("bucket_s")
 
 
+def _q_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-hour distinct users per hourly bucket from MERGED
+    per-hour sketches (operators/rollup.py::pf_sliding_distinct): raw
+    rows are scanned ONCE; every trailing window is a merge of <= 6
+    bucket sketches — exact sliding COUNT(DISTINCT) would re-scan per
+    window. The exact side explodes each event into its <= 6 window
+    ends (contract-scale verification only; the operator itself never
+    touches raw rows twice). Bound-boolean oracle like hll_time_rollup."""
+    from pfutil_spark.operators.rollup import pf_sliding_distinct
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "uid", F.col("user_id").cast("string")
+    )
+    est = pf_sliding_distinct(
+        ev, "ts", "uid", bucket="1 hour", window_buckets=6
+    ).select(
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        "estimate",
+    )
+    exploded = ev.select(
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', ts),"
+                " date_trunc('hour', ts) + INTERVAL '1 hour' * 5,"
+                " INTERVAL '1 hour')"
+            )
+        ).alias("we"),
+        "uid",
+    )
+    observed = ev.select(F.date_trunc("hour", "ts").alias("we")).distinct()
+    exact = (
+        exploded.join(F.broadcast(observed), "we", "left_semi")
+        .groupBy("we")
+        .agg(F.countDistinct("uid").alias("exact_users"))
+        .select(
+            F.date_format("we", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+            "exact_users",
+        )
+    )
+    return _bound_check(est, exact, ["bucket_s"], "exact_users").orderBy(
+        "bucket_s"
+    )
+
+
 def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: every-10th-frame explode over the
     deterministic synthetic media table; per-media sampled-frame count
@@ -1401,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_clusters": _q_embedding_clusters,
         "hll_time_rollup": _q_hll_time_rollup,
+        "hll_sliding_window": _q_hll_sliding_window,
         "video_frame_sample": _q_video_frame_sample,
         "text_stats": _q_text_stats,
         "dump_restore_roundtrip": _q_dump_restore_roundtrip,
@@ -1873,6 +1918,17 @@ def oracle_sql() -> dict[str, str]:
             "  AS bucket_s,"
             " count(DISTINCT user_id) AS exact_users, TRUE AS within_bound"
             " FROM events GROUP BY date_trunc('hour', ts) ORDER BY bucket_s"
+        ),
+        "hll_sliding_window": (
+            "WITH ev AS (SELECT date_trunc('hour', ts) AS bk, user_id"
+            "  FROM events),"
+            " b AS (SELECT DISTINCT bk AS we FROM ev)"
+            " SELECT strftime(b.we, '%Y-%m-%d %H:%M:%S') AS bucket_s,"
+            " count(DISTINCT e.user_id) AS exact_users,"
+            " TRUE AS within_bound"
+            " FROM b JOIN ev e"
+            "  ON e.bk >= b.we - INTERVAL 5 HOUR AND e.bk <= b.we"
+            " GROUP BY b.we ORDER BY bucket_s"
         ),
         "video_frame_sample": (
             "SELECT CAST(i AS BIGINT) AS media_id,"

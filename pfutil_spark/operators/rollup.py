@@ -88,6 +88,22 @@ def pf_cube(
     return pf_rollup(df, element, dims, version, grouping_sets=sets, estimate_col=estimate_col)
 
 
+def _bucketed(df: DataFrame, ts: str, bucket: str) -> DataFrame:
+    """``df`` plus a ``bucket_start`` column (F.window(ts, bucket).start).
+
+    Preserves timestamp_ntz: casting NTZ -> session-tz timestamp would
+    shift bucket boundaries for non-whole-hour zones (tz-explicitness,
+    r2 ADVICE). F.window accepts both timestamp flavors directly."""
+    ts_t = df.schema[ts].dataType.typeName()
+    if ts_t.startswith("timestamp"):
+        ts_col = F.col(ts)
+    elif ts_t == "date":  # date -> session-tz timestamp would shift too
+        ts_col = F.col(ts).cast("timestamp_ntz")
+    else:
+        ts_col = F.col(ts).cast("timestamp")
+    return df.withColumn("bucket_start", F.window(ts_col, bucket).start)
+
+
 def pf_time_rollup(
     df: DataFrame,
     ts: str,
@@ -101,22 +117,60 @@ def pf_time_rollup(
     whole thing is still ONE scan + ONE shuffle, and the per-bucket
     sketches remain mergeable upward into coarser windows."""
     by = list(by)
-    # Preserve timestamp_ntz: casting NTZ -> session-tz timestamp would
-    # shift bucket boundaries for non-whole-hour zones (tz-explicitness,
-    # r2 ADVICE). F.window accepts both timestamp flavors directly.
-    ts_t = df.schema[ts].dataType.typeName()
-    if ts_t.startswith("timestamp"):
-        ts_col = F.col(ts)
-    elif ts_t == "date":  # date -> session-tz timestamp would shift too
-        ts_col = F.col(ts).cast("timestamp_ntz")
-    else:
-        ts_col = F.col(ts).cast("timestamp")
-    win = F.window(ts_col, bucket)
-    bucketed = df.withColumn("bucket_start", win.start)
     keys = ["bucket_start", *by]
     from pfutil_spark.operators.hll_agg import pf_count_distinct
 
-    return pf_count_distinct(bucketed, element, by=keys, version=version)
+    return pf_count_distinct(
+        _bucketed(df, ts, bucket), element, by=keys, version=version
+    )
+
+
+def pf_sliding_distinct(
+    df: DataFrame,
+    ts: str,
+    element: str,
+    bucket: str = "1 hour",
+    window_buckets: int = 24,
+    by: Sequence[str] = (),
+    version: int = 4,
+) -> DataFrame:
+    """Trailing-window distinct counts from per-bucket sketches:
+    ``(window_end, by..., estimate)`` where the estimate at window end
+    ``e`` is the PFMERGE of the ``window_buckets`` bucket sketches
+    ``e - W + 1 .. e`` — exact COUNT(DISTINCT) over a sliding window
+    would re-scan the raw data once PER WINDOW, this scans it ONCE.
+
+    Plan shape (the 100-TB posture): one raw scan + one shuffle builds
+    the (bucket, by) sketches; each sketch row is then exploded to the
+    W window ends it participates in (W x n_buckets SKETCH rows, ~12KB
+    each — never raw rows) and a second merge keyed on (window_end,
+    by) folds <= W sketches per group. Window ends are reported only at
+    observed buckets (broadcast semi-join of the tiny bucket list);
+    union error is the same published HLL bound as any PFMERGE."""
+    by = list(by)
+    from pfutil_spark.operators.hll_agg import pf_sketch
+
+    sk = pf_sketch(
+        _bucketed(df, ts, bucket), element, by=["bucket_start", *by],
+        version=version,
+    )
+    step = f"INTERVAL '{bucket}'"
+    ends = F.expr(
+        f"sequence(bucket_start, bucket_start + {step} * "
+        f"{int(window_buckets) - 1}, {step})"
+    )
+    contrib = sk.select(
+        F.explode(ends).alias("window_end"), *by, SKETCH_COL
+    )
+    merged = pf_merge(contrib, by=["window_end", *by])
+    observed = (
+        sk.select(F.col("bucket_start").alias("window_end")).distinct()
+    )
+    return merged.join(F.broadcast(observed), "window_end", "left_semi").select(
+        "window_end",
+        *by,
+        pf_count_col(SKETCH_COL, version).alias("estimate"),
+    )
 
 
 def pf_union_estimate_col(

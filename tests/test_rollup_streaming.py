@@ -515,6 +515,123 @@ class TestTimeRollup:
             assert abs(got[k] - r["x"]) <= max(1, round(3 * 0.008125 * r["x"]))
 
 
+class TestSlidingDistinct:
+    def _exact_trailing(self, pdf, w_hours):
+        """dict (window_end, key) -> exact trailing distinct, over
+        OBSERVED buckets only."""
+        import pandas as pd
+
+        pdf = pdf.copy()
+        pdf["bk"] = pdf["ts"].dt.floor("h")
+        out = {}
+        buckets = sorted(pdf["bk"].unique())
+        for we in buckets:
+            lo = we - pd.Timedelta(hours=w_hours - 1)
+            m = (pdf["bk"] >= lo) & (pdf["bk"] <= we)
+            out[we] = pdf.loc[m, "uid"].nunique()
+        return out
+
+    def test_trailing_window_matches_exact_with_gaps(self, spark):
+        """Sparse buckets (gaps): trailing windows must merge only the
+        buckets that exist inside the window, and report only at
+        OBSERVED bucket ends — not at gap hours."""
+        import pandas as pd
+
+        from pfutil_spark.operators.rollup import pf_sliding_distinct
+
+        rng = np.random.default_rng(7)
+        base = pd.Timestamp("2024-03-01 00:00:00")
+        # hours 0..11 with 4,5 missing entirely
+        hours = [h for h in range(12) if h not in (4, 5)]
+        rows = [
+            (base + pd.Timedelta(hours=h, minutes=int(m)), f"u{u}")
+            for h in hours
+            for m, u in zip(
+                rng.integers(0, 60, 40), rng.integers(0, 500, 40)
+            )
+        ]
+        pdf = pd.DataFrame(rows, columns=["ts", "uid"])
+        pdf["event_type"] = "x"
+        df = spark.createDataFrame(pdf[["ts", "uid"]]).repartition(4)
+        out = pf_sliding_distinct(
+            df, "ts", "uid", bucket="1 hour", window_buckets=3
+        )
+        got = {r["window_end"]: r["estimate"] for r in out.collect()}
+        exact = self._exact_trailing(pdf, 3)
+        assert set(got) == set(exact)  # observed buckets only, no gap rows
+        for we, x in exact.items():
+            assert abs(got[we] - x) <= max(1, round(3 * 0.008125 * x)), we
+
+    def test_window_of_one_equals_time_rollup(self, spark):
+        from pfutil_spark.operators.rollup import (
+            pf_sliding_distinct,
+            pf_time_rollup,
+        )
+
+        ev = _events(spark)
+        a = {
+            r["window_end"]: r["estimate"]
+            for r in pf_sliding_distinct(
+                ev, "ts", "uid", bucket="1 hour", window_buckets=1
+            ).collect()
+        }
+        b = {
+            r["bucket_start"]: r["estimate"]
+            for r in pf_time_rollup(ev, "ts", "uid", bucket="1 hour").collect()
+        }
+        assert a == b
+
+    def test_grouped_and_single_raw_scan(self, spark):
+        """by-keys carry through, and the plan scans the raw input once:
+        the second merge works on exploded SKETCH rows (pf_merge
+        MapInArrow), with the observed-bucket filter a broadcast
+        semi-join."""
+        from pfutil_spark.operators.rollup import pf_sliding_distinct
+
+        ev = _events(spark)
+        out = pf_sliding_distinct(
+            ev, "ts", "uid", bucket="1 hour", window_buckets=4,
+            by=("event_type",),
+        )
+        exact = {
+            (r["we"], r["event_type"]): r["x"]
+            for r in ev.select(
+                F.explode(
+                    F.expr(
+                        "sequence(date_trunc('hour', ts),"
+                        " date_trunc('hour', ts) + INTERVAL '1 hour' * 3,"
+                        " INTERVAL '1 hour')"
+                    )
+                ).alias("we"),
+                "event_type",
+                "uid",
+            )
+            .join(
+                ev.select(F.date_trunc("hour", "ts").alias("we")).distinct(),
+                "we",
+                "left_semi",
+            )
+            .groupBy("we", "event_type")
+            .agg(F.countDistinct("uid").alias("x"))
+            .collect()
+        }
+        got = {
+            (r["window_end"], r["event_type"]): r["estimate"]
+            for r in out.collect()
+        }
+        assert set(got) == set(exact)
+        for k, x in exact.items():
+            assert abs(got[k] - x) <= max(1, round(3 * 0.008125 * x)), k
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # observed-bucket filter must be a broadcast semi-join (never a
+        # shuffle of the merged sketches against the bucket list)
+        assert "BroadcastExchange" in plan, plan
+
+
 class TestStreamingSessions:
     def test_session_window_stream_matches_batch_sessionize(self, spark, tmp_path):
         """Native session_window over a stream == batch lag+cumsum
