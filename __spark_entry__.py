@@ -1044,6 +1044,21 @@ def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated n-gram stats (operators/contamination.py
+    ::shared_ngram_stats — the Lee et al. ACL'22 repeated-substring
+    dedup signal at word-shingle granularity): per document, its
+    distinct 3-gram count, how many of those occur in at least one
+    OTHER document, and the boilerplate fraction (unrounded single
+    division — exact cross-engine). on_hash=False so DuckDB mirrors
+    the join on raw shingle strings (EXACT parity; production uses
+    8-byte xxhash64 keys, unit-tested equivalent)."""
+    from pfutil_spark.operators.contamination import shared_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_ngram_stats(docs, n=3, on_hash=False).orderBy("doc_id")
+
+
 def _q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining quality-filter funnel: survivor counts through the
     cumulative stage chain all -> min_chars(>=150) -> min_tokens(>=40)
@@ -1418,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
+        "doc_boilerplate": _q_doc_boilerplate,
         "quality_filter_funnel": _q_quality_filter_funnel,
         "sampled_customer_orders": _q_sampled_customer_orders,
         "weighted_quantile_bound": _q_weighted_quantile_bound,
@@ -1742,6 +1758,27 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT doc_id, lang FROM lab WHERE split = 'train') l"
             " LEFT JOIN fl f USING (doc_id)"
             " GROUP BY l.lang ORDER BY l.lang"
+        ),
+        "doc_boilerplate": (
+            "WITH lab AS (SELECT doc_id,"
+            "  regexp_split_to_array(trim(text), '\\s+') AS words"
+            "  FROM documents),"
+            " g AS (SELECT unnest(range(1,"
+            "   (SELECT max(len(words)) + 1 FROM lab))) AS i),"
+            " prs AS (SELECT DISTINCT l.doc_id,"
+            "   array_to_string(l.words[g.i::INT : g.i::INT + 2], ' ') AS sh"
+            "   FROM lab l JOIN g ON g.i + 2 <= len(l.words)),"
+            " c AS (SELECT sh, count(*) AS nd FROM prs GROUP BY sh),"
+            " pd AS (SELECT p.doc_id, count(*) AS n_ngrams,"
+            "   sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_shared"
+            "   FROM prs p JOIN c USING (sh) GROUP BY p.doc_id)"
+            " SELECT d.doc_id,"
+            " CAST(coalesce(pd.n_ngrams, 0) AS BIGINT) AS n_ngrams,"
+            " CAST(coalesce(pd.n_shared, 0) AS BIGINT) AS n_shared,"
+            " CASE WHEN pd.n_ngrams IS NULL THEN NULL"
+            "  ELSE pd.n_shared / pd.n_ngrams END AS shared_frac"
+            " FROM (SELECT DISTINCT doc_id FROM documents) d"
+            " LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"
         ),
         "weighted_kll_bound": (
             "SELECT lang,"

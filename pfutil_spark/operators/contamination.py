@@ -85,6 +85,56 @@ def contaminated_ids(
     return tr.join(ev, _SH, "left_semi").select(id_col).distinct()
 
 
+def shared_ngram_stats(
+    corpus: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    on_hash: bool = True,
+) -> DataFrame:
+    """Per-document cross-corpus n-gram sharing (the repeated-substring
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022, at word-shingle granularity): of each
+    document's DISTINCT word ``n``-grams, how many also occur in at
+    least one OTHER document. Output ``(id_col, n_ngrams, n_shared,
+    shared_frac)`` — ``shared_frac`` is the boilerplate fraction
+    (NULL when the document has fewer than ``n`` tokens); the division
+    is emitted unrounded (single IEEE op, exact cross-engine).
+
+    Scale posture: the deduplicated ``(doc, shingle-key)`` pair set is
+    the one big shuffle (fixed-width longs when ``on_hash``); per-key
+    document counts GROUP BY on the same key, and joining them back
+    matches each pair to exactly one count row — output never exceeds
+    the pair count, so hot boilerplate n-grams (stop-phrase shingles
+    present in millions of documents at 100 TB) do not amplify. All
+    aggregations are map-side combinable; nothing is per-row Python."""
+    pairs = _shingle_keys(corpus, text, n, on_hash, [id_col]).distinct()
+    cnt = pairs.groupBy(_SH).agg(F.count(F.lit(1)).alias("__nd"))
+    per_doc = (
+        pairs.join(cnt, _SH)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.try_divide(F.col("n_shared"), F.col("n_ngrams")).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

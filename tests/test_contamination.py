@@ -170,3 +170,74 @@ def test_unigram_blank_documents_not_flagged(spark):
     got = {r["doc_id"]: r["s"] for r in rows}
     assert got[0] == ["alpha", "beta"]
     assert got[1] == [] and got[2] == [] and got[3] == []
+
+
+class TestSharedNgramStats:
+    def test_matches_brute_force_and_hash_equivalence(self, spark):
+        from pfutil_spark.operators.contamination import shared_ngram_stats
+
+        rows = [
+            (0, "a b c d e"),        # shares "a b c"/"b c d" with doc 1
+            (1, "a b c d x"),
+            (2, "q r s t"),          # unique
+            (3, "m m m m"),          # within-doc repetition only
+            (4, "m m m"),            # shares "m m m" with doc 3
+            (5, ""), (6, None), (7, "one two"),  # < n tokens
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+
+        def brute(n=3):
+            sh = {
+                i: {" ".join(t.split()[j : j + n])
+                    for j in range(len(t.split()) - n + 1)}
+                for i, t in rows if t
+            }
+            out = {}
+            for i, _ in rows:
+                mine = sh.get(i, set())
+                other = set().union(*(s for k, s in sh.items() if k != i)) if sh else set()
+                shared = len(mine & other)
+                out[i] = (len(mine), shared,
+                          shared / len(mine) if mine else None)
+            return out
+
+        exp = brute()
+        for on_hash in (True, False):
+            got = {
+                r["doc_id"]: (r["n_ngrams"], r["n_shared"], r["shared_frac"])
+                for r in shared_ngram_stats(corpus, n=3, on_hash=on_hash).collect()
+            }
+            assert set(got) == set(exp)
+            for i, (nn, ns, fr) in exp.items():
+                gn, gs, gf = got[i]
+                assert (gn, gs) == (nn, ns), (on_hash, i)
+                if fr is None:
+                    assert gf is None
+                else:
+                    assert gf == fr  # single IEEE division, exact
+
+    def test_within_doc_repetition_not_counted(self, spark):
+        from pfutil_spark.operators.contamination import shared_ngram_stats
+
+        corpus = spark.createDataFrame(
+            [(0, "x y x y x y"), (1, "totally different words here")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_ngrams"], r["n_shared"])
+            for r in shared_ngram_stats(corpus, n=2).collect()
+        }
+        # doc 0 distinct 2-grams: "x y", "y x" — repeated within the doc
+        # but in no OTHER doc
+        assert got[0] == (2, 0)
+        assert got[1] == (3, 0)
+
+    def test_plan_no_python_and_hash_join(self, spark):
+        from pfutil_spark.operators.contamination import shared_ngram_stats
+
+        corpus = spark.createDataFrame(
+            [(0, "a b c"), (1, "a b d")], "doc_id long, text string"
+        )
+        plan = _plan(shared_ngram_stats(corpus, n=2))
+        _assert_no_python(plan)
+        assert "xxhash64" in plan, plan
