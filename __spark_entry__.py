@@ -961,6 +961,69 @@ def _q_kmv_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_priority_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise customer-set overlap between the five order priorities
+    (operators/rollup.py::kmv_similarity_matrix): ONE scan builds the
+    per-priority KMV sketches; all 10 unordered pairs are then a
+    broadcast self-join of the 5-row sketch table — exact pairwise
+    overlap needs a data-level self-join per pair. Exact side
+    recomputed relationally (distinct (priority, custkey) self-join);
+    bound booleans use the threshold-scaled sample error with absolute
+    floors (union-relative) so near-zero intersections stay gated."""
+    from pfutil_spark.operators.rollup import kmv_similarity_matrix
+
+    o = _t(spark, sf_dir, "orders")
+    est = kmv_similarity_matrix(o, "o_custkey", "o_orderpriority", k=1024)
+    du = o.select(F.col("o_orderpriority").alias("s"), "o_custkey").distinct()
+    c = du.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    ix = (
+        du.alias("x")
+        .join(du.alias("y"), "o_custkey")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    allp = (
+        c.select(F.col("s").alias("a"), F.col("c").alias("ca"))
+        .join(
+            c.select(F.col("s").alias("b"), F.col("c").alias("cb")),
+            F.col("a") < F.col("b"),
+        )
+    )
+    exact = allp.join(ix, ["a", "b"], "left").select(
+        "a",
+        "b",
+        (F.col("ca") + F.col("cb") - F.coalesce("ix", F.lit(0)))
+        .cast("long")
+        .alias("exact_union"),
+        F.coalesce("ix", F.lit(0)).cast("long").alias("exact_intersect"),
+    )
+    j = F.col("exact_intersect") / F.col("exact_union")
+    return (
+        est.join(exact, ["a", "b"])
+        .select(
+            "a",
+            "b",
+            "exact_union",
+            "exact_intersect",
+            (
+                F.abs(F.col("union_est") - F.col("exact_union"))
+                <= 0.16 * F.col("exact_union")
+            ).alias("union_ok"),
+            (
+                F.abs(F.col("intersect_est") - F.col("exact_intersect"))
+                <= F.greatest(
+                    0.35 * F.col("exact_intersect"),
+                    0.08 * F.col("exact_union"),
+                )
+            ).alias("intersect_ok"),
+            (F.abs(F.col("jaccard") - j) <= F.greatest(0.35 * j, F.lit(0.08)))
+            .alias("jaccard_ok"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 def _q_hll_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union/intersection estimates vs exact within the union-relative
     bound — boolean, oracle-checkable."""
@@ -1426,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_topk": _q_approx_topk,
         "hll_set_ops_bound": _q_hll_set_ops_bound,
         "kmv_set_ops_bound": _q_kmv_set_ops_bound,
+        "priority_customer_overlap": _q_priority_customer_overlap,
         "hash_sample_split": _q_hash_sample_split,
         "rollup_estimates": _q_rollup_estimates,
         # round-4 additions: pretraining-pipeline text/sampling ops,
@@ -1787,6 +1851,20 @@ def oracle_sql() -> dict[str, str]:
             "  AS BIGINT) AS total_tokens,"
             " TRUE AS within_bound"
             " FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "priority_customer_overlap": (
+            "WITH du AS (SELECT DISTINCT o_orderpriority AS s, o_custkey AS k"
+            "  FROM orders),"
+            " c AS (SELECT s, count(*) AS c FROM du GROUP BY s),"
+            " i AS (SELECT x.s AS a, y.s AS b, count(*) AS ix"
+            "  FROM du x JOIN du y USING (k) WHERE x.s < y.s GROUP BY 1, 2)"
+            " SELECT ca.s AS a, cb.s AS b,"
+            " CAST(ca.c + cb.c - coalesce(i.ix, 0) AS BIGINT) AS exact_union,"
+            " CAST(coalesce(i.ix, 0) AS BIGINT) AS exact_intersect,"
+            " TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS jaccard_ok"
+            " FROM c ca JOIN c cb ON ca.s < cb.s"
+            " LEFT JOIN i ON i.a = ca.s AND i.b = cb.s"
+            " ORDER BY a, b"
         ),
         "kmv_set_ops_bound": (
             "SELECT"

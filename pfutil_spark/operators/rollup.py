@@ -173,6 +173,39 @@ def pf_sliding_distinct(
     )
 
 
+def kmv_similarity_matrix(
+    df: DataFrame,
+    element: str,
+    by: str,
+    k: int | None = None,
+) -> DataFrame:
+    """Pairwise set-overlap matrix between the strata of ``by`` from ONE
+    scan: per-stratum KMV sketches (one scan + one shuffle), then every
+    unordered stratum pair — a broadcast self-join of the tiny L-row
+    sketch table (L strata -> L(L-1)/2 pair rows of <=16KB sketches) —
+    evaluated with intersection/Jaccard error relative to the
+    threshold-scaled sample. Exact pairwise overlap needs an L^2 pair
+    enumeration OVER THE DATA (distinct (stratum, element) self-joined
+    on element); this never re-reads the input. Columns:
+    ``(a, b, union_est, intersect_est, diff_est, jaccard)``."""
+    from pfutil_spark.kernel import kmv as kmv_k
+    from pfutil_spark.operators.sketch_agg import (
+        SKETCH_COL as _SK,
+        kmv_set_ops_col,
+        kmv_sketch,
+    )
+
+    sk = kmv_sketch(
+        df, element, by=(by,), k=k if k is not None else kmv_k.DEFAULT_K
+    )
+    a = sk.select(F.col(by).alias("a"), F.col(_SK).alias("__sa"))
+    b = sk.select(F.col(by).alias("b"), F.col(_SK).alias("__sb"))
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    return pairs.select(
+        "a", "b", kmv_set_ops_col("__sa", "__sb").alias("__ops")
+    ).select("a", "b", "__ops.*")
+
+
 def pf_union_estimate_col(
     a: str | Column, b: str | Column, version: int = 4
 ) -> Column:

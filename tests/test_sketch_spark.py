@@ -218,6 +218,80 @@ class TestKMVSpark:
         assert int(np.unpackbits(state).sum()) <= 2 * kk  # <= 2 items' bits
 
 
+class TestKMVSimilarityMatrix:
+    def _data(self, spark, n_per=3000, seed=5):
+        """Three strata over a shared key space with known overlap
+        structure: A/B heavy overlap, C mostly disjoint."""
+        rng = np.random.default_rng(seed)
+        rows = [("A", int(x)) for x in rng.integers(0, 4000, n_per)]
+        rows += [("B", int(x)) for x in rng.integers(2000, 6000, n_per)]
+        rows += [("C", int(x)) for x in rng.integers(50_000, 60_000, n_per)]
+        return spark.createDataFrame(rows, "s string, k long").repartition(5)
+
+    def _exact(self, df):
+        du = df.distinct()
+        out = {}
+        rows = du.collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r["s"], set()).add(r["k"])
+        for a in sorted(by):
+            for b in sorted(by):
+                if a < b:
+                    u = len(by[a] | by[b])
+                    i = len(by[a] & by[b])
+                    out[(a, b)] = (u, i, i / u)
+        return out
+
+    def test_sampled_regime_within_bounds(self, spark):
+        from pfutil_spark.operators.rollup import kmv_similarity_matrix
+
+        df = self._data(spark)
+        exact = self._exact(df)
+        got = {
+            (r["a"], r["b"]): r
+            for r in kmv_similarity_matrix(df, "k", "s", k=512).collect()
+        }
+        assert set(got) == set(exact)
+        for key, (u, i, j) in exact.items():
+            r = got[key]
+            assert abs(r["union_est"] - u) <= 0.25 * u, key
+            assert abs(r["intersect_est"] - i) <= max(0.35 * i, 0.12 * u), key
+            assert abs(r["jaccard"] - j) <= max(0.35 * j, 0.12), key
+
+    def test_exact_regime_is_exact(self, spark):
+        """k above every union size: the sketches ARE the sets, so all
+        four outputs are exact."""
+        from pfutil_spark.operators.rollup import kmv_similarity_matrix
+
+        df = self._data(spark, n_per=400)
+        exact = self._exact(df)
+        got = {
+            (r["a"], r["b"]): r
+            for r in kmv_similarity_matrix(df, "k", "s", k=8192).collect()
+        }
+        for key, (u, i, j) in exact.items():
+            r = got[key]
+            assert r["union_est"] == float(u), key
+            assert r["intersect_est"] == float(i), key
+            assert r["jaccard"] == j, key
+
+    def test_single_scan_single_shuffle_broadcast_pairs(self, spark):
+        """The matrix must cost ONE data shuffle (the sketch agg); the
+        L^2 pairing is a broadcast join of the sketch table."""
+        from pfutil_spark.operators.rollup import kmv_similarity_matrix
+
+        df = self._data(spark, n_per=200)
+        out = kmv_similarity_matrix(df, "k", "s", k=256)
+        out.collect()  # AQE finalizes the plan (ReuseExchange applies)
+        ep = out._jdf.queryExecution().executedPlan().toString()
+        # the a/b sides are the SAME sketch subtree: the runtime must
+        # reuse its shuffle (data folded once), and the pairing must be
+        # a broadcast of the tiny sketch table, never a shuffle join
+        assert "ReusedExchange" in ep, ep
+        assert "BroadcastExchange" in ep, ep
+
+
 class TestWeightedTDigestSpark:
     def test_weighted_matches_integer_replication(self, spark):
         """Integer weights == replicating each value weight times: the
