@@ -961,6 +961,50 @@ def _q_kmv_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_size_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-execution join planning (operators/estimate.py): estimate
+    |lineitem ⋈ orders| on orderkey, and the events.user_id SELF-join
+    size (F2, the AMS skew statistic — hot-key detector), from one CMS
+    per side. Each sketch is a single map-side pass; only constant-size
+    counter matrices move, no data-row shuffle. Graded against the
+    exact sizes computed relationally in the same plan: the row-min
+    inner product never undercounts, and overcounts by <= eps*N_A*N_B
+    (kernel/cms.py::inner_product; deterministic hashes -> the
+    booleans are stable, not probabilistic, for a fixed input)."""
+    from pfutil_spark.operators.estimate import join_size_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    cross_est = join_size_estimate(li, "l_orderkey", o, "o_orderkey")
+    self_est = join_size_estimate(ev, "user_id")
+    cross_exact = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    self_exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("exact"))
+    )
+
+    def _grade(est: DataFrame, exact: DataFrame, name: str) -> DataFrame:
+        return est.crossJoin(exact).select(
+            F.lit(name).alias("metric"),
+            "exact",
+            (F.col("est_join_rows") >= F.col("exact")).alias("lower_ok"),
+            (F.col("est_join_rows") <= F.col("exact") + F.col("overcount_bound")).alias(
+                "upper_ok"
+            ),
+        )
+
+    return (
+        _grade(cross_est, cross_exact, "lineitem_orders")
+        .unionAll(_grade(self_est, self_exact, "events_user_f2"))
+        .orderBy("metric")
+    )
+
+
 def _q_priority_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise customer-set overlap between the five order priorities
     (operators/rollup.py::kmv_similarity_matrix): ONE scan builds the
@@ -1155,6 +1199,122 @@ def _q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (stage_idx, stage, n_docs)"
         )
     ).orderBy("stage_idx")
+
+
+def _q_pii_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction audit (functions/pii.py): every third
+    document is deterministically enriched with a synthetic contact
+    line (an email + an IPv4 derived from doc_id/n_chars — the corpus
+    text itself is PII-free, so the detector needs signal), then the
+    map-only regex scan reports per language how many documents carry
+    PII, match counts per kind, and characters removed by redaction.
+    EXACT DuckDB parity: the pattern dialect is the Java-regex ∩ RE2
+    subset (no backrefs/lookaround), differential-tested in
+    tests/test_pii.py."""
+    from pfutil_spark.functions.pii import pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("n_chars") % 256).cast("string"),
+    )
+    enriched = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, contact).otherwise(F.col("text")),
+    )
+    return (
+        pii_scan(enriched)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_pii_total") > 0).cast("long")).alias("n_docs_with_pii"),
+            F.sum("n_pii_email").cast("long").alias("n_emails"),
+            F.sum("n_pii_ipv4").cast("long").alias("n_ipv4"),
+            F.sum("chars_redacted").cast("long").alias("chars_redacted"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _pii_scan_report_oracle_sql() -> str:
+    """DuckDB mirror of _q_pii_scan_report — patterns and redaction
+    order come from functions/pii.py::sql_pii_* so the two sides cannot
+    drift; string building uses || (NULL-propagating, like Spark's
+    concat) per NOTES.md."""
+    from pfutil_spark.functions.pii import sql_pii_count_expr, sql_pii_redact_expr
+
+    n = {k: sql_pii_count_expr("text", k) for k in ("email", "ipv4", "phone", "hex_secret")}
+    total = " + ".join(n.values())
+    return (
+        "WITH e AS ("
+        " SELECT lang,"
+        "  CASE WHEN doc_id % 3 = 0"
+        "   THEN text || ' user' || CAST(doc_id AS VARCHAR)"
+        "    || '@example.com from 10.0.'"
+        "    || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        "    || CAST(n_chars % 256 AS VARCHAR)"
+        "   ELSE text END AS text"
+        " FROM documents)"
+        " SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+        f" CAST(sum(CASE WHEN {total} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_docs_with_pii,"
+        f" CAST(sum({n['email']}) AS BIGINT) AS n_emails,"
+        f" CAST(sum({n['ipv4']}) AS BIGINT) AS n_ipv4,"
+        f" CAST(sum(length(text) - length({sql_pii_redact_expr('text')})) AS BIGINT)"
+        "  AS chars_redacted"
+        " FROM e GROUP BY lang ORDER BY lang"
+    )
+
+
+def _token_shard_packing_oracle_sql() -> str:
+    """DuckDB mirror of _q_token_shard_packing: same draw/bucket exprs
+    (built by operators/packing.py::sql_pack_exprs, so the two sides
+    cannot drift), same window, same integer chunk arithmetic."""
+    from pfutil_spark.operators.packing import sql_pack_exprs
+
+    draw, bucket = sql_pack_exprs("doc_id", 1, seed=3)
+    return (
+        "WITH base AS ("
+        f" SELECT doc_id, {draw} AS d, {bucket} AS b,"
+        "  CASE WHEN len(trim(text)) = 0 THEN 0"
+        "   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok"
+        " FROM documents),"
+        " cum AS ("
+        " SELECT b, tok,"
+        "  sum(tok) OVER (PARTITION BY b ORDER BY d, doc_id"
+        "   ROWS UNBOUNDED PRECEDING) AS c"
+        " FROM base)"
+        " SELECT b AS pack_bucket,"
+        "  CAST(floor((c - tok) / 2000) AS BIGINT) AS pack_shard,"
+        "  CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(tok) AS BIGINT) AS n_tokens"
+        " FROM cum GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def _q_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators/packing.py): the
+    concat-and-chunk layout pretraining writers use — documents hashed
+    into 16 independent buckets on a sha256 draw, laid out in draw
+    order, and cut every 2000 tokens; output is the per-shard manifest
+    (n_docs, n_tokens). One shuffle (hash by bucket), per-bucket
+    window — never a global sort; the bucket count is the parallelism
+    knob at 100 TB. All-integer arithmetic -> EXACT DuckDB parity on
+    the full manifest."""
+    from pfutil_spark.functions.text import token_count_col
+    from pfutil_spark.operators.packing import pack_token_shards, shard_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = token_count_col("text")
+    packed = pack_token_shards(
+        docs, "doc_id", tok, budget=2000, bucket_chars=1, seed=3
+    )
+    return shard_stats(packed, tok).orderBy("pack_bucket", "pack_shard")
 
 
 def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1489,12 +1649,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_topk": _q_approx_topk,
         "hll_set_ops_bound": _q_hll_set_ops_bound,
         "kmv_set_ops_bound": _q_kmv_set_ops_bound,
+        "join_size_bound": _q_join_size_bound,
         "priority_customer_overlap": _q_priority_customer_overlap,
         "hash_sample_split": _q_hash_sample_split,
         "rollup_estimates": _q_rollup_estimates,
         # round-4 additions: pretraining-pipeline text/sampling ops,
         # all exact DuckDB parity
         "doc_repetition": _q_doc_repetition,
+        "token_shard_packing": _q_token_shard_packing,
+        "pii_scan_report": _q_pii_scan_report,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
         "doc_boilerplate": _q_doc_boilerplate,
@@ -1738,6 +1901,8 @@ def oracle_sql() -> dict[str, str]:
             " CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac"
             " FROM s JOIN t USING (doc_id) ORDER BY s.doc_id"
         ),
+        "token_shard_packing": _token_shard_packing_oracle_sql(),
+        "pii_scan_report": _pii_scan_report_oracle_sql(),
         "lang_mix_sample": (
             _sampling.sql_geometric_mix_expr(
                 "documents", "doc_id", "lang", seed=0,
@@ -1877,6 +2042,21 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS diff_ok,"
             " TRUE AS jaccard_ok"
             " FROM orders"
+        ),
+        "join_size_bound": (
+            "WITH cross_exact AS ("
+            " SELECT CAST(count(*) AS BIGINT) AS exact"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey),"
+            " self_exact AS ("
+            " SELECT CAST(sum(n * n) AS BIGINT) AS exact FROM ("
+            "   SELECT count(*) AS n FROM events"
+            "   WHERE user_id IS NOT NULL GROUP BY user_id))"
+            " SELECT 'events_user_f2' AS metric, exact,"
+            "  TRUE AS lower_ok, TRUE AS upper_ok FROM self_exact"
+            " UNION ALL"
+            " SELECT 'lineitem_orders' AS metric, exact,"
+            "  TRUE AS lower_ok, TRUE AS upper_ok FROM cross_exact"
+            " ORDER BY metric"
         ),
         # --- bound-boolean oracles: DuckDB recomputes the EXACT side and
         # states the bound holds; the Spark query computes both the sketch

@@ -70,6 +70,26 @@ def total(state: np.ndarray) -> int:
     return int(state[0].sum())
 
 
+def inner_product(a: np.ndarray, b: np.ndarray) -> int:
+    """Inner-product (equi-join size) estimate: ``min_j dot(A_j, B_j)``.
+
+    For frequency vectors f_A, f_B the true equi-join output size is
+    ``sum_v f_A(v) * f_B(v)``. Each CMS row's dot product equals that
+    sum plus nonnegative collision cross-terms (both sketches use the
+    same hash family per row), so the row-min NEVER undercounts, and
+    overcounts by <= eps * N_A * N_B (eps = e/width) with probability
+    >= 1 - exp(-depth) (Cormode & Muthukrishnan J.Algorithms'05 §4.2).
+    ``a == b`` gives the second frequency moment F2 (self-join size) —
+    the standard skew statistic. Accumulates in exact Python ints: at
+    10^12-row scale N_A*N_B/width exceeds int64."""
+    if a.shape != b.shape:
+        raise ValueError(f"CMS shape mismatch: {a.shape} vs {b.shape}")
+    return min(
+        int(np.dot(a[j].astype(object), b[j].astype(object)))
+        for j in range(a.shape[0])
+    )
+
+
 def error_bound(depth: int = DEFAULT_DEPTH, width: int = DEFAULT_WIDTH) -> tuple[float, float]:
     """(eps, delta): overcount <= eps*N with prob >= 1-delta."""
     return float(np.e) / width, float(np.exp(-depth))

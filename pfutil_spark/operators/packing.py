@@ -1,0 +1,103 @@
+"""Token-budget shard packing — deterministic concat-and-chunk layout.
+
+Pretraining pipelines lay documents out into fixed-token-budget shards
+(sequence packing / "concat and chunk"): concatenate documents in a
+deterministic pseudo-random order and cut the token stream every
+``budget`` tokens; a document's shard is the chunk its first token
+lands in. This module computes that assignment as a pure DataFrame
+plan — no Python in the hot path, exactly reproducible on any engine.
+
+Scale design (the reason this is NOT one global window): a single
+global ordering would funnel 100 TB through one sorted partition. Rows
+are first hashed into ``16**bucket_chars`` independent BUCKETS on a
+sha256 draw of the key (the same engine-portable draw the sampling
+module uses — reproducible across runs, partitionings, and engines),
+and the running token sum is computed per bucket. One shuffle
+(hash-partition by bucket), then a per-bucket sort that Spark's window
+operator spills as needed; every bucket packs in parallel and the
+bucket count is the parallelism knob (pick ``16**k`` ≈ a few × cluster
+cores so a bucket's rows fit an executor's spill budget). The draw
+doubles as the within-bucket order, so shard contents are
+content-randomized — no accidental correlation between neighboring
+source files and training batches.
+
+Shard identity is the pair ``(pack_bucket, pack_shard)``; local shard
+indices are contiguous from 0 within each bucket. All arithmetic is
+integer (token counts, cumulative sums) — EXACT cross-engine parity,
+graded by the ``token_shard_packing`` oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pfutil_spark.operators.sampling import hash_frac_hex_col, sql_frac_expr
+
+_DRAW = "__pack_draw"
+
+
+def pack_token_shards(
+    df: DataFrame,
+    key: str,
+    tokens: str | Column,
+    budget: int,
+    bucket_chars: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """Adds ``pack_bucket`` (hex string, one of ``16**bucket_chars``)
+    and ``pack_shard`` (long, contiguous from 0 per bucket): the
+    concat-and-chunk shard of each row when the bucket's rows are laid
+    out in draw order and chunked every ``budget`` tokens.
+
+    ``tokens`` must be a non-negative integral column (token counts).
+    Rows with a NULL key or NULL token count get NULL pack columns
+    (they have no position in the stream); a document longer than
+    ``budget`` keeps the shard where it starts — chunk semantics, the
+    overflow spills into the following shard's budget."""
+    if budget <= 0:
+        raise ValueError(f"budget={budget}: must be positive")
+    if not 1 <= bucket_chars <= 8:
+        raise ValueError(f"bucket_chars={bucket_chars}: must be in [1, 8]")
+    tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("long")
+    draw = hash_frac_hex_col(key, seed)
+    bucket = F.substring(draw, 1, bucket_chars)
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy(draw, F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    shard = F.floor((cum - tok) / F.lit(budget)).cast("long")
+    ok = F.col(key).isNotNull() & tok.isNotNull()
+    return df.select(
+        "*",
+        F.when(ok, bucket).alias("pack_bucket"),
+        F.when(ok, shard).alias("pack_shard"),
+    )
+
+
+def shard_stats(packed: DataFrame, tokens: str | Column) -> DataFrame:
+    """Per-shard manifest: (pack_bucket, pack_shard, n_docs, n_tokens).
+    The writer-side contract — e.g. ``partitionBy(pack_bucket,
+    pack_shard)`` — consumes exactly these groups."""
+    tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("long")
+    return (
+        packed.filter(F.col("pack_shard").isNotNull())
+        .groupBy("pack_bucket", "pack_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok).alias("n_tokens"),
+        )
+    )
+
+
+def sql_pack_exprs(
+    key_sql: str, bucket_chars: int = 1, seed: int = 0
+) -> tuple[str, str]:
+    """(draw_sql, bucket_sql) — the ANSI/DuckDB mirror of the draw and
+    bucket columns, for oracles and cross-engine reproduction. The
+    caller writes the window itself (ORDER BY draw, key per bucket)."""
+    draw = sql_frac_expr(key_sql, seed)
+    return draw, f"substr({draw}, 1, {bucket_chars})"

@@ -1,0 +1,136 @@
+"""Token-budget shard packing (operators/packing.py)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pfutil_spark.functions.text import token_count_col
+from pfutil_spark.operators.packing import (
+    pack_token_shards,
+    shard_stats,
+    sql_pack_exprs,
+)
+
+
+def _py_draw(key, seed=0):
+    return hashlib.sha256(f"{key}#{seed}".encode()).hexdigest()[:15]
+
+
+def _py_pack(rows, budget, bucket_chars=1, seed=0):
+    """Pure-Python reference: rows = [(key, tokens)] -> {key: (bucket, shard)}."""
+    df = pd.DataFrame(rows, columns=["key", "tok"])
+    df["draw"] = [_py_draw(k, seed) for k in df["key"]]
+    df["bucket"] = df["draw"].str[:bucket_chars]
+    out = {}
+    for b, g in df.groupby("bucket"):
+        g = g.sort_values(["draw", "key"])
+        cum = 0
+        for _, r in g.iterrows():
+            out[r["key"]] = (b, cum // budget)
+            cum += r["tok"]
+    return out
+
+
+class TestPacking:
+    def _docs(self, spark, n=300):
+        rows = [(i, 10 + (i * 37) % 90) for i in range(n)]
+        return spark.createDataFrame(rows, "key long, tok long"), rows
+
+    def test_matches_python_reference(self, spark):
+        df, rows = self._docs(spark)
+        got = {
+            r["key"]: (r["pack_bucket"], r["pack_shard"])
+            for r in pack_token_shards(df, "key", "tok", budget=500).collect()
+        }
+        assert got == _py_pack(rows, 500)
+
+    def test_partition_independent(self, spark):
+        df, _ = self._docs(spark)
+        a = pack_token_shards(df, "key", "tok", budget=300).orderBy("key").collect()
+        b = (
+            pack_token_shards(df.repartition(13), "key", "tok", budget=300)
+            .orderBy("key")
+            .collect()
+        )
+        assert a == b
+
+    def test_shard_start_offsets_partition_the_stream(self, spark):
+        df, _ = self._docs(spark, n=500)
+        packed = pack_token_shards(df, "key", "tok", budget=400).toPandas()
+        for b, g in packed.groupby("pack_bucket"):
+            shards = sorted(g["pack_shard"].unique())
+            assert shards == list(range(len(shards)))  # contiguous from 0
+            # recompute each doc's start offset; its shard must be the
+            # chunk containing that offset
+            g = g.sort_values(["pack_shard", "key"])
+            draws = [_py_draw(k) for k in g["key"]]
+            g = g.assign(d=draws).sort_values(["d", "key"])
+            cum = 0
+            for _, r in g.iterrows():
+                assert r["pack_shard"] == cum // 400
+                cum += r["tok"]
+
+    def test_oversized_doc_keeps_starting_shard(self, spark):
+        df = spark.createDataFrame([(1, 5000), (2, 10), (3, 10)], "key long, tok long")
+        packed = {
+            r["key"]: r["pack_shard"]
+            for r in pack_token_shards(df, "key", "tok", budget=100).collect()
+        }
+        assert set(packed.values()) <= {0, 50, 51}  # giant doc spills 50 budgets
+
+    def test_null_key_or_tokens_get_null_pack(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (None, 10), (2, None)], "key long, tok long"
+        )
+        rows = {
+            r["key"]: (r["pack_bucket"], r["pack_shard"])
+            for r in pack_token_shards(df, "key", "tok", budget=100).collect()
+        }
+        assert rows[None] == (None, None)
+        assert rows[2] == (None, None)
+        assert rows[1][0] is not None
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 10)], "key long, tok long")
+        with pytest.raises(ValueError, match="budget"):
+            pack_token_shards(df, "key", "tok", budget=0)
+        with pytest.raises(ValueError, match="bucket_chars"):
+            pack_token_shards(df, "key", "tok", budget=10, bucket_chars=0)
+
+    def test_shard_stats_and_sql_mirror_on_documents(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        packed = pack_token_shards(
+            docs, "doc_id", token_count_col("text"), budget=2000, seed=3
+        )
+        stats = (
+            shard_stats(packed, token_count_col("text"))
+            .orderBy("pack_bucket", "pack_shard")
+            .toPandas()
+        )
+        assert (stats["n_docs"] > 0).all()
+        import duckdb
+
+        draw, bucket = sql_pack_exprs("doc_id", 1, seed=3)
+        q = f"""
+        WITH base AS (
+          SELECT doc_id, {draw} AS d, {bucket} AS b,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+          FROM read_parquet('{sf_dir}/documents.parquet')),
+        cum AS (
+          SELECT b, tok,
+                 sum(tok) OVER (PARTITION BY b ORDER BY d, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+          FROM base)
+        SELECT b AS pack_bucket,
+               CAST(floor((c - tok) / 2000) AS BIGINT) AS pack_shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens
+        FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+        """
+        oracle = duckdb.sql(q).df()
+        pd.testing.assert_frame_equal(
+            stats.reset_index(drop=True), oracle.reset_index(drop=True)
+        )
