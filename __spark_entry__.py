@@ -969,15 +969,18 @@ def _q_join_size_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter matrices move, no data-row shuffle. Graded against the
     exact sizes computed relationally in the same plan: the row-min
     inner product never undercounts, and overcounts by <= eps*N_A*N_B
-    (kernel/cms.py::inner_product; deterministic hashes -> the
-    booleans are stable, not probabilistic, for a fixed input)."""
+    (kernel/cms.py::inner_product). For a FIXED input the hashes are
+    deterministic so the booleans are stable across runs; across
+    fixture re-rolls the upper bound is probabilistic, so this query
+    runs depth=8 (miss probability exp(-8) ~ 3e-4 per metric, vs the
+    0.7% default-depth exposure)."""
     from pfutil_spark.operators.estimate import join_size_estimate
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     ev = _t(spark, sf_dir, "events")
-    cross_est = join_size_estimate(li, "l_orderkey", o, "o_orderkey")
-    self_est = join_size_estimate(ev, "user_id")
+    cross_est = join_size_estimate(li, "l_orderkey", o, "o_orderkey", depth=8)
+    self_est = join_size_estimate(ev, "user_id", depth=8)
     cross_exact = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
         F.count(F.lit(1)).alias("exact")
     )
@@ -1246,9 +1249,16 @@ def _pii_scan_report_oracle_sql() -> str:
     order come from functions/pii.py::sql_pii_* so the two sides cannot
     drift; string building uses || (NULL-propagating, like Spark's
     concat) per NOTES.md."""
-    from pfutil_spark.functions.pii import sql_pii_count_expr, sql_pii_redact_expr
+    from pfutil_spark.functions.pii import (
+        PII_PATTERNS,
+        sql_pii_count_expr,
+        sql_pii_redact_expr,
+    )
 
-    n = {k: sql_pii_count_expr("text", k) for k in ("email", "ipv4", "phone", "hex_secret")}
+    # kinds come from PII_PATTERNS itself: adding a pattern updates
+    # n_pii_total on BOTH sides (the per-kind output columns stay the
+    # graded email/ipv4 pair regardless)
+    n = {k: sql_pii_count_expr("text", k) for k, _, _ in PII_PATTERNS}
     total = " + ".join(n.values())
     return (
         "WITH e AS ("
@@ -1283,14 +1293,16 @@ def _token_shard_packing_oracle_sql() -> str:
         f" SELECT doc_id, {draw} AS d, {bucket} AS b,"
         "  CASE WHEN len(trim(text)) = 0 THEN 0"
         "   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok"
-        " FROM documents),"
+        " FROM documents"
+        # mirror pack_token_shards' NULL exclusion (tok is NULL iff text is)
+        " WHERE doc_id IS NOT NULL AND text IS NOT NULL),"
         " cum AS ("
         " SELECT b, tok,"
         "  sum(tok) OVER (PARTITION BY b ORDER BY d, doc_id"
         "   ROWS UNBOUNDED PRECEDING) AS c"
         " FROM base)"
         " SELECT b AS pack_bucket,"
-        "  CAST(floor((c - tok) / 2000) AS BIGINT) AS pack_shard,"
+        "  CAST((c - tok) // 2000 AS BIGINT) AS pack_shard,"
         "  CAST(count(*) AS BIGINT) AS n_docs,"
         "  CAST(sum(tok) AS BIGINT) AS n_tokens"
         " FROM cum GROUP BY 1, 2 ORDER BY 1, 2"

@@ -56,9 +56,12 @@ def pii_redact_col(text: str | Column) -> Column:
 
 def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
     """Adds ``n_pii_<kind>`` counts per row, ``n_pii_total``, and
-    ``chars_redacted`` (how many characters masking removes net of the
-    placeholder text — 0 means the row is already clean). A map-only
-    plan: compose with any filter/write without extra passes."""
+    ``chars_redacted`` (characters removed by masking, NET of the
+    placeholder text — it can be 0 or negative for a row that DOES
+    contain PII when the placeholder is as long as the match, so the
+    cleanliness predicate is ``n_pii_total == 0``, never
+    ``chars_redacted == 0``). A map-only plan: compose with any
+    filter/write without extra passes."""
     counts = {k: pii_count_col(text, k) for k, _, _ in PII_PATTERNS}
     total = None
     for c in counts.values():

@@ -24,8 +24,6 @@ sketch build reuses the shared aggregation plan (PLANS.md §7).
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -93,7 +91,7 @@ def join_size_estimate(
     pair = sa.select(F.col(SKETCH_COL).alias("__sa")).crossJoin(
         F.broadcast(sb.select(F.col(SKETCH_COL).alias("__sb")))
     )
-    eps = math.e / width
+    eps = cms.error_bound(depth, width)[0]
     r = pair.select(cms_inner_product_col("__sa", "__sb").alias("r")).select(
         F.col("r.est").alias("est_join_rows"),
         F.col("r.n_a").alias("n_left"),

@@ -23,8 +23,10 @@ source files and training batches.
 
 Shard identity is the pair ``(pack_bucket, pack_shard)``; local shard
 indices are contiguous from 0 within each bucket. All arithmetic is
-integer (token counts, cumulative sums) — EXACT cross-engine parity,
-graded by the ``token_shard_packing`` oracle.
+integer end to end (token counts, cumulative sums, ``div`` for the
+chunk index — never a double, so the assignment is exact past 2^53
+cumulative tokens) — EXACT cross-engine parity, graded by the
+``token_shard_packing`` oracle.
 """
 
 from __future__ import annotations
@@ -36,6 +38,8 @@ from pyspark.sql.window import Window
 from pfutil_spark.operators.sampling import hash_frac_hex_col, sql_frac_expr
 
 _DRAW = "__pack_draw"
+_TOK = "__pack_tok"
+_START = "__pack_start"
 
 
 def pack_token_shards(
@@ -52,29 +56,36 @@ def pack_token_shards(
     out in draw order and chunked every ``budget`` tokens.
 
     ``tokens`` must be a non-negative integral column (token counts).
-    Rows with a NULL key or NULL token count get NULL pack columns
-    (they have no position in the stream); a document longer than
-    ``budget`` keeps the shard where it starts — chunk semantics, the
-    overflow spills into the following shard's budget."""
+    Rows with a NULL key or NULL token count are EXCLUDED from the
+    output — they have no position in the stream, and keeping them
+    would funnel every NULL through one window partition (the
+    single-partition hotspot the bucketing exists to avoid). A document
+    longer than ``budget`` keeps the shard where it starts — chunk
+    semantics, the overflow spills into the following shard's budget."""
     if budget <= 0:
         raise ValueError(f"budget={budget}: must be positive")
     if not 1 <= bucket_chars <= 8:
         raise ValueError(f"bucket_chars={bucket_chars}: must be in [1, 8]")
     tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("long")
-    draw = hash_frac_hex_col(key, seed)
-    bucket = F.substring(draw, 1, bucket_chars)
+    base = (
+        df.filter(F.col(key).isNotNull() & tok.isNotNull())
+        .select("*", tok.alias(_TOK), hash_frac_hex_col(key, seed).alias(_DRAW))
+        .select(
+            "*", F.substring(F.col(_DRAW), 1, bucket_chars).alias("pack_bucket")
+        )
+    )
     w = (
-        Window.partitionBy(bucket)
-        .orderBy(draw, F.col(key))
+        Window.partitionBy("pack_bucket")
+        .orderBy(F.col(_DRAW), F.col(key))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(tok).over(w)
-    shard = F.floor((cum - tok) / F.lit(budget)).cast("long")
-    ok = F.col(key).isNotNull() & tok.isNotNull()
-    return df.select(
-        "*",
-        F.when(ok, bucket).alias("pack_bucket"),
-        F.when(ok, shard).alias("pack_shard"),
+    start = F.sum(_TOK).over(w) - F.col(_TOK)
+    return base.select("*", start.alias(_START)).select(
+        *df.columns,
+        "pack_bucket",
+        # integer `div`, not floor(x / y): double division rounds the
+        # quotient once cumulative tokens pass 2^53
+        F.expr(f"{_START} div {int(budget)}").alias("pack_shard"),
     )
 
 
@@ -84,8 +95,7 @@ def shard_stats(packed: DataFrame, tokens: str | Column) -> DataFrame:
     pack_shard)`` — consumes exactly these groups."""
     tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("long")
     return (
-        packed.filter(F.col("pack_shard").isNotNull())
-        .groupBy("pack_bucket", "pack_shard")
+        packed.groupBy("pack_bucket", "pack_shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(tok).alias("n_tokens"),

@@ -80,7 +80,7 @@ class TestPacking:
         }
         assert set(packed.values()) <= {0, 50, 51}  # giant doc spills 50 budgets
 
-    def test_null_key_or_tokens_get_null_pack(self, spark):
+    def test_null_key_or_tokens_excluded(self, spark):
         df = spark.createDataFrame(
             [(1, 10), (None, 10), (2, None)], "key long, tok long"
         )
@@ -88,9 +88,24 @@ class TestPacking:
             r["key"]: (r["pack_bucket"], r["pack_shard"])
             for r in pack_token_shards(df, "key", "tok", budget=100).collect()
         }
-        assert rows[None] == (None, None)
-        assert rows[2] == (None, None)
-        assert rows[1][0] is not None
+        # NULL key / NULL tokens have no position in the stream: excluded
+        # (and never funneled through a single NULL window partition)
+        assert set(rows) == {1}
+        assert rows[1][0] is not None and rows[1][1] == 0
+
+    def test_shard_index_is_long_via_integer_div(self, spark):
+        packed = pack_token_shards(
+            spark.createDataFrame([(1, 10)], "key long, tok long"),
+            "key",
+            "tok",
+            budget=7,
+        )
+        assert dict(packed.dtypes)["pack_shard"] == "bigint"
+        # floor(x / y) would float-round past 2^53; `div` stays integral
+        # (floor() also yields bigint, so check the plan for the div node)
+        plan = packed._jdf.queryExecution().analyzed().toString()
+        assert " div " in plan and "FLOOR" not in plan.upper()
+        assert packed.collect()[0]["pack_shard"] == 0
 
     def test_validation(self, spark):
         df = spark.createDataFrame([(1, 10)], "key long, tok long")
@@ -118,14 +133,15 @@ class TestPacking:
           SELECT doc_id, {draw} AS d, {bucket} AS b,
                  CASE WHEN len(trim(text)) = 0 THEN 0
                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
-          FROM read_parquet('{sf_dir}/documents.parquet')),
+          FROM read_parquet('{sf_dir}/documents.parquet')
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         cum AS (
           SELECT b, tok,
                  sum(tok) OVER (PARTITION BY b ORDER BY d, doc_id
                                 ROWS UNBOUNDED PRECEDING) AS c
           FROM base)
         SELECT b AS pack_bucket,
-               CAST(floor((c - tok) / 2000) AS BIGINT) AS pack_shard,
+               CAST((c - tok) // 2000 AS BIGINT) AS pack_shard,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(tok) AS BIGINT) AS n_tokens
         FROM cum GROUP BY 1, 2 ORDER BY 1, 2
