@@ -1121,6 +1121,95 @@ def _q_hll_set_ops_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAM_SPLITS = (("eval", 0.05), ("train", 0.95))
 
 
+def _contam_oracle_sql(extra_cols: str) -> str:
+    """Shared DuckDB mirror of the 5-gram train/eval contamination
+    relation (ngram_contamination and bloom_contamination grade the same
+    exact overlap; the Bloom variant appends its agreement booleans via
+    ``extra_cols`` so the two oracles cannot drift)."""
+    return (
+        "WITH lab AS (SELECT doc_id, lang,"
+        "  regexp_split_to_array(trim(text), '\\s+') AS words,"
+        f"  {_sampling.sql_split_expr('doc_id', _CONTAM_SPLITS, seed=13)}"
+        "   AS split FROM documents),"
+        " g AS (SELECT unnest(range(1,"
+        "   (SELECT max(len(words)) + 1 FROM lab))) AS i),"
+        " evs AS (SELECT DISTINCT"
+        "   array_to_string(l.words[g.i::INT : g.i::INT + 4], ' ') AS sh"
+        "   FROM lab l JOIN g ON g.i + 4 <= len(l.words)"
+        "   WHERE l.split = 'eval'),"
+        " trs AS (SELECT DISTINCT l.doc_id,"
+        "   array_to_string(l.words[g.i::INT : g.i::INT + 4], ' ') AS sh"
+        "   FROM lab l JOIN g ON g.i + 4 <= len(l.words)"
+        "   WHERE l.split = 'train'),"
+        " fl AS (SELECT DISTINCT doc_id FROM trs"
+        "   WHERE sh IN (SELECT sh FROM evs))"
+        " SELECT l.lang, CAST(count(*) AS BIGINT) AS n_train,"
+        "  CAST(count(f.doc_id) AS BIGINT) AS n_flagged"
+        f" {extra_cols}"
+        " FROM (SELECT doc_id, lang FROM lab WHERE split = 'train') l"
+        " LEFT JOIN fl f USING (doc_id)"
+        " GROUP BY l.lang ORDER BY l.lang"
+    )
+
+
+def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated decontamination (operators/contamination.py::
+    bloom_contaminated_ids) differentially against the exact hash-set
+    path on the same train/eval split as ngram_contamination. The scale
+    story: the eval shingle set compresses to a CONSTANT-size Bloom
+    filter (~3.4 MB at the 1M/1e-6 defaults, vs 8 bytes per distinct
+    shingle for the broadcast hash set), built in one map-side pass with
+    NO eval shuffle (bits are idempotent under duplicates — no distinct
+    needed), and the corpus side stays map-only. Graded booleans:
+    no_false_negatives is the Bloom guarantee (always true);
+    no_false_flags holds because the expected false-flag count at
+    fpr=1e-6 over this corpus is ~1e-3 (deterministic xxhash64 — stable
+    for a fixed fixture, miss probability ~1e-9 across re-rolls).
+    n_train/n_flagged are exact integers the oracle recomputes."""
+    from pfutil_spark.operators.contamination import (
+        bloom_contaminated_ids,
+        contaminated_ids,
+    )
+    from pfutil_spark.operators.sampling import hash_split_col
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split", hash_split_col("doc_id", _CONTAM_SPLITS, seed=13)
+    )
+    ev = docs.filter(F.col("split") == "eval")
+    tr = docs.filter(F.col("split") == "train")
+    exact = contaminated_ids(tr, ev, n=5, broadcast_eval=True).withColumn(
+        "__e", F.lit(1)
+    )
+    blm = bloom_contaminated_ids(tr, ev, n=5).withColumn("__b", F.lit(1))
+    return (
+        tr.select("doc_id", "lang")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(blm), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            (
+                F.sum(
+                    F.when(F.col("__e").isNotNull() & F.col("__b").isNull(), 1)
+                    .otherwise(0)
+                )
+                == 0
+            ).alias("no_false_negatives"),
+            (
+                F.sum(
+                    F.when(F.col("__b").isNotNull() & F.col("__e").isNull(), 1)
+                    .otherwise(0)
+                )
+                == 0
+            ).alias("no_false_flags"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/contamination.py): hold out
     a deterministic 5% eval split (hash_split_col — all rows of a key
@@ -1327,6 +1416,31 @@ def _q_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", tok, budget=2000, bucket_chars=1, seed=3
     )
     return shard_stats(packed, tok).orderBy("pack_bucket", "pack_shard")
+
+
+def _q_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary report (functions/text.py::term_profile): the 8
+    most frequent tokens per language with in-language occurrence counts
+    and corpus-wide document frequency — per-language top terms /
+    stopword-candidate / df-weighting inputs, the corpus-level
+    complement to doc_repetition's per-document signals. One explode
+    feeds both aggregations; every shuffle after the first aggregation
+    is vocabulary-sized, not corpus-sized. All-integer -> EXACT DuckDB
+    parity (ties broken deterministically by term asc)."""
+    from pfutil_spark.functions.text import term_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        term_profile(docs, k=8)
+        .select(
+            "lang",
+            F.col("term_rank").cast("long").alias("term_rank"),
+            "term",
+            "term_count",
+            "doc_freq",
+        )
+        .orderBy("lang", "term_rank")
+    )
 
 
 def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,10 +1782,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions: pretraining-pipeline text/sampling ops,
         # all exact DuckDB parity
         "doc_repetition": _q_doc_repetition,
+        "top_terms_by_lang": _q_top_terms_by_lang,
         "token_shard_packing": _q_token_shard_packing,
         "pii_scan_report": _q_pii_scan_report,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
+        "bloom_contamination": _q_bloom_contamination,
         "doc_boilerplate": _q_doc_boilerplate,
         "quality_filter_funnel": _q_quality_filter_funnel,
         "sampled_customer_orders": _q_sampled_customer_orders,
@@ -1914,6 +2030,21 @@ def oracle_sql() -> dict[str, str]:
             " FROM s JOIN t USING (doc_id) ORDER BY s.doc_id"
         ),
         "token_shard_packing": _token_shard_packing_oracle_sql(),
+        "top_terms_by_lang": (
+            "WITH toks AS (SELECT lang, doc_id,"
+            "  unnest(regexp_split_to_array(trim(text), '\\s+')) AS term"
+            "  FROM documents WHERE len(trim(text)) > 0),"
+            " tf AS (SELECT lang, term, count(*) AS tc"
+            "  FROM toks GROUP BY 1, 2),"
+            " dfq AS (SELECT term, count(*) AS dfc FROM"
+            "  (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),"
+            " r AS (SELECT lang, row_number() OVER (PARTITION BY lang"
+            "   ORDER BY tc DESC, term ASC) AS term_rank,"
+            "  term, tc, dfc FROM tf JOIN dfq USING (term))"
+            " SELECT lang, CAST(term_rank AS BIGINT) AS term_rank, term,"
+            "  CAST(tc AS BIGINT) AS term_count, CAST(dfc AS BIGINT) AS doc_freq"
+            " FROM r WHERE term_rank <= 8 ORDER BY lang, term_rank"
+        ),
         "pii_scan_report": _pii_scan_report_oracle_sql(),
         "lang_mix_sample": (
             _sampling.sql_geometric_mix_expr(
@@ -1977,28 +2108,12 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT 3, 'repetition', c3 FROM a"
             " ORDER BY stage_idx"
         ),
-        "ngram_contamination": (
-            "WITH lab AS (SELECT doc_id, lang,"
-            "  regexp_split_to_array(trim(text), '\\s+') AS words,"
-            f"  {_sampling.sql_split_expr('doc_id', _CONTAM_SPLITS, seed=13)}"
-            "   AS split FROM documents),"
-            " g AS (SELECT unnest(range(1,"
-            "   (SELECT max(len(words)) + 1 FROM lab))) AS i),"
-            " evs AS (SELECT DISTINCT"
-            "   array_to_string(l.words[g.i::INT : g.i::INT + 4], ' ') AS sh"
-            "   FROM lab l JOIN g ON g.i + 4 <= len(l.words)"
-            "   WHERE l.split = 'eval'),"
-            " trs AS (SELECT DISTINCT l.doc_id,"
-            "   array_to_string(l.words[g.i::INT : g.i::INT + 4], ' ') AS sh"
-            "   FROM lab l JOIN g ON g.i + 4 <= len(l.words)"
-            "   WHERE l.split = 'train'),"
-            " fl AS (SELECT DISTINCT doc_id FROM trs"
-            "   WHERE sh IN (SELECT sh FROM evs))"
-            " SELECT l.lang, CAST(count(*) AS BIGINT) AS n_train,"
-            "  CAST(count(f.doc_id) AS BIGINT) AS n_flagged"
-            " FROM (SELECT doc_id, lang FROM lab WHERE split = 'train') l"
-            " LEFT JOIN fl f USING (doc_id)"
-            " GROUP BY l.lang ORDER BY l.lang"
+        "ngram_contamination": _contam_oracle_sql(""),
+        "bloom_contamination": _contam_oracle_sql(
+            # the two Bloom-vs-exact agreement booleans: no false
+            # negatives is the filter guarantee; no false flags holds at
+            # the query's fpr=1e-6 (see _q_bloom_contamination)
+            ", TRUE AS no_false_negatives, TRUE AS no_false_flags"
         ),
         "doc_boilerplate": (
             "WITH lab AS (SELECT doc_id,"

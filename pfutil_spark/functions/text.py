@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def token_count_col(text: str | Column) -> Column:
@@ -144,4 +145,60 @@ def lang_id_col(text: str | Column) -> Column:
         F.when(has_cjk, F.lit("zh"))
         .when(best["hits"] > 0, best["lang"])
         .otherwise(F.lit("unknown"))
+    )
+
+
+def term_profile(
+    df: DataFrame,
+    text: str = "text",
+    by: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Per-group term-frequency profile: the ``k`` most frequent
+    whitespace tokens per ``by`` group, each with its in-group
+    occurrence count AND its corpus-wide document frequency — the
+    corpus-level vocabulary report (per-language top terms, stopword
+    candidates, df-based term weighting inputs) that complements the
+    per-document signals of :func:`word_repetition_stats`.
+
+    Output: ``by``, ``term_rank`` (1-based, dense ordering by count
+    desc then term asc — deterministic under ties), ``term``,
+    ``term_count`` (occurrences within the group), ``doc_freq``
+    (distinct documents corpus-wide containing the term). All-integer
+    -> EXACT cross-engine parity.
+
+    Plan shape (zero Python): one explode feeds BOTH aggregations —
+    term frequency is a two-phase groupBy(by, term) with map-side
+    combine; document frequency is a distinct on (id, term) (the
+    explode's output deduped per doc, near-unique keys) then a
+    two-phase count per term. The tf-side join to doc_freq keys on
+    ``term`` alone AFTER both sides aggregated — at web scale both
+    sides are vocabulary-sized (distinct terms), orders of magnitude
+    smaller than the corpus, so the join shuffle is cheap; the final
+    top-k window partitions by ``by`` over vocabulary-sized input.
+    Blank / NULL text contributes nothing (the explode guard drops the
+    phantom '' token that splitting an empty string emits)."""
+    if k < 1:
+        raise ValueError(f"k={k}: must be >= 1")
+    toks = df.filter(F.length(F.trim(F.col(text))) > 0).select(
+        F.col(by),
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy(by, "term").agg(F.count(F.lit(1)).alias("term_count"))
+    docfreq = (
+        toks.select("__id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(docfreq, "term")
+        .select(by, F.row_number().over(w).alias("term_rank"), "term",
+                "term_count", "doc_freq")
+        .filter(F.col("term_rank") <= k)
     )

@@ -150,3 +150,54 @@ def decontaminate(
         corpus, eval_df, text, id_col, n, on_hash, broadcast_eval
     )
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def bloom_contaminated_ids(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    fpr: float = 1e-6,
+    expected_n: int = 1_000_000,
+) -> DataFrame:
+    """:func:`contaminated_ids` with the eval shingle set compressed to
+    a Bloom filter — the shape that survives a LARGE eval/blocklist
+    side. ``broadcast_eval=True`` ships the deduplicated hash set
+    (8 bytes x distinct shingles: ~8 GB at 10^9 shingles, per executor),
+    and building it costs a distinct shuffle of the eval side. The
+    Bloom filter is ``m_bits/8`` bytes REGARDLESS of eval size (~3.4 MB
+    at the 1M/1e-6 defaults), and building it is one map-side
+    aggregation pass — bits are idempotent under duplicates, so the
+    eval side needs NO distinct and NO data shuffle; only constant-size
+    filter partials move. The corpus side stays map-only: explode
+    shingles, test membership, aggregate distinct ids.
+
+    Guarantees: the result is a SUPERSET of
+    ``contaminated_ids(on_hash=True)`` — Bloom filters have no false
+    negatives, so nothing contaminated slips through (the conservative
+    direction for decontamination). False flags are union-bounded by
+    ``shingles_per_doc * fpr`` per clean document; size ``expected_n``
+    at the DISTINCT eval shingle count to hold ``fpr`` (overfilling
+    degrades the rate gracefully, never the no-miss guarantee).
+
+    The collect() is a construction-time action building the
+    constant-size index (same pattern as sketch_agg.bloom_filter_join);
+    the filter bytes ship once per executor via a Spark broadcast."""
+    from pfutil_spark.operators.sketch_agg import (
+        SKETCH_COL,
+        bloom_might_contain_col,
+        bloom_sketch,
+    )
+
+    ev = _shingle_keys(eval_df, text, n, on_hash=False, extra=[])
+    sk = bytes(
+        bloom_sketch(ev, _SH, expected_n=expected_n, fpr=fpr)
+        .collect()[0][SKETCH_COL]
+    )
+    tr = _shingle_keys(corpus, text, n, on_hash=False, extra=[id_col])
+    return (
+        tr.filter(bloom_might_contain_col(_SH, sk, spark=corpus.sparkSession))
+        .select(id_col)
+        .distinct()
+    )

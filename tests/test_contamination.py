@@ -241,3 +241,64 @@ class TestSharedNgramStats:
         plan = _plan(shared_ngram_stats(corpus, n=2))
         _assert_no_python(plan)
         assert "xxhash64" in plan, plan
+
+
+class TestBloomContamination:
+    def test_exact_at_default_fpr_and_superset_always(self, corpora):
+        from pfutil_spark.operators.contamination import bloom_contaminated_ids
+
+        corpus, ev, corpus_rows, eval_rows = corpora
+        exact = _brute_force_flags(corpus_rows, eval_rows, 3)
+        got = {
+            r["doc_id"]
+            for r in bloom_contaminated_ids(corpus, ev, n=3).collect()
+        }
+        # no false negatives (the guarantee) ...
+        assert got >= exact
+        # ... and at fpr=1e-6 over a few-hundred-shingle corpus the
+        # expected false-flag count is ~1e-3: exact equality
+        assert got == exact
+
+    def test_overfilled_filter_keeps_no_miss_guarantee(self, corpora):
+        from pfutil_spark.operators.contamination import bloom_contaminated_ids
+
+        corpus, ev, corpus_rows, eval_rows = corpora
+        exact = _brute_force_flags(corpus_rows, eval_rows, 3)
+        # expected_n=4 at fpr=0.5: the filter saturates -> false flags
+        # galore, but NEVER a miss
+        got = {
+            r["doc_id"]
+            for r in bloom_contaminated_ids(
+                corpus, ev, n=3, fpr=0.5, expected_n=4
+            ).collect()
+        }
+        assert got >= exact
+
+    def test_corpus_plan_single_exchange(self, spark, corpora):
+        import re
+
+        from pfutil_spark.operators.contamination import bloom_contaminated_ids
+
+        _, ev, corpus_rows, _ = corpora
+        # fresh un-repartitioned corpus: the fixture's repartition(5)
+        # would add its own round-robin Exchange to the plan under test
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        plan = _plan(bloom_contaminated_ids(corpus, ev, n=3))
+        # corpus side is map-only up to the final distinct-ids agg: the
+        # ONLY Exchange is the id distinct (eval side contributed just
+        # the collected filter bytes, no node here). Formatted explain
+        # prints each node twice (tree + detail) -> count unique ids.
+        assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1, plan
+        # membership test is the single (Arrow-vectorized) Python node
+        assert len(set(re.findall(r"\(\d+\) ArrowEvalPython", plan))) == 1, plan
+        for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython"):
+            assert node not in plan, plan
+
+    def test_empty_eval_flags_nothing(self, spark):
+        from pfutil_spark.operators.contamination import bloom_contaminated_ids
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([], "doc_id long, text string")
+        assert bloom_contaminated_ids(corpus, ev, n=2).count() == 0

@@ -556,3 +556,66 @@ class TestKeepBestPerCluster:
         df = spark.range(3).select(F.col("id").alias("cluster_id"))
         with pytest.raises(ValueError, match="preference"):
             keep_best_per_cluster(df, "cluster_id")
+
+
+class TestTermProfile:
+    def test_matches_brute_force_with_ties_and_edges(self, spark):
+        from collections import Counter
+
+        from pfutil_spark.functions.text import term_profile
+
+        rows = [
+            (1, "en", "a b b c c"),
+            (2, "en", "c d"),
+            (8, "fr", "x y x y"),             # tie x/y at 2 -> x ranks first
+            (3, "de", "a a a"),
+            (4, "de", ""),                    # blank: contributes nothing
+            (5, "de", "   "),                 # whitespace-only: nothing
+            (6, None, "a z"),                 # NULL group is still a group
+            (7, "en", None),                  # NULL text: nothing
+        ]
+        got = term_profile(
+            spark.createDataFrame(rows, "doc_id long, lang string, text string"),
+            k=2,
+        ).collect()
+
+        # brute force
+        tf: Counter = Counter()
+        docs_with: dict = {}
+        for i, lang, t in rows:
+            for w in (t or "").split():
+                tf[(lang, w)] += 1
+                docs_with.setdefault(w, set()).add(i)
+        by_lang: dict = {}
+        for (lang, w), c in tf.items():
+            by_lang.setdefault(lang, []).append((-c, w))
+        want = set()
+        for lang, terms in by_lang.items():
+            for r, (nc, w) in enumerate(sorted(terms)[:2], start=1):
+                want.add((lang, r, w, -nc, len(docs_with[w])))
+        assert {
+            (r["lang"], r["term_rank"], r["term"], r["term_count"], r["doc_freq"])
+            for r in got
+        } == want
+        # en by count: c=3 then b=2; the fr tie: x before y at equal count
+        en = {r["term_rank"]: r["term"] for r in got if r["lang"] == "en"}
+        assert en == {1: "c", 2: "b"}
+        fr = {r["term_rank"]: r["term"] for r in got if r["lang"] == "fr"}
+        assert fr == {1: "x", 2: "y"}
+
+    def test_zero_python_plan_and_validation(self, spark):
+        from pfutil_spark.functions.text import term_profile
+
+        df = spark.createDataFrame(
+            [(1, "en", "a b")], "doc_id long, lang string, text string"
+        )
+        plan = term_profile(df)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        for node in ("EvalPython", "MapInPandas", "MapInArrow",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan, plan
+        with pytest.raises(ValueError, match="k=0"):
+            term_profile(df, k=0)
