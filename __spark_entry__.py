@@ -1152,35 +1152,55 @@ def _contam_oracle_sql(extra_cols: str) -> str:
     )
 
 
-def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-accelerated decontamination (operators/contamination.py::
-    bloom_contaminated_ids) differentially against the exact hash-set
-    path on the same train/eval split as ngram_contamination. The scale
-    story: the eval shingle set compresses to a CONSTANT-size Bloom
-    filter (~3.4 MB at the 1M/1e-6 defaults, vs 8 bytes per distinct
-    shingle for the broadcast hash set), built in one map-side pass with
-    NO eval shuffle (bits are idempotent under duplicates — no distinct
-    needed), and the corpus side stays map-only. Graded booleans:
-    no_false_negatives is the Bloom guarantee (always true);
-    no_false_flags holds because the expected false-flag count at
-    fpr=1e-6 over this corpus is ~1e-3 (deterministic xxhash64 — stable
-    for a fixed fixture, miss probability ~1e-9 across re-rolls).
-    n_train/n_flagged are exact integers the oracle recomputes."""
-    from pfutil_spark.operators.contamination import (
-        bloom_contaminated_ids,
-        contaminated_ids,
-    )
+def _contam_split_frames(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """The (train, eval) document split that BOTH contamination queries
+    grade over — one definition, mirroring _contam_oracle_sql on the
+    SQL side, so the two query/oracle pairs cannot drift apart."""
     from pfutil_spark.operators.sampling import hash_split_col
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "split", hash_split_col("doc_id", _CONTAM_SPLITS, seed=13)
     )
-    ev = docs.filter(F.col("split") == "eval")
-    tr = docs.filter(F.col("split") == "train")
+    return (
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "eval"),
+    )
+
+
+def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated decontamination (operators/contamination.py::
+    bloom_contaminated_ids) differentially against the exact hash-set
+    path on the same train/eval split as ngram_contamination
+    (_contam_split_frames — shared construction, like the shared oracle
+    body). The scale story: the eval shingle set compresses to a
+    CONSTANT-size Bloom filter (~3.4 MB at the 1M/1e-6 defaults, vs 8
+    bytes per distinct shingle for the broadcast hash set), built in one
+    map-side pass with NO eval shuffle (bits are idempotent under
+    duplicates — no distinct needed), and the corpus side stays
+    map-only. Graded booleans: no_false_negatives is the Bloom
+    guarantee (holds at ANY scale); false_flag_rate_ok bounds the
+    false-flag COUNT at 0.2% of train + 3 — per-document false-flag
+    probability union-bounds at shingles_per_doc * fpr (= 1e-6 here),
+    so the bound holds with overwhelming margin for any corpus whose
+    documents are under ~2000 tokens and whose eval side stays within
+    expected_n distinct shingles (size expected_n up otherwise — the
+    filter stays constant-size either way). n_train/n_flagged are exact
+    integers the oracle recomputes."""
+    from pfutil_spark.operators.contamination import (
+        bloom_contaminated_ids,
+        contaminated_ids,
+    )
+
+    tr, ev = _contam_split_frames(spark, sf_dir)
     exact = contaminated_ids(tr, ev, n=5, broadcast_eval=True).withColumn(
         "__e", F.lit(1)
     )
     blm = bloom_contaminated_ids(tr, ev, n=5).withColumn("__b", F.lit(1))
+    n_false_flags = F.sum(
+        F.when(F.col("__b").isNotNull() & F.col("__e").isNull(), 1).otherwise(0)
+    )
     return (
         tr.select("doc_id", "lang")
         .join(F.broadcast(exact), "doc_id", "left")
@@ -1199,12 +1219,9 @@ def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 == 0
             ).alias("no_false_negatives"),
             (
-                F.sum(
-                    F.when(F.col("__b").isNotNull() & F.col("__e").isNull(), 1)
-                    .otherwise(0)
-                )
-                == 0
-            ).alias("no_false_flags"),
+                n_false_flags
+                <= F.lit(0.002) * F.count(F.lit(1)) + F.lit(3)
+            ).alias("false_flag_rate_ok"),
         )
         .orderBy("lang")
     )
@@ -1220,13 +1237,8 @@ def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle). EXACT DuckDB parity — the oracle regenerates both
     splits and the full word-shingle overlap relationally."""
     from pfutil_spark.operators.contamination import contaminated_ids
-    from pfutil_spark.operators.sampling import hash_split_col
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "split", hash_split_col("doc_id", _CONTAM_SPLITS, seed=13)
-    )
-    ev = docs.filter(F.col("split") == "eval")
-    tr = docs.filter(F.col("split") == "train")
+    tr, ev = _contam_split_frames(spark, sf_dir)
     flagged = contaminated_ids(tr, ev, n=5, broadcast_eval=True).withColumn(
         "__f", F.lit(1)
     )
@@ -2111,9 +2123,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_contamination": _contam_oracle_sql(""),
         "bloom_contamination": _contam_oracle_sql(
             # the two Bloom-vs-exact agreement booleans: no false
-            # negatives is the filter guarantee; no false flags holds at
-            # the query's fpr=1e-6 (see _q_bloom_contamination)
-            ", TRUE AS no_false_negatives, TRUE AS no_false_flags"
+            # negatives is the filter guarantee; the false-flag-rate
+            # bound holds at any scale given fpr=1e-6 (see
+            # _q_bloom_contamination's union-bound math)
+            ", TRUE AS no_false_negatives, TRUE AS false_flag_rate_ok"
         ),
         "doc_boilerplate": (
             "WITH lab AS (SELECT doc_id,"

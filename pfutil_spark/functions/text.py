@@ -162,23 +162,24 @@ def term_profile(
     candidates, df-based term weighting inputs) that complements the
     per-document signals of :func:`word_repetition_stats`.
 
-    Output: ``by``, ``term_rank`` (1-based, dense ordering by count
-    desc then term asc — deterministic under ties), ``term``,
-    ``term_count`` (occurrences within the group), ``doc_freq``
-    (distinct documents corpus-wide containing the term). All-integer
-    -> EXACT cross-engine parity.
+    Output: ``by``, ``term_rank`` (1-based ``row_number`` over
+    (count desc, term asc) — a total order, deterministic under ties),
+    ``term``, ``term_count`` (occurrences within the group),
+    ``doc_freq`` (distinct documents corpus-wide containing the term;
+    assumes one row per ``id_col`` value, as a documents table has).
+    All-integer -> EXACT cross-engine parity.
 
-    Plan shape (zero Python): one explode feeds BOTH aggregations —
-    term frequency is a two-phase groupBy(by, term) with map-side
-    combine; document frequency is a distinct on (id, term) (the
-    explode's output deduped per doc, near-unique keys) then a
-    two-phase count per term. The tf-side join to doc_freq keys on
-    ``term`` alone AFTER both sides aggregated — at web scale both
-    sides are vocabulary-sized (distinct terms), orders of magnitude
-    smaller than the corpus, so the join shuffle is cheap; the final
-    top-k window partitions by ``by`` over vocabulary-sized input.
-    Blank / NULL text contributes nothing (the explode guard drops the
-    phantom '' token that splitting an empty string emits)."""
+    Plan shape (zero Python, ONE corpus scan — plan-gated): the explode
+    feeds a single first-stage groupBy(by, id, term) with map-side
+    combine (near-unique keys, no skew); document frequency is a
+    count-over-Window partitioned by term ON that aggregate (one row
+    per distinct (doc, term) — counting rows IS counting documents), so
+    no second scan and no tf-vs-df join exist in the plan. Everything
+    after the first aggregation is per-(doc,term)-sized, orders of
+    magnitude smaller than the token stream; the final top-k window
+    partitions by ``by`` over vocabulary-sized input. Blank / NULL text
+    contributes nothing (the explode guard drops the phantom '' token
+    that splitting an empty string emits)."""
     if k < 1:
         raise ValueError(f"k={k}: must be >= 1")
     toks = df.filter(F.length(F.trim(F.col(text))) > 0).select(
@@ -186,19 +187,23 @@ def term_profile(
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("term"),
     )
-    tf = toks.groupBy(by, "term").agg(F.count(F.lit(1)).alias("term_count"))
-    docfreq = (
-        toks.select("__id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    pairs = toks.groupBy(by, "__id", "term").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tf = (
+        pairs.withColumn(
+            "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .groupBy(by, "term")
+        .agg(
+            F.sum("__c").alias("term_count"),
+            F.max("doc_freq").alias("doc_freq"),
+        )
     )
     w = Window.partitionBy(by).orderBy(
         F.col("term_count").desc(), F.col("term").asc()
     )
-    return (
-        tf.join(docfreq, "term")
-        .select(by, F.row_number().over(w).alias("term_rank"), "term",
-                "term_count", "doc_freq")
-        .filter(F.col("term_rank") <= k)
-    )
+    return tf.select(
+        by, F.row_number().over(w).alias("term_rank"), "term",
+        "term_count", "doc_freq",
+    ).filter(F.col("term_rank") <= k)

@@ -191,10 +191,13 @@ def bloom_contaminated_ids(
     )
 
     ev = _shingle_keys(eval_df, text, n, on_hash=False, extra=[])
-    sk = bytes(
-        bloom_sketch(ev, _SH, expected_n=expected_n, fpr=fpr)
-        .collect()[0][SKETCH_COL]
-    )
+    rows = bloom_sketch(ev, _SH, expected_n=expected_n, fpr=fpr).collect()
+    if not rows:
+        # an eval plan with ZERO partitions (empty parquet directory,
+        # optimizer-folded empty LocalRelation) emits no partials at
+        # all — nothing is contaminated
+        return corpus.select(id_col).filter(F.lit(False))
+    sk = bytes(rows[0][SKETCH_COL])
     tr = _shingle_keys(corpus, text, n, on_hash=False, extra=[id_col])
     return (
         tr.filter(bloom_might_contain_col(_SH, sk, spark=corpus.sparkSession))

@@ -1257,8 +1257,16 @@ def bloom_filter_join(
             "drops rows that 'left'/'full'/'anti' joins must retain; use a "
             "plain join for those types"
         )
-    sk = bloom_sketch(right, on, expected_n=expected_n, fpr=fpr).collect()[0][SKETCH_COL]
-    pre = left.filter(bloom_might_contain_col(on, bytes(sk), spark=left.sparkSession))
+    rows = bloom_sketch(right, on, expected_n=expected_n, fpr=fpr).collect()
+    if not rows:
+        # a right plan with ZERO partitions (empty parquet directory,
+        # optimizer-folded empty LocalRelation) emits no partials — the
+        # join result is empty for every allowed join type, but let the
+        # exact join produce it with the correct schema
+        return left.filter(F.lit(False)).join(right, on, how)
+    pre = left.filter(
+        bloom_might_contain_col(on, bytes(rows[0][SKETCH_COL]), spark=left.sparkSession)
+    )
     return pre.join(right, on, how)
 
 

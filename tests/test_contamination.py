@@ -302,3 +302,23 @@ class TestBloomContamination:
         )
         ev = spark.createDataFrame([], "doc_id long, text string")
         assert bloom_contaminated_ids(corpus, ev, n=2).count() == 0
+
+    def test_zero_partition_eval_plan(self, spark):
+        # filter(lit(False)) folds to an empty LocalRelation backed by
+        # emptyRDD -> ZERO partitions -> zero sketch partials; the
+        # collect()-guard must handle the no-rows case (createDataFrame
+        # of an empty list still has defaultParallelism partitions, so
+        # it does NOT cover this)
+        from pfutil_spark.operators.contamination import bloom_contaminated_ids
+        from pfutil_spark.operators.sketch_agg import bloom_filter_join
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+        )
+        ev = corpus.filter(F.lit(False))
+        assert bloom_contaminated_ids(corpus, ev, n=2).count() == 0
+        joined = bloom_filter_join(
+            corpus, ev.select("doc_id", F.col("text").alias("t2")), "doc_id"
+        )
+        assert joined.count() == 0
+        assert set(joined.columns) == {"doc_id", "text", "t2"}

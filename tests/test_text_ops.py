@@ -617,5 +617,11 @@ class TestTermProfile:
         for node in ("EvalPython", "MapInPandas", "MapInArrow",
                      "FlatMapGroupsInPandas"):
             assert node not in plan, plan
+        # ONE corpus scan: doc_freq comes from a window over the shared
+        # (by, id, term) aggregate, never a second scan or a join
+        import re
+
+        assert len(set(re.findall(r"\(\d+\) Scan \w+", plan))) == 1, plan
+        assert "Join" not in plan, plan
         with pytest.raises(ValueError, match="k=0"):
             term_profile(df, k=0)
