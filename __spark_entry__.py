@@ -468,6 +468,49 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INGEST_SPLITS = (("new", 0.2), ("base", 0.8))
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (operators/dedup.py::
+    lsh_pairs_between): a deterministic 20% 'new batch' is near-dup-
+    checked against the 80% 'existing corpus' — cross-corpus pairs
+    ONLY, the daily-ingest shape where the historical side is a
+    persisted signature store and its raw text is never re-read.
+    Candidates come from the shared band-bucket equi-join
+    (est Jaccard >= 0.5, ~full recall at the 0.8 report threshold),
+    then EXACT 5-gram Jaccard verification — so the result equals the
+    all-cross-pairs ground truth the DuckDB oracle computes. jaccard is
+    emitted UNROUNDED (one IEEE division, exact cross-engine)."""
+    from pfutil_spark.operators.dedup import (
+        lsh_pairs_between,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from pfutil_spark.operators.sampling import hash_split_col
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split", hash_split_col("doc_id", _INGEST_SPLITS, seed=17)
+    )
+    new = docs.filter(F.col("split") == "new")
+    base = docs.filter(F.col("split") == "base")
+    sn = minhash_signatures(new, "text", "doc_id", 64, 5)
+    sb = minhash_signatures(base, "text", "doc_id", 64, 5)
+    cand = lsh_pairs_between(sn, sb, min_jaccard=0.5).select(
+        F.col("id_new").alias("id_a"), F.col("id_base").alias("id_b")
+    )
+    verified = ngram_jaccard_pairs(docs, cand, "text", "doc_id", k=5)
+    return (
+        verified.filter(F.col("jaccard") >= 0.8)
+        .select(
+            F.col("id_a").alias("id_new"),
+            F.col("id_b").alias("id_base"),
+            "jaccard",
+        )
+        .orderBy("id_new", "id_base")
+    )
+
+
 def _clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared near-dup cluster pipeline (dedup_clusters /
     cluster_split): verified pair graph (the exact pair set the
@@ -1817,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_global": _q_hll_users_global,
         "hll_v5_orderkey_by_flag": _q_hll_v5_orderkey_by_flag,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "incremental_dedup_pairs": _q_incremental_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "cluster_split": _q_cluster_split,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -2233,6 +2277,28 @@ def oracle_sql() -> dict[str, str]:
         # --- exact ground-truth oracles: DuckDB enumerates ALL near-dup
         # pairs by exact character-k-gram Jaccard; the Spark queries reach
         # the same set via LSH/pigeonhole candidates + exact verification ---
+        "incremental_dedup_pairs": (
+            "WITH lab AS (SELECT doc_id, text,"
+            f"  {_sampling.sql_split_expr('doc_id', _INGEST_SPLITS, seed=17)}"
+            "   AS split FROM documents),"
+            " g AS (SELECT unnest(range(1,"
+            "  (SELECT max(length(text)) + 1 FROM lab))) AS i),"
+            " sh AS ("
+            " SELECT DISTINCT l.doc_id, l.split, substr(l.text, g.i::INT, 5) AS s"
+            " FROM lab l JOIN g ON g.i <= length(l.text) - 4),"
+            " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+            " inter AS ("
+            "  SELECT a.doc_id AS id_new, b.doc_id AS id_base, count(*) AS i"
+            "  FROM sh a JOIN sh b ON a.s = b.s"
+            "  WHERE a.split = 'new' AND b.split = 'base'"
+            "  GROUP BY 1, 2)"
+            " SELECT id_new, id_base,"
+            "  i::DOUBLE / (ca.n + cb.n - i) AS jaccard"
+            " FROM inter JOIN cnt ca ON ca.doc_id = id_new"
+            " JOIN cnt cb ON cb.doc_id = id_base"
+            " WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8"
+            " ORDER BY id_new, id_base"
+        ),
         "minhash_lsh_pairs": (
             "WITH g AS (SELECT unnest(range(1,"
             "  (SELECT max(length(text)) + 1 FROM documents))) AS i),"

@@ -200,6 +200,32 @@ def minhash_signatures(
     return pruned.mapInArrow(fn, schema)
 
 
+def _band_cols(num_hashes: int, bands: int) -> "list[Column]":
+    """The LSH band-bucket hash columns over a ``sig`` array — ONE
+    definition shared by within-corpus and cross-corpus pairing, so
+    signatures stored by one path always band identically in the
+    other."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    return [
+        F.xxhash64(
+            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+            F.lit(i),
+        ).alias(f"b{i}")
+        for i in range(bands)
+    ]
+
+
+def _est_jaccard_col(num_hashes: int) -> Column:
+    """Signature-agreement Jaccard estimate over sig_a/sig_b columns."""
+    return (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+        )
+        / F.lit(float(num_hashes))
+    ).alias("est_jaccard")
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text: str, id_col: str,
     num_hashes: int = 64, bands: int = 16, k: int = 5,
@@ -219,19 +245,10 @@ def minhash_lsh_pairs(
     pass ``cache=CacheScope()`` and release it after the action, or call
     ``release_cached(result)`` — see operators/_cache.py.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     scope = cache if cache is not None else CacheScope()
     sigs = scope.persist(minhash_signatures(df, text, id_col, num_hashes, k, method))
 
-    band_cols = [
-        F.xxhash64(
-            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
-            F.lit(i),
-        ).alias(f"b{i}")
-        for i in range(bands)
-    ]
-    banded = sigs.select(id_col, *band_cols)
+    banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
     melted = banded.unpivot(
         [id_col], [f"b{i}" for i in range(bands)], "band", "band_hash"
     )
@@ -254,21 +271,73 @@ def minhash_lsh_pairs(
     est = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-                        lambda x: x,
-                    )
-                )
-                / F.lit(float(num_hashes))
-            ).alias("est_jaccard"),
-        )
+        .select("id_a", "id_b", _est_jaccard_col(num_hashes))
     )
     out = est.filter(F.col("est_jaccard") >= min_jaccard)
+    if cache is None:
+        out._pfutil_cache_scope = scope
+    return out
+
+
+def lsh_pairs_between(
+    sigs_new: DataFrame,
+    sigs_base: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.5,
+    cache: "CacheScope | None" = None,
+) -> DataFrame:
+    """Cross-corpus near-duplicate candidates — the INCREMENTAL
+    ingestion shape: pair each new document against an existing corpus,
+    never new-vs-new or base-vs-base. Inputs are SIGNATURE frames
+    (``(id, sig)`` from :func:`minhash_signatures`), so the base side
+    can be a persisted signature store read back from parquet — the
+    historical corpus is never re-read or re-hashed; a daily ingest
+    touches raw text only for the new batch and appends its signatures
+    to the store afterwards.
+
+    Output: (``id_new``, ``id_base``, ``est_jaccard >= min_jaccard``).
+    Banding is :func:`_band_cols` — identical to
+    :func:`minhash_lsh_pairs`, so signatures and stores interoperate
+    across both (same ``num_hashes``/``bands`` required, and the two
+    sides must share the shingle ``k`` used at signature time).
+
+    Scale shape: both sides melt to (band, band_hash, id) and meet in a
+    band-bucket equi-join — cost is per-bucket membership products, not
+    |new| x |base|; the new side is typically tiny, so AQE broadcasts
+    its melted table and the base side never shuffles."""
+    scope = cache if cache is not None else CacheScope()
+    sigs_new = scope.persist(sigs_new)
+    sigs_base = scope.persist(sigs_base)
+    bc = [f"b{i}" for i in range(bands)]
+    melt_new = sigs_new.select(id_col, *_band_cols(num_hashes, bands)).unpivot(
+        [id_col], bc, "band", "band_hash"
+    )
+    melt_base = sigs_base.select(id_col, *_band_cols(num_hashes, bands)).unpivot(
+        [id_col], bc, "band", "band_hash"
+    )
+    cand = (
+        melt_new.alias("l")
+        .join(
+            melt_base.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_new"),
+            F.col(f"r.{id_col}").alias("id_base"),
+        )
+        .distinct()
+    )
+    sa = sigs_new.select(F.col(id_col).alias("id_new"), F.col("sig").alias("sig_a"))
+    sb = sigs_base.select(F.col(id_col).alias("id_base"), F.col("sig").alias("sig_b"))
+    out = (
+        cand.join(sa, "id_new")
+        .join(sb, "id_base")
+        .select("id_new", "id_base", _est_jaccard_col(num_hashes))
+        .filter(F.col("est_jaccard") >= min_jaccard)
+    )
     if cache is None:
         out._pfutil_cache_scope = scope
     return out

@@ -625,3 +625,49 @@ class TestTermProfile:
         assert "Join" not in plan, plan
         with pytest.raises(ValueError, match="k=0"):
             term_profile(df, k=0)
+
+
+class TestIncrementalDedup:
+    def test_cross_pairs_only_and_recall(self, spark):
+        import pandas as pd
+
+        from pfutil_spark.operators.dedup import lsh_pairs_between
+
+        base = docs(spark).limit(20).toPandas()
+        edited = base.copy()
+        edited["doc_id"] = edited["doc_id"] + 100_000
+        edited["text"] = edited["text"] + " tiny appended suffix"
+        base_df = spark.createDataFrame(pd.concat([base, base.iloc[:0]]))
+        new_df = spark.createDataFrame(edited)
+        sb = minhash_signatures(base_df, "text", "doc_id", 64, 5)
+        sn = minhash_signatures(new_df, "text", "doc_id", 64, 5)
+        got = {
+            (r["id_new"], r["id_base"]): r["est_jaccard"]
+            for r in lsh_pairs_between(sn, sb, min_jaccard=0.5).collect()
+        }
+        # every id_new is from the new side, every id_base from the base
+        assert all(a >= 100_000 and b < 100_000 for a, b in got)
+        expected = {(did + 100_000, did) for did in base["doc_id"]}
+        recall = len(expected & set(got)) / len(expected)
+        assert recall >= 0.9, f"cross-corpus LSH recall {recall}"
+
+    def test_interop_with_stored_signatures(self, spark, tmp_path):
+        # the base side read back from a parquet signature STORE pairs
+        # byte-for-byte like freshly computed signatures
+        from pfutil_spark.operators.dedup import lsh_pairs_between
+
+        d = docs(spark).limit(30)
+        store = str(tmp_path / "sigstore")
+        minhash_signatures(d, "text", "doc_id", 64, 5).write.parquet(store)
+        sb = spark.read.parquet(store)
+        sn = minhash_signatures(
+            d.select((F.col("doc_id") + 500_000).alias("doc_id"), "text"),
+            "text", "doc_id", 64, 5,
+        )
+        got = {
+            (r["id_new"], r["id_base"])
+            for r in lsh_pairs_between(sn, sb, min_jaccard=0.99).collect()
+        }
+        # identical docs under shifted ids: every doc pairs with itself
+        want = {(r["doc_id"] + 500_000, r["doc_id"]) for r in d.select("doc_id").collect()}
+        assert got >= want
