@@ -458,7 +458,11 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs ground truth, which the DuckDB oracle computes exactly."""
     from pfutil_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    # length >= k mirror of the oracle's implicit shingle-less-doc
+    # exclusion: a doc with no 5-grams has an all-sentinel signature
+    # (it would LSH-pair with every other such doc at jaccard 1.0)
+    # but produces zero rows in the oracle's shingle CTE
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 5)
     cand = minhash_lsh_pairs(d, "text", "doc_id", 64, 16, 5, min_jaccard=0.5)
     verified = ngram_jaccard_pairs(d, cand.select("id_a", "id_b"), "text", "doc_id", k=5)
     return (
@@ -489,8 +493,12 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pfutil_spark.operators.sampling import hash_split_col
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "split", hash_split_col("doc_id", _INGEST_SPLITS, seed=17)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        # mirror the oracle's implicit shingle-less-doc exclusion (see
+        # _q_minhash_lsh_pairs)
+        .filter(F.length("text") >= 5)
+        .withColumn("split", hash_split_col("doc_id", _INGEST_SPLITS, seed=17))
     )
     new = docs.filter(F.col("split") == "new")
     base = docs.filter(F.col("split") == "base")
@@ -524,12 +532,16 @@ def _clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d_all = _t(spark, sf_dir, "documents")
+    # the PAIR GRAPH mirrors the oracle's implicit shingle-less-doc
+    # exclusion (see _q_minhash_lsh_pairs); the cluster UNIVERSE stays
+    # all documents — a shingle-less doc is a singleton cluster
+    d = d_all.filter(F.length("text") >= 5)
     cand = minhash_lsh_pairs(d, "text", "doc_id", 64, 16, 5, min_jaccard=0.5)
     verified = ngram_jaccard_pairs(
         d, cand.select("id_a", "id_b"), "text", "doc_id", k=5
     ).filter(F.col("jaccard") >= 0.8)
-    return assign_dedup_clusters(d.select("doc_id"), verified, "doc_id")
+    return assign_dedup_clusters(d_all.select("doc_id"), verified, "doc_id")
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

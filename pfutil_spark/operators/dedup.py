@@ -226,6 +226,35 @@ def _est_jaccard_col(num_hashes: int) -> Column:
     ).alias("est_jaccard")
 
 
+def _melt_bands(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) long form of a signature frame — the other
+    half of the shared banding contract (_band_cols): one definition of
+    the melt shape so the within-corpus and cross-corpus paths can never
+    band or name columns differently."""
+    return sigs.select(id_col, *_band_cols(num_hashes, bands)).unpivot(
+        [id_col], [f"b{i}" for i in range(bands)], "band", "band_hash"
+    )
+
+
+def _checked_sigs(sigs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """Project a signature frame to (id, sig), failing LOUDLY at run time
+    if any signature's length differs from ``num_hashes`` — the easy
+    drift when the base side is a parquet store written with different
+    parameters (silently mis-banding and dividing the agreement count by
+    the wrong H would otherwise yield wrong pairs, or est_jaccard > 1)."""
+    msg = F.concat(
+        F.lit(f"signature length != num_hashes={num_hashes}: got "),
+        F.size("sig").cast("string"),
+        F.lit(" — was this store written with different MinHash params?"),
+    )
+    checked = (
+        F.when(F.size("sig") == num_hashes, F.col("sig"))
+        .otherwise(F.raise_error(msg))
+        .alias("sig")
+    )
+    return sigs.select(id_col, checked)
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text: str, id_col: str,
     num_hashes: int = 64, bands: int = 16, k: int = 5,
@@ -248,10 +277,7 @@ def minhash_lsh_pairs(
     scope = cache if cache is not None else CacheScope()
     sigs = scope.persist(minhash_signatures(df, text, id_col, num_hashes, k, method))
 
-    banded = sigs.select(id_col, *_band_cols(num_hashes, bands))
-    melted = banded.unpivot(
-        [id_col], [f"b{i}" for i in range(bands)], "band", "band_hash"
-    )
+    melted = _melt_bands(sigs, id_col, num_hashes, bands)
     left = melted.alias("l")
     right = melted.alias("r")
     cand = (
@@ -306,17 +332,19 @@ def lsh_pairs_between(
     Scale shape: both sides melt to (band, band_hash, id) and meet in a
     band-bucket equi-join — cost is per-bucket membership products, not
     |new| x |base|; the new side is typically tiny, so AQE broadcasts
-    its melted table and the base side never shuffles."""
+    its melted table and the base side never shuffles. Only the NEW
+    side is persisted (it is a freshly-computed mapInArrow pass read
+    twice); the base side is read twice as-is — for a parquet-backed
+    store, two columnar scans beat materializing the whole store into
+    executor cache, and the function never persists caller-owned frames
+    behind the caller's back. Signature lengths are validated at run
+    time against ``num_hashes`` (_checked_sigs) so a store written with
+    different parameters fails loudly instead of mis-banding."""
     scope = cache if cache is not None else CacheScope()
-    sigs_new = scope.persist(sigs_new)
-    sigs_base = scope.persist(sigs_base)
-    bc = [f"b{i}" for i in range(bands)]
-    melt_new = sigs_new.select(id_col, *_band_cols(num_hashes, bands)).unpivot(
-        [id_col], bc, "band", "band_hash"
-    )
-    melt_base = sigs_base.select(id_col, *_band_cols(num_hashes, bands)).unpivot(
-        [id_col], bc, "band", "band_hash"
-    )
+    sigs_new = scope.persist(_checked_sigs(sigs_new, id_col, num_hashes))
+    sigs_base = _checked_sigs(sigs_base, id_col, num_hashes)
+    melt_new = _melt_bands(sigs_new, id_col, num_hashes, bands)
+    melt_base = _melt_bands(sigs_base, id_col, num_hashes, bands)
     cand = (
         melt_new.alias("l")
         .join(

@@ -629,15 +629,13 @@ class TestTermProfile:
 
 class TestIncrementalDedup:
     def test_cross_pairs_only_and_recall(self, spark):
-        import pandas as pd
-
         from pfutil_spark.operators.dedup import lsh_pairs_between
 
         base = docs(spark).limit(20).toPandas()
         edited = base.copy()
         edited["doc_id"] = edited["doc_id"] + 100_000
         edited["text"] = edited["text"] + " tiny appended suffix"
-        base_df = spark.createDataFrame(pd.concat([base, base.iloc[:0]]))
+        base_df = spark.createDataFrame(base)
         new_df = spark.createDataFrame(edited)
         sb = minhash_signatures(base_df, "text", "doc_id", 64, 5)
         sn = minhash_signatures(new_df, "text", "doc_id", 64, 5)
@@ -671,3 +669,14 @@ class TestIncrementalDedup:
         # identical docs under shifted ids: every doc pairs with itself
         want = {(r["doc_id"] + 500_000, r["doc_id"]) for r in d.select("doc_id").collect()}
         assert got >= want
+
+    def test_mismatched_store_params_fail_loudly(self, spark):
+        # a store written with num_hashes=128 read at the default 64
+        # must raise, not silently mis-band / inflate est_jaccard
+        from pfutil_spark.operators.dedup import lsh_pairs_between
+
+        d = docs(spark).limit(5)
+        sb = minhash_signatures(d, "text", "doc_id", 128, 5)
+        sn = minhash_signatures(d, "text", "doc_id", 64, 5)
+        with pytest.raises(Exception, match="num_hashes=64"):
+            lsh_pairs_between(sn, sb, num_hashes=64).collect()
