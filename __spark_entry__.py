@@ -472,6 +472,78 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of `orders`
+    (operators/profile.py::table_profile): row/null counts, native-type
+    min/max, HLL distinct per column — the ingest-validation report run
+    on every new snapshot. Two passes total regardless of column count:
+    one codegen aggregate (exact stats) + one mapInArrow scan building
+    ALL columns' sketches simultaneously. n_rows/n_null/min/max are
+    exact; the distinct estimate is graded as the established 3-sigma
+    bound boolean (the query joins the exact COUNT(DISTINCT) purely to
+    materialize the check; profiled columns are ints/strings so the
+    min/max stringification is engine-portable — see profile.py)."""
+    from pfutil_spark.operators.profile import table_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = list(_PROFILE_COLS)
+    prof = table_profile(orders, cols)
+    exact = orders.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"), F.col(c).alias("n_distinct_exact")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        prof.join(F.broadcast(exact), "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_null",
+            "n_distinct_exact",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_distinct_exact"))
+                <= F.greatest(
+                    F.lit(1.0), F.col("n_distinct_exact") * F.lit(3 * 0.008125)
+                )
+            ).alias("distinct_ok"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column")
+    )
+
+
+def _table_profile_oracle_sql() -> str:
+    """DuckDB mirror: exact stats per profiled column (the bound
+    boolean is the oracle-verifiable TRUE, per the hll_error_bound
+    pattern); column list shared via _PROFILE_COLS."""
+    parts = [
+        (
+            f'SELECT \'{c}\' AS "column", CAST(count(*) AS BIGINT) AS n_rows,'
+            f" CAST(count(*) - count({c}) AS BIGINT) AS n_null,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct_exact,"
+            " TRUE AS distinct_ok,"
+            f" CAST(min({c}) AS VARCHAR) AS min_value,"
+            f" CAST(max({c}) AS VARCHAR) AS max_value"
+            " FROM orders"
+        )
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 _INGEST_SPLITS = (("new", 0.2), ("base", 0.8))
 
 
@@ -1880,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "multimodal_features": _q_multimodal_features,
         "multi_distinct_report": _q_multi_distinct_report,
+        "table_profile_report": _q_table_profile,
         # round-2 additions
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_clusters": _q_embedding_clusters,
@@ -2098,6 +2171,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM s JOIN t USING (doc_id) ORDER BY s.doc_id"
         ),
         "token_shard_packing": _token_shard_packing_oracle_sql(),
+        "table_profile_report": _table_profile_oracle_sql(),
         "top_terms_by_lang": (
             "WITH toks AS (SELECT lang, doc_id,"
             "  unnest(regexp_split_to_array(trim(text), '\\s+')) AS term"
