@@ -515,7 +515,7 @@ def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("n_distinct_est") - F.col("n_distinct_exact"))
                 <= F.greatest(
-                    F.lit(1.0), F.col("n_distinct_exact") * F.lit(3 * 0.008125)
+                    F.lit(1.0), F.col("n_distinct_exact") * F.lit(_HLL_BOUND)
                 )
             ).alias("distinct_ok"),
             "min_value",

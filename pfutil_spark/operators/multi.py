@@ -172,6 +172,15 @@ def pf_partial_multi(
                     elem = elem.filter(mask)
                     inv = inverse[np_mask]
                 if len(elem) == 0:
+                    # EVERY value null for this column: the groups still
+                    # get their (empty) accumulator — matching both the
+                    # partial-null case (zero local rows below) and the
+                    # direct-emit path, so the output ROW SET never
+                    # depends on which path / batch split ran
+                    for g in range(n_groups):
+                        k = group_keys[g] + (e,)
+                        if k not in acc:
+                            acc[k] = hll.empty_registers()
                     continue
                 data, offsets = _varbin_buffers(elem)
                 idx, patlen = hll.hash_and_patlen_flat(data, offsets, version)

@@ -42,12 +42,18 @@ def table_profile(
     cols = list(cols) if cols is not None else list(df.columns)
     if not cols:
         raise ValueError("table_profile: no columns to profile")
+
+    def _ref(c: str):  # dotted/special column names stay one column
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    # internal aliases are INDEX-based so arbitrary column names (dots,
+    # backticks, spaces) never leak into generated identifiers
     aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(c).alias(f"__nn_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(_ref(c)).alias(f"__nn_{i}"),
+            F.min(_ref(c)).cast("string").alias(f"__min_{i}"),
+            F.max(_ref(c)).cast("string").alias(f"__max_{i}"),
         ]
     stats = df.agg(*aggs)
     long = stats.select(
@@ -57,21 +63,27 @@ def table_profile(
                     F.struct(
                         F.lit(c).alias("column"),
                         F.col("__rows").alias("n_rows"),
-                        (F.col("__rows") - F.col(f"__nn_{c}")).alias("n_null"),
-                        F.col(f"__min_{c}").alias("min_value"),
-                        F.col(f"__max_{c}").alias("max_value"),
+                        (F.col("__rows") - F.col(f"__nn_{i}")).alias("n_null"),
+                        F.col(f"__min_{i}").alias("min_value"),
+                        F.col(f"__max_{i}").alias("max_value"),
                     )
-                    for c in cols
+                    for i, c in enumerate(cols)
                 ]
             )
         ).alias("s")
     ).select("s.*")
+    # pf_partial_multi casts non-string elements itself; pre-select only
+    # to rename special column names to safe positional ones
     est = pf_count_distinct_multi(
-        df.select(*[F.col(c).cast("string").alias(c) for c in cols]),
-        cols,
+        df.select(*[_ref(c).alias(f"__e_{i}") for i, c in enumerate(cols)]),
+        [f"__e_{i}" for i in range(len(cols))],
         version=version,
-    ).select(
-        F.col("metric").alias("column"),
+    )
+    name_of = F.create_map(
+        *[x for i, c in enumerate(cols) for x in (F.lit(f"__e_{i}"), F.lit(c))]
+    )
+    est = est.select(
+        name_of[F.col("metric")].alias("column"),
         F.col("estimate").alias("n_distinct_est"),
     )
     # both sides are column-count-sized (a handful of rows): broadcast

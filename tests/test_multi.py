@@ -60,3 +60,24 @@ def test_multi_null_elements_ignored(spark):
         single = pf_count_distinct(src, "a", by=("g",)).collect()
         for r in single:
             assert got[(r["g"], "a")] == r["estimate"]
+
+
+def test_multi_all_null_column_rowset_partition_independent(spark):
+    """An all-NULL element column must emit (group, metric) rows with
+    empty sketches on EVERY path: accumulation single-partition,
+    accumulation multi-partition, and direct-emit — the output row set
+    may not depend on batch splits (regression: the accumulation path
+    skipped fully-null batches, dropping the metric entirely)."""
+    src = (
+        spark.range(100)
+        .withColumn("g", (F.col("id") % 4).cast("string"))
+        .withColumn("a", F.col("id").cast("string"))
+        .withColumn("z", F.lit(None).cast("string"))
+    )
+    expect = {(str(g), m) for g in range(4) for m in ("a", "z")}
+    for shaped in (src.coalesce(1), src.repartition(5)):
+        rows = pf_count_distinct_multi(shaped, ["a", "z"], by=("g",)).collect()
+        got = {(r["g"], r["metric"]): r["estimate"] for r in rows}
+        assert set(got) == expect
+        for g in range(4):
+            assert got[(str(g), "z")] == 0

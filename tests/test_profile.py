@@ -36,6 +36,31 @@ class TestTableProfile:
         assert z["n_null"] == 3 and z["n_distinct_est"] == 0
         assert z["min_value"] is None and z["max_value"] is None
 
+    def test_all_null_column_survives_single_partition(self, spark):
+        # regression: pf_partial_multi's accumulation path used to skip
+        # an element whose values were ALL null in a partition that had
+        # data for other columns — on a single-partition table the
+        # all-NULL column vanished from the report entirely
+        df = (
+            spark.createDataFrame(
+                [(1, "a"), (2, None), (3, None)], "x long, y string"
+            )
+            .withColumn("z", F.lit(None).cast("string"))
+            .coalesce(1)
+        )
+        prof = {r["column"]: r for r in table_profile(df).collect()}
+        assert set(prof) == {"x", "y", "z"}
+        assert prof["z"]["n_distinct_est"] == 0 and prof["z"]["n_null"] == 3
+
+    def test_dotted_and_backticked_column_names(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, t string").select(
+            F.col("id").alias("user.id"), F.col("t").alias("we`ird name")
+        )
+        prof = {r["column"]: r for r in table_profile(df).collect()}
+        assert set(prof) == {"user.id", "we`ird name"}
+        assert prof["user.id"]["n_distinct_est"] == 1
+        assert prof["user.id"]["min_value"] == "1"
+
     def test_validation(self, spark):
         df = spark.range(3)
         with pytest.raises(ValueError, match="no columns"):
