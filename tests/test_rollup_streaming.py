@@ -717,3 +717,76 @@ class TestStreamingSessions:
                 .sort_values(["ts", "event_id"]).reset_index(drop=True)
             )
             pd.testing.assert_series_equal(got["ref"], exp["ref"], check_names=False)
+
+
+class TestStreamingSignatureStore:
+    def _mk(self, spark, tmp_path, **kw):
+        from pfutil_spark.streaming.dedup_stream import StreamingSignatureStore
+
+        return StreamingSignatureStore(
+            spark,
+            str(tmp_path / "sigstate"),
+            str(tmp_path / "matches"),
+            min_jaccard=0.9,
+            **kw,
+        )
+
+    def test_microbatch_matching_and_replay_skip(self, spark, tmp_path):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(30)
+        store = self._mk(spark, tmp_path)
+        b1 = docs.filter(F.col("doc_id") % 2 == 0)
+        # batch 2 re-ingests some batch-1 docs under shifted ids ->
+        # guaranteed cross-batch near-dups (identical text)
+        b2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+            b1.limit(5).select(
+                (F.col("doc_id") + 900_000).alias("doc_id"),
+                *[c for c in docs.columns if c != "doc_id"],
+            ).select(*docs.columns)
+        )
+        store.update(b1, batch_id=0)
+        assert store.matches() is None  # nothing to match against yet
+        assert store.current().count() == b1.count()
+        store.update(b2, batch_id=1)
+        got = {
+            (r["id_new"], r["id_base"])
+            for r in store.matches().collect()
+        }
+        want = {
+            (r["doc_id"] + 900_000, r["doc_id"])
+            for r in b1.limit(5).select("doc_id").collect()
+        }
+        assert got >= want
+        n_after = store.current().count()
+        assert n_after == b1.count() + b2.count()
+        # replaying a committed batch id must change NOTHING
+        store.update(b2, batch_id=1)
+        assert store.current().count() == n_after
+        assert store.matches().count() == len(got)
+
+    def test_foreach_batch_end_to_end(self, spark, tmp_path):
+        from pfutil_spark.streaming.dedup_stream import attach_dedup_foreach_batch
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(20)
+        src = tmp_path / "stream_src"
+        docs.write.parquet(str(src))
+        store = self._mk(spark, tmp_path)
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        q = attach_dedup_foreach_batch(
+            stream, store, str(tmp_path / "ckpt"), trigger_once=True
+        )
+        q.awaitTermination(120)
+        assert store.current().count() == 20
+        # one availableNow batch: no prior store, so no matches yet
+        assert store.matches() is None
+
+    def test_remote_state_dir_refused(self, spark, tmp_path):
+        from pfutil_spark.streaming.dedup_stream import StreamingSignatureStore
+
+        with pytest.raises(NotImplementedError, match="driver-local"):
+            StreamingSignatureStore(
+                spark, "s3a://bucket/state", str(tmp_path / "m")
+            )
