@@ -5,32 +5,39 @@ signatures join the store. The streaming face of
 operators/dedup.py::lsh_pairs_between (same banding, same stores), and
 the missing piece between batch dedup and continuous ingestion.
 
-State layout mirrors streaming/hll_stream.py::StreamingHllState: a
-parquet signature table in two alternating generations with an atomic
-marker swap (an Iceberg MERGE/append would replace this given a
-transactional catalog). Unlike HLL state, APPENDING signatures is not
-idempotent under micro-batch replay — foreachBatch re-delivers the last
-uncommitted batch after a crash — so the marker also records the last
-committed batch_id and :meth:`update` skips batches at-or-below it
-(exactly-once state, at-least-once match emission; match rows carry
-batch_id so downstream consumers dedupe replays trivially).
+State layout is the shared two-generation atomic-swap scheme
+(streaming/_state.py::GenerationState, also used by StreamingHllState).
+Unlike HLL state, APPENDING signatures is not idempotent under
+micro-batch replay — foreachBatch re-delivers the last uncommitted
+batch after a crash — so the marker also records the last committed
+batch_id and :meth:`update` skips batches at-or-below it (exactly-once
+state, at-least-once match emission; match rows carry batch_id so
+downstream consumers dedupe replays trivially). CAUTION: the guard
+identifies replays by batch id alone, so the store and the streaming
+checkpoint directory must live and die TOGETHER — resetting the
+checkpoint while keeping the store restarts batch ids at 0 and every
+"new" batch would be skipped as a replay (a warning is emitted on every
+skip to make that visible).
 
-Scale shape per batch: signatures are one mapInArrow pass over the NEW
-batch only; the store side is two columnar parquet scans (melt + sig
-join) and is never re-hashed; the band equi-join is the
-candidate-bounded LSH shape. Store growth is 8B x num_hashes + id per
-document — ~0.5 KB/doc at the defaults, independent of document size.
+Scale shape per batch: signatures are ONE mapInArrow pass over the NEW
+batch (persisted for the duration of the update, released after — both
+the match join and the store append read the same cached frame); the
+store side is two columnar parquet scans (melt + sig join) and is never
+re-hashed; the band equi-join is the candidate-bounded LSH shape. Store
+growth is 8B x num_hashes + id per document — ~0.5 KB/doc at the
+defaults, independent of document size.
 """
 
 from __future__ import annotations
 
-import os
-from typing import Sequence  # noqa: F401 — mirrors sibling module surface
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pfutil_spark.operators._cache import CacheScope
 from pfutil_spark.operators.dedup import lsh_pairs_between, minhash_signatures
+from pfutil_spark.streaming._state import GenerationState
 
 
 class StreamingSignatureStore:
@@ -50,16 +57,9 @@ class StreamingSignatureStore:
         method: str = "classic",
     ):
         self.spark = spark
-        self.state_dir = state_dir.rstrip("/")
+        self._state = GenerationState(state_dir)
+        self._matches_state = GenerationState(matches_dir)  # path validation
         self.matches_dir = matches_dir.rstrip("/")
-        for d in (self.state_dir, self.matches_dir):
-            if "://" in d and not d.startswith("file://"):
-                # same driver-local-marker constraint as StreamingHllState
-                raise NotImplementedError(
-                    f"StreamingSignatureStore dirs must be driver-local "
-                    f"paths (got {d!r}); remote state needs a "
-                    f"transactional table format for the marker"
-                )
         self.text = text
         self.id_col = id_col
         self.num_hashes = num_hashes
@@ -68,31 +68,16 @@ class StreamingSignatureStore:
         self.min_jaccard = min_jaccard
         self.method = method
 
-    # -- generation marker: "<gen> <last_batch_id>" -----------------------
-    def _gen_path(self, gen: int) -> str:
-        return f"{self.state_dir}/gen={gen % 2}"
-
     def _read_marker(self) -> tuple[int, int]:
-        marker = f"{self.state_dir}/_GEN"
-        if not os.path.exists(marker):
-            return -1, -1
-        with open(marker) as f:
-            gen, last_bid = f.read().split()
-        return int(gen), int(last_bid)
-
-    def _commit(self, gen: int, batch_id: int) -> None:
-        os.makedirs(self.state_dir, exist_ok=True)
-        tmp = f"{self.state_dir}/_GEN.tmp"
-        with open(tmp, "w") as f:
-            f.write(f"{gen} {batch_id}")
-        os.replace(tmp, f"{self.state_dir}/_GEN")
+        vals = self._state.read()
+        return (vals[0], vals[1]) if vals else (-1, -1)
 
     def current(self) -> DataFrame | None:
         """The signature store as of the last committed batch."""
         gen, _ = self._read_marker()
         if gen < 0:
             return None
-        return self.spark.read.parquet(self._gen_path(gen))
+        return self.spark.read.parquet(self._state.gen_path(gen))
 
     def matches(self) -> DataFrame | None:
         """All cross-batch matches emitted so far
@@ -100,6 +85,8 @@ class StreamingSignatureStore:
         cross-batch match has been written. Replayed batches may appear
         twice — dedupe on (batch_id, id_new, id_base) if the query
         crashed between match-append and marker-commit."""
+        import os
+
         if not os.path.isdir(self.matches_dir):
             return None
         return self.spark.read.parquet(self.matches_dir)
@@ -107,34 +94,48 @@ class StreamingSignatureStore:
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         """Match one micro-batch against the store, then append its
         signatures. Skips batch ids at or below the committed marker
-        (foreachBatch replay)."""
+        (foreachBatch replay) — with a warning, because a long run of
+        skips means the streaming checkpoint was reset independently of
+        this store (see module docstring)."""
         gen, last_bid = self._read_marker()
         if batch_id <= last_bid:
-            return
-        sigs_new = minhash_signatures(
-            batch_df, self.text, self.id_col, self.num_hashes, self.k, self.method
-        )
-        prev = self.current()
-        if prev is not None:
-            (
-                lsh_pairs_between(
-                    sigs_new,
-                    prev,
-                    self.id_col,
-                    self.num_hashes,
-                    self.bands,
-                    self.min_jaccard,
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-                .select("batch_id", "id_new", "id_base", "est_jaccard")
-                .write.mode("append")
-                .parquet(self.matches_dir)
+            warnings.warn(
+                f"StreamingSignatureStore: skipping batch_id={batch_id} "
+                f"<= committed {last_bid} (replay after crash is normal "
+                f"ONCE; repeated skips mean the checkpoint dir was reset "
+                f"without the store)",
+                stacklevel=2,
             )
-            merged = prev.unionByName(sigs_new.select(*prev.columns))
-        else:
-            merged = sigs_new
-        merged.write.mode("overwrite").parquet(self._gen_path(gen + 1))
-        self._commit(gen + 1, batch_id)
+            return
+        with CacheScope() as cs:
+            sigs_new = cs.persist(
+                minhash_signatures(
+                    batch_df, self.text, self.id_col,
+                    self.num_hashes, self.k, self.method,
+                )
+            )
+            prev = self.current()
+            if prev is not None:
+                (
+                    lsh_pairs_between(
+                        sigs_new,
+                        prev,
+                        self.id_col,
+                        self.num_hashes,
+                        self.bands,
+                        self.min_jaccard,
+                        cache=cs,
+                    )
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .select("batch_id", "id_new", "id_base", "est_jaccard")
+                    .write.mode("append")
+                    .parquet(self.matches_dir)
+                )
+                merged = prev.unionByName(sigs_new.select(*prev.columns))
+            else:
+                merged = sigs_new
+            merged.write.mode("overwrite").parquet(self._state.gen_path(gen + 1))
+            self._state.commit(gen + 1, batch_id)
 
 
 def attach_dedup_foreach_batch(

@@ -12,13 +12,13 @@ at-least-once for the writes.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pfutil_spark.operators.hll_agg import SKETCH_COL, pf_count_col, pf_merge, pf_partial
+from pfutil_spark.streaming._state import GenerationState
 
 
 class StreamingHllState:
@@ -37,37 +37,24 @@ class StreamingHllState:
         version: int = 4,
     ):
         self.spark = spark
-        self.state_dir = state_dir.rstrip("/")
-        if "://" in self.state_dir and not self.state_dir.startswith("file://"):
-            # the _GEN marker is read/written with driver-local file IO;
-            # on hdfs:///s3a:// it would silently look absent and RESET
-            # committed state — refuse instead (an Iceberg/Delta MERGE
-            # sink is the right remote-state backend, see class docstring)
-            raise NotImplementedError(
-                f"StreamingHllState state_dir must be a driver-local path "
-                f"(got {state_dir!r}); remote state needs a transactional "
-                f"table format for the generation marker"
-            )
+        # shared marker machinery; rejects ANY "://" URI — the marker is
+        # driver-local file IO, and even file:// would silently diverge
+        # from where Spark writes the generation parquet
+        self._state = GenerationState(state_dir)
+        self.state_dir = self._state.state_dir
         self.element = element
         self.by = list(by)
         self.version = version
 
     def _gen_path(self, gen: int) -> str:
-        return f"{self.state_dir}/gen={gen % 2}"
+        return self._state.gen_path(gen)
 
     def _current_gen(self) -> int:
-        marker = f"{self.state_dir}/_GEN"
-        if not os.path.exists(marker):
-            return -1
-        with open(marker) as f:
-            return int(f.read().strip())
+        vals = self._state.read()
+        return vals[0] if vals else -1
 
     def _commit_gen(self, gen: int) -> None:
-        os.makedirs(self.state_dir, exist_ok=True)
-        tmp = f"{self.state_dir}/_GEN.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(gen))
-        os.replace(tmp, f"{self.state_dir}/_GEN")
+        self._state.commit(gen)
 
     def current(self) -> DataFrame | None:
         gen = self._current_gen()

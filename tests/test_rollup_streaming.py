@@ -738,9 +738,12 @@ class TestStreamingSignatureStore:
         store = self._mk(spark, tmp_path)
         b1 = docs.filter(F.col("doc_id") % 2 == 0)
         # batch 2 re-ingests some batch-1 docs under shifted ids ->
-        # guaranteed cross-batch near-dups (identical text)
+        # guaranteed cross-batch near-dups (identical text). The reingest
+        # ids are materialized ONCE (limit without ordering is
+        # nondeterministic across jobs)
+        reingest = [r["doc_id"] for r in b1.select("doc_id").limit(5).collect()]
         b2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
-            b1.limit(5).select(
+            b1.filter(F.col("doc_id").isin(reingest)).select(
                 (F.col("doc_id") + 900_000).alias("doc_id"),
                 *[c for c in docs.columns if c != "doc_id"],
             ).select(*docs.columns)
@@ -753,10 +756,7 @@ class TestStreamingSignatureStore:
             (r["id_new"], r["id_base"])
             for r in store.matches().collect()
         }
-        want = {
-            (r["doc_id"] + 900_000, r["doc_id"])
-            for r in b1.limit(5).select("doc_id").collect()
-        }
+        want = {(did + 900_000, did) for did in reingest}
         assert got >= want
         n_after = store.current().count()
         assert n_after == b1.count() + b2.count()
