@@ -1279,6 +1279,22 @@ def _contam_oracle_sql(extra_cols: str) -> str:
     )
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window document chunking (operators/packing.py::
+    chunk_documents): every document split into 24-token chunks with an
+    8-token overlap (stride 16) — the prep step between cleaning and
+    shard packing. MAP-ONLY (zero shuffles besides the display sort,
+    zero Python — plan-gated in tests); integer token arithmetic and
+    identical whitespace-split/join on both engines -> EXACT DuckDB
+    parity on every chunk string."""
+    from pfutil_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=24, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def _contam_split_frames(
     spark: SparkSession, sf_dir: str
 ) -> "tuple[DataFrame, DataFrame]":
@@ -1923,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "top_terms_by_lang": _q_top_terms_by_lang,
         "token_shard_packing": _q_token_shard_packing,
+        "doc_chunks": _q_doc_chunks,
         "pii_scan_report": _q_pii_scan_report,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
@@ -2172,6 +2189,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_shard_packing": _token_shard_packing_oracle_sql(),
         "table_profile_report": _table_profile_oracle_sql(),
+        "doc_chunks": (
+            "WITH base AS (SELECT doc_id, trim(text) AS t FROM documents"
+            "  WHERE doc_id IS NOT NULL AND text IS NOT NULL),"
+            " tok AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w,"
+            "  CASE WHEN len(t) = 0 THEN 0"
+            "   ELSE len(regexp_split_to_array(t, '\\s+')) END AS n FROM base),"
+            " g AS (SELECT unnest(range(0,"
+            "  (SELECT coalesce(max(n), 0) FROM tok), 16)) AS s)"
+            " SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_idx,"
+            "  CAST(least(24, n - s) AS BIGINT) AS n_chunk_tokens,"
+            "  array_to_string(w[(s + 1)::INT : (s + 24)::INT], ' ')"
+            "   AS chunk_text"
+            " FROM tok JOIN g ON g.s < n ORDER BY doc_id, chunk_idx"
+        ),
         "top_terms_by_lang": (
             "WITH toks AS (SELECT lang, doc_id,"
             "  unnest(regexp_split_to_array(trim(text), '\\s+')) AS term"

@@ -150,3 +150,53 @@ class TestPacking:
         pd.testing.assert_frame_equal(
             stats.reset_index(drop=True), oracle.reset_index(drop=True)
         )
+
+
+class TestChunking:
+    def test_matches_brute_force(self, spark):
+        from pfutil_spark.operators.packing import chunk_documents
+
+        rows = [
+            (1, "a b c d e f g"),   # 7 toks, chunk 3 overlap 1 -> stride 2
+            (2, "x"),                # single token -> one chunk
+            (3, ""),                 # blank -> no rows
+            (4, None),               # NULL text -> no rows
+            (None, "p q r"),         # NULL id -> no rows
+        ]
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+            for r in chunk_documents(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                chunk_tokens=3,
+                overlap=1,
+            ).collect()
+        }
+        want = {}
+        for did, t in rows:
+            if did is None or not (t or "").strip():
+                continue
+            w = t.split()
+            stride = 2
+            for i, s in enumerate(range(0, len(w), stride)):
+                piece = w[s : s + 3]
+                want[(did, i)] = (len(piece), " ".join(piece))
+        assert got == want
+        # doc 1: starts 0,2,4,6 -> final chunk is the single token "g"
+        assert got[(1, 3)] == (1, "g")
+
+    def test_map_only_plan_and_validation(self, spark):
+        from pfutil_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = chunk_documents(df)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan, plan
+        for node in ("EvalPython", "MapInPandas", "MapInArrow"):
+            assert node not in plan, plan
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, overlap=5, chunk_tokens=5)
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            chunk_documents(df, chunk_tokens=0)
