@@ -142,18 +142,46 @@ def chunk_documents(
             f"overlap={overlap}: must be in [0, chunk_tokens)"
         )
     stride = chunk_tokens - overlap
-    words = F.split(F.trim(F.col(text)), r"\s+")
-    n = F.when(
-        F.length(F.trim(F.col(text))) > 0, F.size(words)
-    ).otherwise(F.lit(0))
-    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
-    return (
-        df.filter(F.col(id_col).isNotNull() & (n > 0))
+    # materialize the token array and its count as NAMED columns, each
+    # referenced MORE THAN ONCE downstream: higher-order-function
+    # lambdas are CodegenFallback and re-evaluate their body per
+    # element, so an inlined split() would re-tokenize the document once
+    # per chunk (O(tokens x chunks) character work); multiply-referenced
+    # non-cheap aliases are what CollapseProject refuses to inline back
+    # (plan-gated: tests assert split() never appears inside the lambda)
+    _w, _n = "__chunk_words", "__chunk_n"
+    base = (
+        df.filter(F.col(id_col).isNotNull())
         .select(
+            F.col(id_col),
+            F.col(text).alias("__chunk_raw"),
+            F.split(F.trim(F.col(text)), r"\s+").alias(_w),
+        )
+        .select(
+            id_col,
+            _w,
+            # deliberately NOT functions.text.token_count_col: that
+            # helper re-splits the raw text, which would leave _w
+            # single-referenced and CollapseProject free to inline the
+            # split back into the lambda; counting size(_w) keeps _w
+            # multiply-referenced (same blank-text guard semantics,
+            # differentially tested against token_count_col)
+            F.when(
+                F.length(F.trim(F.col("__chunk_raw"))) > 0,
+                F.size(F.col(_w)),
+            )
+            .otherwise(F.lit(0))
+            .alias(_n),
+        )
+        .filter(F.col(_n) > 0)
+    )
+    n, words = F.col(_n), F.col(_w)
+    return (
+        base.select(
             F.col(id_col),
             F.posexplode(
                 F.transform(
-                    starts,
+                    F.sequence(F.lit(0), n - 1, F.lit(stride)),
                     lambda s: F.struct(
                         F.least(F.lit(chunk_tokens), n - s).alias("tok"),
                         F.array_join(

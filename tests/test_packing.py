@@ -196,7 +196,47 @@ class TestChunking:
         assert "Exchange" not in plan, plan
         for node in ("EvalPython", "MapInPandas", "MapInArrow"):
             assert node not in plan, plan
+        # the HOF lambda re-evaluates its body PER ELEMENT: split() must
+        # reference the materialized token-array attribute, never appear
+        # inside the lambda (O(tokens x chunks) re-tokenization otherwise)
+        opt = chunk_documents(df)._jdf.queryExecution().optimizedPlan().toString()
+
+        def _lambda_bodies(s):  # balanced-paren extraction
+            out, i = [], 0
+            while (i := s.find("lambdafunction(", i)) != -1:
+                j, depth = i + len("lambdafunction("), 1
+                while depth and j < len(s):
+                    depth += {"(": 1, ")": -1}.get(s[j], 0)
+                    j += 1
+                out.append(s[i:j])
+                i = j
+            return out
+
+        bodies = _lambda_bodies(opt)
+        assert bodies  # the extraction matched something
+        for lam in bodies:
+            assert "split(" not in lam, lam
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, overlap=5, chunk_tokens=5)
         with pytest.raises(ValueError, match="chunk_tokens"):
             chunk_documents(df, chunk_tokens=0)
+
+    def test_blank_guard_matches_token_count_col(self, spark):
+        # chunk_documents hand-rolls the blank-text token count (see the
+        # comment in packing.py about CollapseProject); it must never
+        # drift from functions.text.token_count_col
+        from pfutil_spark.functions.text import token_count_col
+        from pfutil_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, "   "), (4, "x")],
+            "doc_id long, text string",
+        )
+        chunked = chunk_documents(df, chunk_tokens=10, overlap=0)
+        got = {r["doc_id"]: r["n_chunk_tokens"] for r in chunked.collect()}
+        want = {
+            r["doc_id"]: r["n"]
+            for r in df.select("doc_id", token_count_col("text").alias("n")).collect()
+            if r["n"] > 0
+        }
+        assert got == want
