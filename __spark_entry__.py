@@ -1295,6 +1295,67 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end layout pipeline: chunk_documents (24-token windows,
+    8-token overlap) feeds pack_token_shards (500-token shards, 16
+    buckets) — the full clean->chunk->pack path a pretraining writer
+    runs, graded as one composition. Chunk identity is the composite
+    key doc_id/chunk_idx (string, identical construction both engines).
+    Map-only chunking + ONE hash Exchange + per-bucket window; all
+    integer token arithmetic -> EXACT DuckDB parity on the shard
+    manifest."""
+    from pfutil_spark.operators.packing import (
+        chunk_documents,
+        pack_token_shards,
+        shard_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=24, overlap=8).withColumn(
+        "chunk_key",
+        F.concat_ws(
+            "/", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+        ),
+    )
+    packed = pack_token_shards(
+        chunks, "chunk_key", "n_chunk_tokens", budget=500, bucket_chars=1, seed=7
+    )
+    return shard_stats(packed, "n_chunk_tokens").orderBy("pack_bucket", "pack_shard")
+
+
+def _chunk_pack_manifest_oracle_sql() -> str:
+    """DuckDB mirror: the doc_chunks relation feeding the
+    token_shard_packing window, chunk-keyed. Draw/bucket exprs come from
+    packing.sql_pack_exprs over the same composite key so the two sides
+    cannot drift."""
+    from pfutil_spark.operators.packing import sql_pack_exprs
+
+    key = "(CAST(doc_id AS VARCHAR) || '/' || CAST(chunk_idx AS VARCHAR))"
+    draw, bucket = sql_pack_exprs(key, 1, seed=7)
+    return (
+        "WITH base AS (SELECT doc_id, trim(text) AS t FROM documents"
+        "  WHERE doc_id IS NOT NULL AND text IS NOT NULL),"
+        " tok AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w,"
+        "  CASE WHEN len(t) = 0 THEN 0"
+        "   ELSE len(regexp_split_to_array(t, '\\s+')) END AS n FROM base),"
+        " g AS (SELECT unnest(range(0,"
+        "  (SELECT coalesce(max(n), 0) FROM tok), 16)) AS s),"
+        " chunks AS (SELECT doc_id, s // 16 AS chunk_idx,"
+        "  least(24, n - s) AS tok FROM tok JOIN g ON g.s < n),"
+        f" keyed AS (SELECT {key} AS k, {draw} AS d, {bucket} AS b, tok"
+        "  FROM chunks),"
+        " cum AS (SELECT b, tok,"
+        "  sum(tok) OVER (PARTITION BY b ORDER BY d, k"
+        "   ROWS UNBOUNDED PRECEDING) AS c"
+        " FROM keyed)"
+        " SELECT b AS pack_bucket,"
+        "  CAST((c - tok) // 500 AS BIGINT) AS pack_shard,"
+        "  CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(tok) AS BIGINT) AS n_tokens"
+        " FROM cum GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def _contam_split_frames(
     spark: SparkSession, sf_dir: str
 ) -> "tuple[DataFrame, DataFrame]":
@@ -1940,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_by_lang": _q_top_terms_by_lang,
         "token_shard_packing": _q_token_shard_packing,
         "doc_chunks": _q_doc_chunks,
+        "chunk_pack_manifest": _q_chunk_pack_manifest,
         "pii_scan_report": _q_pii_scan_report,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
@@ -2189,6 +2251,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_shard_packing": _token_shard_packing_oracle_sql(),
         "table_profile_report": _table_profile_oracle_sql(),
+        "chunk_pack_manifest": _chunk_pack_manifest_oracle_sql(),
         "doc_chunks": (
             "WITH base AS (SELECT doc_id, trim(text) AS t FROM documents"
             "  WHERE doc_id IS NOT NULL AND text IS NOT NULL),"
