@@ -1356,6 +1356,84 @@ def _chunk_pack_manifest_oracle_sql() -> str:
     )
 
 
+def _q_length_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample KS drift between per-language n_chars
+    distributions from per-lang KLL sketches (operators/drift.py::
+    drift_matrix — one scan + one shuffle, pairs evaluated on the tiny
+    sketch table). At sf0.01 every lang group fits a k=1024 sketch
+    losslessly, so the estimate IS the exact empirical statistic —
+    graded as EXACT float parity with DuckDB's brute-force max-CDF-gap
+    (both sides: int64-count divisions, identical IEEE ops). The
+    approximation regime (compacted sketches, bound = sum of rank
+    errors) is gated in tests/test_drift.py at 20k rows/side."""
+    from pfutil_spark.operators.drift import drift_matrix
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return drift_matrix(docs, "n_chars", "lang", k=1024).select(
+        "a", "b", "ks_est", "n_a", "n_b"
+    ).orderBy("a", "b")
+
+
+def _length_drift_oracle_sql() -> str:
+    """Exact two-sample KS per lang pair: CDFs as int-count divisions
+    (identical IEEE doubles to the sketch side's rank()), max |gap| over
+    all distinct values — a superset of the pair's union support, which
+    cannot change the max (CDF steps only move at own-group points)."""
+    return (
+        "WITH v AS (SELECT lang AS s, CAST(n_chars AS DOUBLE) AS x"
+        "  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),"
+        " n AS (SELECT s, count(*) AS cnt FROM v GROUP BY s),"
+        " cdf AS (SELECT g.s, p.x, count(w.x) AS c"
+        "  FROM (SELECT DISTINCT s FROM v) g"
+        "  CROSS JOIN (SELECT DISTINCT x FROM v) p"
+        "  LEFT JOIN v w ON w.s = g.s AND w.x <= p.x"
+        "  GROUP BY g.s, p.x),"
+        " gaps AS (SELECT ca.s AS a, cb.s AS b,"
+        "   abs(ca.c / na.cnt - cb.c / nb.cnt) AS gap"
+        "  FROM cdf ca JOIN cdf cb ON ca.x = cb.x AND ca.s < cb.s"
+        "  JOIN n na ON na.s = ca.s JOIN n nb ON nb.s = cb.s)"
+        " SELECT g.a, g.b, max(g.gap) AS ks_est,"
+        "  CAST(max(na.cnt) AS BIGINT) AS n_a,"
+        "  CAST(max(nb.cnt) AS BIGINT) AS n_b"
+        " FROM gaps g JOIN n na ON na.s = g.a JOIN n nb ON nb.s = g.b"
+        " GROUP BY g.a, g.b ORDER BY g.a, g.b"
+    )
+
+
+def _q_length_clip_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang outlier clipping (sketch_agg.py::quantile_clip): keep
+    documents inside the [p05, p95] n_chars band of their OWN language,
+    then grade the kept fraction against the band width — |kept/total -
+    0.9| <= 0.08 covers t-digest rank error at both edges plus the
+    +/-1-row discreteness of the smallest (~64-doc) groups. n_total is
+    exact; the fraction bound is the scale-honest estimator claim."""
+    from pfutil_spark.operators.sketch_agg import quantile_clip
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    kept = quantile_clip(docs, "n_chars", lo=0.05, hi=0.95, by=("lang",))
+    per = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("__kept"))
+    tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tot.join(per, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            (
+                F.abs(
+                    F.coalesce(F.col("__kept"), F.lit(0)) / F.col("n_total")
+                    - F.lit(0.9)
+                )
+                <= F.lit(0.08)
+            ).alias("within_bound"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _contam_split_frames(
     spark: SparkSession, sf_dir: str
 ) -> "tuple[DataFrame, DataFrame]":
@@ -2002,6 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shard_packing": _q_token_shard_packing,
         "doc_chunks": _q_doc_chunks,
         "chunk_pack_manifest": _q_chunk_pack_manifest,
+        "length_drift_by_lang": _q_length_drift_by_lang,
+        "length_clip_by_lang": _q_length_clip_by_lang,
         "pii_scan_report": _q_pii_scan_report,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
@@ -2252,6 +2332,13 @@ def oracle_sql() -> dict[str, str]:
         "token_shard_packing": _token_shard_packing_oracle_sql(),
         "table_profile_report": _table_profile_oracle_sql(),
         "chunk_pack_manifest": _chunk_pack_manifest_oracle_sql(),
+        "length_drift_by_lang": _length_drift_oracle_sql(),
+        "length_clip_by_lang": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_total,"
+            " TRUE AS within_bound FROM documents"
+            " WHERE lang IS NOT NULL AND n_chars IS NOT NULL"
+            " GROUP BY lang ORDER BY lang"
+        ),
         "doc_chunks": (
             "WITH base AS (SELECT doc_id, trim(text) AS t FROM documents"
             "  WHERE doc_id IS NOT NULL AND text IS NOT NULL),"

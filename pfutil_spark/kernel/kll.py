@@ -204,6 +204,60 @@ def merge_all(sketches: list[KllSketch]) -> KllSketch:
 
 
 # ---------------------------------------------------------------------------
+# two-sample queries over sketch pairs (index-build scale: one call per
+# GROUP PAIR, never per input row).
+# ---------------------------------------------------------------------------
+
+# Conservative uniform-rank-error constant for THIS implementation's
+# capacity schedule (c = 2/3, top cap k): worst observed error across
+# normal/exponential/uniform/heavy-tail inputs, n up to 5*10^4, 16-way
+# merged partials, is ~1.4/k (tests/test_drift.py re-checks a slice);
+# 4/k leaves ~3x headroom. Theory: eps = O(1/k) for fixed failure
+# probability (Karnin-Lang-Liberty FOCS'16, Thm 1).
+KS_EPS_C = 4.0
+
+
+def is_lossless(sk: KllSketch) -> bool:
+    """True when the sketch still retains every update exactly — no
+    compaction has dropped anything and all items carry weight 1 (all
+    retained items at level 0, exactly ``n`` of them). ``rank`` /
+    ``quantile`` are then the EXACT empirical CDF, so downstream error
+    bounds collapse to 0. (The ``compactions`` counter can't be used
+    here: ``merge`` bumps it even when ``_compress`` never fired.)"""
+    if sk.n == 0:
+        return True
+    nonempty = [i for i, lv in enumerate(sk.levels) if len(lv)]
+    return nonempty == [0] and len(sk.levels[0]) == sk.n
+
+
+def rank_eps(sk: KllSketch) -> float:
+    """Uniform normalized-rank error bound for ``sk``: 0 in the lossless
+    regime (the sketch IS the data), else ``KS_EPS_C / k``."""
+    return 0.0 if is_lossless(sk) else KS_EPS_C / float(sk.k)
+
+
+def ks_distance(a: KllSketch, b: KllSketch) -> tuple[float, float]:
+    """Two-sample Kolmogorov-Smirnov statistic estimated from two
+    sketches: ``D_hat = max |F_a(x) - F_b(x)|`` over the union of both
+    sketches' retained support points, with both CDFs evaluated
+    right-continuously (rank = P[X <= x], matching :meth:`KllSketch.rank`).
+
+    Returns ``(d_est, err_bound)`` with ``|d_est - D_exact| <=
+    err_bound = rank_eps(a) + rank_eps(b)``: both estimated CDFs are
+    step functions jumping only at retained points, so the max over the
+    union support equals ``sup_x |F_a_hat - F_b_hat|``, which is within
+    the summed uniform rank errors of the true sup (attained at a data
+    point). In the lossless regime the estimate is EXACT — bit-for-bit
+    the empirical statistic, since ``rank`` then divides exact int64
+    counts. Empty sketches yield ``(nan, inf)``."""
+    if a.n == 0 or b.n == 0:
+        return float("nan"), float("inf")
+    pts = np.unique(np.concatenate([a._weighted()[0], b._weighted()[0]]))
+    d = float(np.max(np.abs(a.rank(pts) - b.rank(pts))))
+    return d, rank_eps(a) + rank_eps(b)
+
+
+# ---------------------------------------------------------------------------
 # vectorized grouped fold over flat buffers (zero per-group Python).
 # ---------------------------------------------------------------------------
 

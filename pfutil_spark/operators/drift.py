@@ -1,0 +1,115 @@
+"""Distribution-drift detection from mergeable quantile sketches.
+
+The pretraining-pipeline question: "did the length / score / latency
+distribution of stratum A move away from stratum B (or from last
+week's snapshot)?" — answered with the two-sample Kolmogorov-Smirnov
+statistic D = sup_x |F_a(x) - F_b(x)|, estimated from per-stratum KLL
+sketches (kernel/kll.py::ks_distance) instead of the raw rows.
+
+Plan shape (the 100-TB posture): ONE scan + ONE shuffle builds the L
+per-stratum sketches (the shared aggregation plan, PLANS.md §7); every
+stratum pair is then evaluated on the tiny L-row sketch table — a
+broadcast self-join producing <= L(L-1)/2 pair rows of O(k) bytes
+each. The exact statistic would need a full re-sort of both strata's
+raw rows PER PAIR; this never re-reads the input. The estimate carries
+a sound error bound (sum of the two sketches' uniform rank errors; 0
+in the lossless small-group regime where the sketch retains every
+value), so "drifted" decisions can be made with the bound in hand.
+
+Reference sketches serialize like every other sketch here, so the
+"compare today against last month's checkpointed sketch" workflow is a
+parquet read + ks_drift_col — no access to last month's raw data.
+
+No reference-repo counterpart (SURVEY.md §2.4 extension surface).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from pfutil_spark.kernel import kll
+from pfutil_spark.operators.sketch_agg import SKETCH_COL, kll_sketch
+
+
+def ks_drift_col(a: str | Column, b: str | Column) -> Column:
+    """struct<ks_est, err_bound, n_a, n_b> for two KLL sketch columns.
+
+    ``ks_est`` is the two-sample KS statistic estimate, ``err_bound``
+    a sound bound on |ks_est - D_exact| (0.0 when both sketches are
+    lossless — then ks_est IS the exact empirical statistic). Decodes
+    per row: meant for the usual tiny evaluation frames (one row per
+    sketch PAIR), never per input row.
+    """
+    out_t = StructType(
+        [
+            StructField("ks_est", DoubleType()),
+            StructField("err_bound", DoubleType()),
+            StructField("n_a", LongType()),
+            StructField("n_b", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _ks(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for ba, bb in zip(sa, sb):
+            A, B = kll.decode(bytes(ba)), kll.decode(bytes(bb))
+            d, e = kll.ks_distance(A, B)
+            rows.append((d, e, A.n, B.n))
+        return pd.DataFrame(rows, columns=["ks_est", "err_bound", "n_a", "n_b"])
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _ks(ca, cb)
+
+
+def drift_matrix(
+    df: DataFrame, col: str, by: str, k: int = kll.DEFAULT_K
+) -> DataFrame:
+    """Pairwise KS-drift matrix between the strata of ``by`` from ONE
+    scan: per-stratum KLL sketches over ``col``, then every unordered
+    stratum pair (broadcast self-join of the L-row sketch table).
+    Null stratum keys drop (the ``a < b`` pair condition is null-free
+    by construction). Columns:
+    ``(a, b, ks_est, err_bound, n_a, n_b)``."""
+    sk = kll_sketch(df, col, by=(by,), k=k)
+    a = sk.select(F.col(by).alias("a"), F.col(SKETCH_COL).alias("__sa"))
+    b = sk.select(F.col(by).alias("b"), F.col(SKETCH_COL).alias("__sb"))
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    return pairs.select(
+        "a", "b", ks_drift_col("__sa", "__sb").alias("__d")
+    ).select("a", "b", "__d.*")
+
+
+def drift_against_reference(
+    df: DataFrame,
+    col: str,
+    reference: DataFrame,
+    by: Sequence[str] = (),
+    k: int = kll.DEFAULT_K,
+) -> DataFrame:
+    """KS drift of ``df``'s ``col`` distribution against a REFERENCE
+    sketch table (e.g. last month's checkpointed ``kll_sketch`` output
+    read back from parquet — raw historical rows never needed).
+    ``reference`` must carry the same ``by`` columns plus a KLL sketch
+    column named ``sketch``; current-side sketches are built with the
+    same ``k`` so the error bounds line up. Inner equi-join on ``by``
+    (strata absent from either side drop); with ``by=()`` both sides
+    are single-row and a cross join of 1x1 is used. Columns:
+    ``(by..., ks_est, err_bound, n_a, n_b)`` — ``n_a`` is the current
+    side."""
+    by = list(by)
+    cur = kll_sketch(df, col, by=by, k=k).withColumnRenamed(SKETCH_COL, "__sa")
+    ref = reference.withColumnRenamed(SKETCH_COL, "__sb")
+    if by:
+        joined = cur.join(F.broadcast(ref.select(*by, "__sb")), by)
+    else:
+        joined = cur.crossJoin(F.broadcast(ref.select("__sb")))
+    return joined.select(
+        *by, ks_drift_col("__sa", "__sb").alias("__d")
+    ).select(*by, "__d.*")

@@ -924,6 +924,40 @@ def bucket_col(col: str | Column, edges: Sequence[float]) -> Column:
     return F.when(c.isNotNull(), idx.cast("long"))
 
 
+def quantile_clip(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    by: Sequence[str] = (),
+    delta: int = tdigest.DEFAULT_DELTA,
+) -> DataFrame:
+    """Outlier clipping by estimated quantiles: keep rows whose ``col``
+    lies inside the [lo, hi] quantile band — globally, or per group
+    (e.g. drop the sub-p05 / post-p95 document-length tails PER
+    LANGUAGE before packing). Neither pass re-sorts data: pass 1 builds
+    one t-digest per group (one scan + one shuffle of constant-size
+    sketch bytes), pass 2 filters against the tiny broadcast edge
+    table (global form: edge LITERALS — pure whole-stage codegen, no
+    join node at all). Band edges are inclusive; rows with NULL
+    ``col`` — and, grouped, NULL group keys — drop (a NULL value is
+    inside no band). Kept fraction is hi - lo up to the t-digest rank
+    error at the two edges (tests bound it)."""
+    by = list(by)
+    c = F.col(col).cast("double")
+    if not by:
+        edges = tdigest_edges(tdigest_sketch(df, col, delta=delta), [lo, hi])
+        return df.filter((c >= F.lit(edges[0])) & (c <= F.lit(edges[1])))
+    q = tdigest_quantiles_col([lo, hi])
+    ed = tdigest_sketch(df, col, by=by, delta=delta).select(
+        *by, q.getItem(0).alias("__lo"), q.getItem(1).alias("__hi")
+    )
+    joined = df.join(F.broadcast(ed), by)
+    return joined.filter((c >= F.col("__lo")) & (c <= F.col("__hi"))).drop(
+        "__lo", "__hi"
+    )
+
+
 def _long_weight(weight_col: str) -> Column:
     """Integer weight column with NaN / Infinity / out-of-long-range
     values treated as NULL (dropped rows): a bare ``cast("long")``

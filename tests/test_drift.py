@@ -1,0 +1,224 @@
+"""Two-sample KS drift from KLL sketches (kernel/kll.py::ks_distance,
+operators/drift.py) and quantile clipping (sketch_agg.py::quantile_clip)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pfutil_spark.kernel import kll
+
+
+def exact_ks(x: np.ndarray, y: np.ndarray) -> float:
+    """Brute-force two-sample KS: max CDF gap over the union support."""
+    pts = np.unique(np.concatenate([x, y]))
+    fx = np.searchsorted(np.sort(x), pts, side="right") / len(x)
+    fy = np.searchsorted(np.sort(y), pts, side="right") / len(y)
+    return float(np.max(np.abs(fx - fy)))
+
+
+def _sketch_of(x: np.ndarray, k: int, parts: int = 1) -> kll.KllSketch:
+    if parts == 1:
+        sk = kll.KllSketch(k)
+        sk.update(x)
+        return sk
+    sks = []
+    for p in np.array_split(x, parts):
+        s = kll.KllSketch(k)
+        s.update(p)
+        sks.append(s)
+    return kll.merge_all(sks)
+
+
+class TestKernelKs:
+    def test_lossless_regime_is_exact(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=150)
+        y = rng.normal(loc=0.4, size=90)
+        a, b = _sketch_of(x, k=1024), _sketch_of(y, k=1024)
+        assert kll.is_lossless(a) and kll.is_lossless(b)
+        d, e = kll.ks_distance(a, b)
+        assert e == 0.0
+        assert d == exact_ks(x, y)  # bit-exact, not approx
+
+    def test_lossless_survives_small_merges(self):
+        rng = np.random.default_rng(2)
+        x = rng.uniform(size=300)
+        merged = _sketch_of(x, k=1024, parts=8)  # 300 items < k: no compress
+        assert kll.is_lossless(merged)
+        single = _sketch_of(x, k=1024)
+        assert kll.ks_distance(merged, single)[0] == 0.0
+
+    def test_compacted_regime_not_lossless(self):
+        sk = _sketch_of(np.arange(5000, dtype=float), k=128)
+        assert not kll.is_lossless(sk)
+        assert kll.rank_eps(sk) == kll.KS_EPS_C / 128.0
+
+    @pytest.mark.parametrize("dist", ["normal", "exponential", "heavy"])
+    @pytest.mark.parametrize("k", [128, 256])
+    def test_estimate_within_bound(self, dist, k):
+        rng = np.random.default_rng(hash((dist, k)) % (1 << 31))
+        n = 20_000
+        if dist == "normal":
+            x, y = rng.normal(size=n), rng.normal(loc=0.15, size=n)
+        elif dist == "exponential":
+            x, y = rng.exponential(size=n), rng.exponential(1.2, size=n)
+        else:
+            x = np.floor(rng.pareto(1.3, size=n) * 10)
+            y = np.floor(rng.pareto(1.5, size=n) * 10)
+        a = _sketch_of(x, k=k, parts=16)
+        b = _sketch_of(y, k=k, parts=16)
+        d, e = kll.ks_distance(a, b)
+        assert e == 2 * kll.KS_EPS_C / k
+        assert abs(d - exact_ks(x, y)) <= e
+
+    def test_identical_inputs_drift_zero(self):
+        x = np.arange(400, dtype=float)
+        d, e = kll.ks_distance(_sketch_of(x, k=1024), _sketch_of(x, k=1024))
+        assert d == 0.0 and e == 0.0
+
+    def test_empty_side_nan(self):
+        a = kll.KllSketch(200)
+        b = _sketch_of(np.arange(10, dtype=float), k=200)
+        d, e = kll.ks_distance(a, b)
+        assert np.isnan(d) and e == float("inf")
+
+    def test_disjoint_supports_drift_one(self):
+        a = _sketch_of(np.arange(100, dtype=float), k=1024)
+        b = _sketch_of(np.arange(100, dtype=float) + 1000.0, k=1024)
+        assert kll.ks_distance(a, b)[0] == 1.0
+
+
+@pytest.fixture(scope="module")
+def drift_df(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for grp, (loc, n) in {
+        "a": (0.0, 400), "b": (0.0, 350), "c": (2.0, 300)
+    }.items():
+        for v in rng.normal(loc=loc, size=n):
+            rows.append((grp, float(v)))
+    rows.append((None, 0.0))   # null stratum drops
+    rows.append(("a", None))   # null value drops from the sketch
+    return spark.createDataFrame(rows, "grp string, val double")
+
+
+class TestDriftMatrix:
+    def test_matches_bruteforce_exactly_in_lossless_regime(self, spark, drift_df):
+        from pfutil_spark.operators.drift import drift_matrix
+
+        out = {
+            (r["a"], r["b"]): r
+            for r in drift_matrix(drift_df, "val", "grp", k=1024).collect()
+        }
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        pdf = drift_df.toPandas()
+        for (ga, gb), r in out.items():
+            x = pdf[pdf.grp == ga].val.dropna().to_numpy()
+            y = pdf[pdf.grp == gb].val.dropna().to_numpy()
+            assert r["ks_est"] == exact_ks(x, y)
+            assert r["err_bound"] == 0.0
+            assert (r["n_a"], r["n_b"]) == (len(x), len(y))
+        # the shifted stratum is far from both unshifted ones
+        assert out[("a", "c")]["ks_est"] > 0.5 > out[("a", "b")]["ks_est"]
+
+    def test_partition_independent_in_lossless_regime(self, spark, drift_df):
+        from pfutil_spark.operators.drift import drift_matrix
+
+        base = sorted(
+            (r["a"], r["b"], r["ks_est"])
+            for r in drift_matrix(drift_df, "val", "grp", k=1024).collect()
+        )
+        shuffled = sorted(
+            (r["a"], r["b"], r["ks_est"])
+            for r in drift_matrix(
+                drift_df.repartition(13, "val"), "val", "grp", k=1024
+            ).collect()
+        )
+        assert base == shuffled
+
+    def test_against_reference_sketch_table(self, spark, drift_df, tmp_path):
+        from pfutil_spark.operators.drift import drift_against_reference
+        from pfutil_spark.operators.sketch_agg import kll_sketch
+
+        # checkpoint the per-stratum sketches, read back, compare a
+        # SHIFTED current batch against them — no raw history rows
+        path = str(tmp_path / "ref_sketches")
+        kll_sketch(drift_df, "val", by=("grp",), k=1024).write.parquet(path)
+        ref = spark.read.parquet(path)
+        cur = drift_df.withColumn("val", F.col("val") + F.lit(5.0))
+        out = {
+            r["grp"]: r
+            for r in drift_against_reference(
+                cur, "val", ref, by=("grp",), k=1024
+            ).collect()
+        }
+        assert set(out) == {"a", "b", "c"}
+        for r in out.values():
+            assert r["ks_est"] > 0.9  # +5 sigma shift: near-total drift
+            assert r["err_bound"] == 0.0
+
+    def test_against_reference_global(self, spark, drift_df):
+        from pfutil_spark.operators.drift import drift_against_reference
+        from pfutil_spark.operators.sketch_agg import kll_sketch
+
+        ref = kll_sketch(drift_df, "val", k=1024)
+        out = drift_against_reference(drift_df, "val", ref, k=1024).collect()
+        assert len(out) == 1
+        assert out[0]["ks_est"] == 0.0
+
+
+class TestQuantileClip:
+    def test_grouped_kept_fraction_and_bounds(self, spark):
+        from pfutil_spark.operators.sketch_agg import quantile_clip
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (g, float(v))
+            for g, scale in (("x", 1.0), ("y", 50.0))
+            for v in rng.normal(scale=scale, size=4000)
+        ]
+        df = spark.createDataFrame(rows, "grp string, val double")
+        kept = quantile_clip(df, "val", lo=0.05, hi=0.95, by=("grp",))
+        stats = {
+            r["grp"]: r
+            for r in kept.groupBy("grp")
+            .agg(F.count("*").alias("n"), F.min("val").alias("lo"),
+                 F.max("val").alias("hi"))
+            .collect()
+        }
+        for g in ("x", "y"):
+            frac = stats[g]["n"] / 4000
+            assert abs(frac - 0.9) <= 0.04   # 2 edges x t-digest rank err
+        # per-group bands differ: the wide group's band is ~50x wider
+        assert stats["y"]["hi"] > 10 * stats["x"]["hi"]
+
+    def test_global_plan_has_no_join_and_no_python(self, spark):
+        from pfutil_spark.operators.sketch_agg import quantile_clip
+
+        df = spark.range(10_000).select(
+            (F.col("id") % 97).cast("double").alias("val")
+        )
+        kept = quantile_clip(df, "val", lo=0.1, hi=0.9)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+        n = kept.count()
+        assert abs(n / 10_000 - 0.8) <= 0.05
+
+    def test_nulls_and_null_groups_drop(self, spark):
+        from pfutil_spark.operators.sketch_agg import quantile_clip
+
+        rows = [("g", float(i)) for i in range(100)]
+        rows += [("g", None), (None, 50.0)]
+        df = spark.createDataFrame(rows, "grp string, val double")
+        kept = quantile_clip(df, "val", lo=0.0, hi=1.0, by=("grp",))
+        got = kept.collect()
+        assert all(r["grp"] == "g" and r["val"] is not None for r in got)
+
+    def test_full_band_keeps_every_non_null_row(self, spark):
+        from pfutil_spark.operators.sketch_agg import quantile_clip
+
+        df = spark.range(500).select(F.col("id").cast("double").alias("val"))
+        # lo=0, hi=1: t-digest min/max are exact, band edges inclusive
+        assert quantile_clip(df, "val", lo=0.0, hi=1.0).count() == 500
