@@ -76,6 +76,85 @@ def streaming_quantiles_with_state(
     )
 
 
+def streaming_drift_with_state(
+    stream_df: DataFrame,
+    value: str,
+    by: Sequence[str],
+    reference: "bytes | dict",
+    k: int = 200,
+) -> DataFrame:
+    """Running per-key distribution-drift monitor: the GroupState is a
+    serialized KLL sketch of everything the key has streamed so far
+    (O(k log log n) bytes forever); each micro-batch folds the new rows
+    in and emits the two-sample KS statistic of the ACCUMULATED stream
+    distribution against a REFERENCE sketch — e.g. last month's
+    checkpointed ``kll_sketch`` output (operators/drift.py builds the
+    same bytes). The emitted ``err_bound`` is sound for the estimate
+    (kernel/kll.py::ks_distance), so an alert rule like ``ks_est -
+    err_bound > 0.1`` never fires on sketch noise. Output mode: update.
+
+    ``reference`` is either one encoded KLL for every key, or a dict of
+    key -> bytes (single ``by`` column: the bare key value; composite:
+    the tuple). Keys with no reference emit ks_est NULL (the NaN row
+    marker crosses the Arrow boundary as SQL NULL) with err_bound inf
+    rather than being dropped — a brand-new stratum IS a drift signal.
+    KLL is the right drift state: mergeable (at-least-once replay keeps
+    the bound sound), uniform rank error (the KS bound is its sum), and
+    constant-size regardless of stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    from pfutil_spark.kernel import kll
+
+    by = list(by)
+    if isinstance(reference, dict):
+        ref_map = {
+            (kk if isinstance(kk, tuple) else (kk,)): bytes(vv)
+            for kk, vv in reference.items()
+        }
+    else:
+        ref_map = None
+        ref_bytes = bytes(reference)
+    out_schema = StructType(
+        [stream_df.schema[c] for c in by]
+        + [
+            StructField("n", LongType(), False),
+            StructField("ks_est", DoubleType(), True),
+            StructField("err_bound", DoubleType(), True),
+        ]
+    )
+    state_schema = StructType([StructField("sketch", BinaryType(), True)])
+
+    def fn(key, pdfs, state: GroupState):
+        sk = (
+            kll.decode(bytes(state.get[0])) if state.exists else kll.KllSketch(k)
+        )
+        for pdf in pdfs:
+            sk.update(pdf[value].to_numpy(dtype=np.float64, na_value=np.nan))
+        state.update((sk.encode(),))
+        rb = ref_map.get(tuple(key)) if ref_map is not None else ref_bytes
+        if rb is None:
+            d, e = float("nan"), float("inf")
+        else:
+            d, e = kll.ks_distance(sk, kll.decode(rb))
+        yield pd.DataFrame(
+            [(*key, int(sk.n), d, e)], columns=by + ["n", "ks_est", "err_bound"]
+        )
+
+    return stream_df.groupBy(*by).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_topk_with_state(
     stream_df: DataFrame,
     value: str,

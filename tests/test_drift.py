@@ -167,6 +167,62 @@ class TestDriftMatrix:
         assert out[0]["ks_est"] == 0.0
 
 
+class TestStreamingDrift:
+    def test_running_ks_vs_reference(self, spark, tmp_path):
+        """Per-key KLL GroupState vs checkpointed reference sketches:
+        the stable key reports ~0 drift, the shifted key near-total
+        drift, a key with no reference emits NaN/inf instead of
+        dropping, and n is exact."""
+        from pfutil_spark.operators.sketch_agg import SKETCH_COL, kll_sketch
+        from pfutil_spark.streaming import streaming_drift_with_state
+
+        rng = np.random.default_rng(23)
+        hist_rows = [
+            (g, float(v))
+            for g in ("stable", "shifted")
+            for v in rng.normal(size=600)
+        ]
+        hist = spark.createDataFrame(hist_rows, "grp string, val double")
+        reference = {
+            r["grp"]: bytes(r[SKETCH_COL])
+            for r in kll_sketch(hist, "val", by=("grp",), k=1024).collect()
+        }
+
+        cur_rows = [("stable", float(v)) for v in rng.normal(size=500)]
+        cur_rows += [("shifted", float(v)) for v in rng.normal(loc=6.0, size=500)]
+        cur_rows += [("newcomer", float(v)) for v in rng.normal(size=50)]
+        cur = spark.createDataFrame(cur_rows, "grp string, val double")
+        src = tmp_path / "drift_src"
+        cur.write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(cur.schema).parquet(str(src))
+        out = streaming_drift_with_state(stream, "val", ["grp"], reference, k=1024)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("drift_out")
+            .option("checkpointLocation", str(tmp_path / "drift_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = {
+            r["grp"]: r
+            for r in spark.sql(
+                "SELECT * FROM (SELECT *, row_number() OVER ("
+                " PARTITION BY grp ORDER BY n DESC) rn FROM drift_out)"
+                " WHERE rn = 1"
+            ).collect()
+        }
+        assert set(rows) == {"stable", "shifted", "newcomer"}
+        assert rows["stable"]["n"] == 500 and rows["shifted"]["n"] == 500
+        # both sides lossless at these sizes: bounds are exactly 0
+        assert rows["stable"]["err_bound"] == 0.0
+        assert rows["stable"]["ks_est"] < 0.15
+        assert rows["shifted"]["ks_est"] > 0.9
+        assert rows["newcomer"]["ks_est"] is None  # NaN -> SQL NULL
+        assert rows["newcomer"]["err_bound"] == float("inf")
+
+
 class TestQuantileClip:
     def test_grouped_kept_fraction_and_bounds(self, spark):
         from pfutil_spark.operators.sketch_agg import quantile_clip
