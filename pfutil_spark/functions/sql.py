@@ -98,7 +98,32 @@ def register_sql_functions(spark: SparkSession) -> None:
             ]
         )
 
+    from pfutil_spark.kernel import kll as _kll
+
+    @F.pandas_udf(DoubleType())
+    def kll_ks(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        # same evaluator body as operators/drift.py::ks_drift_col
+        return pd.Series(
+            [
+                _kll.ks_distance(_kll.decode(bytes(a)), _kll.decode(bytes(b)))[0]
+                for a, b in zip(sa, sb)
+            ],
+            dtype="float64",
+        )
+
+    @F.pandas_udf(DoubleType())
+    def kll_ks_bound(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _kll.ks_distance(_kll.decode(bytes(a)), _kll.decode(bytes(b)))[1]
+                for a, b in zip(sa, sb)
+            ],
+            dtype="float64",
+        )
+
     spark.udf.register("kmv_estimate", kmv_estimate)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("cms_total", cms_total)
     spark.udf.register("ss_topk_json", ss_topk_json)
+    spark.udf.register("kll_ks", kll_ks)
+    spark.udf.register("kll_ks_bound", kll_ks_bound)

@@ -278,3 +278,37 @@ class TestQuantileClip:
         df = spark.range(500).select(F.col("id").cast("double").alias("val"))
         # lo=0, hi=1: t-digest min/max are exact, band edges inclusive
         assert quantile_clip(df, "val", lo=0.0, hi=1.0).count() == 500
+
+
+class TestSqlSurface:
+    def test_kll_ks_sql_matches_column_path(self, spark):
+        """kll_ks / kll_ks_bound SQL evaluators route through the same
+        kernel body as ks_drift_col — checkpointed sketch tables are
+        drift-queryable in plain SQL."""
+        from pfutil_spark.functions.sql import register_sql_functions
+        from pfutil_spark.operators.drift import drift_matrix
+        from pfutil_spark.operators.sketch_agg import kll_sketch
+
+        register_sql_functions(spark)
+        rng = np.random.default_rng(3)
+        rows = [
+            (g, float(v + (2.0 if g == "c" else 0.0)))
+            for g in ("a", "b", "c")
+            for v in rng.normal(size=200)
+        ]
+        df = spark.createDataFrame(rows, "grp string, val double")
+        kll_sketch(df, "val", by=("grp",), k=1024).createOrReplaceTempView("t_kll")
+        got = {
+            (r["a"], r["b"]): (r["ks"], r["bound"])
+            for r in spark.sql(
+                "SELECT x.grp AS a, y.grp AS b,"
+                " kll_ks(x.sketch, y.sketch) AS ks,"
+                " kll_ks_bound(x.sketch, y.sketch) AS bound"
+                " FROM t_kll x JOIN t_kll y ON x.grp < y.grp"
+            ).collect()
+        }
+        col = {
+            (r["a"], r["b"]): (r["ks_est"], r["err_bound"])
+            for r in drift_matrix(df, "val", "grp", k=1024).collect()
+        }
+        assert got == col  # lossless regime: bit-equal, both surfaces

@@ -133,3 +133,27 @@ def test_geometric_mix_plan_broadcasts_and_stays_jvm(spark):
     assert "Python" not in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "Window" in plan, plan
+
+
+def test_drift_matrix_single_shuffle_reused_sketch(spark):
+    """drift_matrix: the pair join broadcasts the tiny sketch table and
+    AQE's FINAL plan reuses the sketch-build exchange across the self-
+    join branches — ONE FileScan + ONE hash Exchange at runtime (the
+    pre-execution plan shows two; reuse lands when AQE re-plans)."""
+    from pfutil_spark.operators.drift import drift_matrix
+
+    df = drift_matrix(
+        spark.read.parquet(f"{SF}/documents.parquet"), "n_chars", "lang", k=1024
+    )
+    df.collect()  # AQE finalizes the plan on execution
+    final = plan_of(df, "simple").split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final, final
+    assert "ReusedExchange" in final, final
+    real_exchanges = [
+        ln
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]  # the ReusedExchange node echoes its target's Exchange text
+    assert len(real_exchanges) == 1, final
+    assert final.count("FileScan") == 1, final
+    assert "BroadcastExchange" in final, final
