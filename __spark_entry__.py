@@ -1434,6 +1434,21 @@ def _q_length_clip_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (functions/text.py::
+    distinctive_terms): top-3 terms per doc by tf/doc_freq — tf-idf
+    ranking with linear idf, emitted as ONE integer-operand IEEE
+    division so the score is bit-identical cross-engine. Zero Python,
+    ONE corpus scan (doc_freq = window over the (doc, term) aggregate).
+    EXACT DuckDB parity on every rank, count, and score."""
+    from pfutil_spark.functions.text import distinctive_terms
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    return distinctive_terms(docs, k=3).orderBy("doc_id", "term_rank")
+
+
 def _contam_split_frames(
     spark: SparkSession, sf_dir: str
 ) -> "tuple[DataFrame, DataFrame]":
@@ -2082,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_pack_manifest": _q_chunk_pack_manifest,
         "length_drift_by_lang": _q_length_drift_by_lang,
         "length_clip_by_lang": _q_length_clip_by_lang,
+        "distinctive_terms": _q_distinctive_terms,
         "pii_scan_report": _q_pii_scan_report,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
@@ -2338,6 +2354,24 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS within_bound FROM documents"
             " WHERE lang IS NOT NULL AND n_chars IS NOT NULL"
             " GROUP BY lang ORDER BY lang"
+        ),
+        "distinctive_terms": (
+            "WITH toks AS (SELECT doc_id,"
+            "  unnest(regexp_split_to_array(trim(text), '\\s+')) AS term"
+            "  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL"
+            "  AND len(trim(text)) > 0),"
+            " tf AS (SELECT doc_id, term, count(*) AS tf"
+            "  FROM toks GROUP BY 1, 2),"
+            " dfq AS (SELECT *, count(*) OVER (PARTITION BY term)"
+            "   AS doc_freq FROM tf),"
+            " r AS (SELECT doc_id, term, tf, doc_freq,"
+            "   tf / doc_freq AS score,"
+            "   row_number() OVER (PARTITION BY doc_id"
+            "    ORDER BY tf / doc_freq DESC, term ASC) AS term_rank"
+            "  FROM dfq)"
+            " SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term,"
+            "  CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq,"
+            "  score FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank"
         ),
         "doc_chunks": (
             "WITH base AS (SELECT doc_id, trim(text) AS t FROM documents"

@@ -148,6 +148,53 @@ def lang_id_col(text: str | Column) -> Column:
     )
 
 
+def distinctive_terms(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` terms of each document
+    with the highest rarity-weighted frequency ``score = tf / doc_freq``
+    — the rank-equivalent of tf-idf with a linear (not log) idf, chosen
+    because a SINGLE integer-operand IEEE division is bit-identical
+    across engines while ``log`` is libm-specific (the doc_repetition /
+    geometric_mix precedent: every emitted float must be one exact op).
+    The classic curation uses: per-doc topic keys, template detection
+    (documents whose "distinctive" terms are boilerplate), routing.
+
+    Output: ``id_col``, ``term_rank`` (1-based over (score desc, term
+    asc) — total order, deterministic under ties), ``term``, ``tf``
+    (in-document occurrences), ``doc_freq`` (corpus documents
+    containing the term), ``score``.
+
+    Plan shape (zero Python, ONE corpus scan — same skeleton as
+    :func:`term_profile`, plan-gated there): explode -> one
+    groupBy(id, term) with map-side combine; ``doc_freq`` is a
+    count-over-Window partitioned by term ON that aggregate (one row
+    per (doc, term) IS one document), so no second scan and no tf-df
+    join; the top-k window partitions by document over per-doc
+    vocabulary. Blank/NULL text yields no rows."""
+    if k < 1:
+        raise ValueError(f"k={k}: must be >= 1")
+    toks = df.filter(F.length(F.trim(F.col(text))) > 0).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn("score", F.col("tf") / F.col("doc_freq"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term_rank", "term", "tf", "doc_freq", "score")
+    )
+
+
 def term_profile(
     df: DataFrame,
     text: str = "text",

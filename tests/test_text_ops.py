@@ -627,6 +627,72 @@ class TestTermProfile:
             term_profile(df, k=0)
 
 
+class TestDistinctiveTerms:
+    def test_matches_brute_force_with_ties_and_edges(self, spark):
+        from collections import Counter
+
+        from pfutil_spark.functions.text import distinctive_terms
+
+        rows = [
+            (1, "the the rare common"),   # 'the' tf=2 but df=3; 'rare' df=1
+            (2, "the common common"),
+            (3, "the zebra"),
+            (4, ""),                       # blank: no rows
+            (5, "   "),                    # whitespace-only: no rows
+            (6, None),                     # NULL text: no rows
+            (7, "tie1 tie2"),              # equal scores -> term asc order
+        ]
+        got = distinctive_terms(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=2
+        ).collect()
+
+        tf: Counter = Counter()
+        docs_with: dict = {}
+        for i, t in rows:
+            for w in (t or "").split():
+                tf[(i, w)] += 1
+                docs_with.setdefault(w, set()).add(i)
+        want = set()
+        per_doc: dict = {}
+        for (i, w), c in tf.items():
+            dfq = len(docs_with[w])
+            per_doc.setdefault(i, []).append((-(c / dfq), w, c, dfq))
+        for i, terms in per_doc.items():
+            for r, (ns, w, c, dfq) in enumerate(sorted(terms)[:2], start=1):
+                want.add((i, r, w, c, dfq, -ns))
+        assert {
+            (r["doc_id"], r["term_rank"], r["term"], r["tf"], r["doc_freq"],
+             r["score"])
+            for r in got
+        } == want
+        # doc 1: rare (1/1=1.0) beats the (2/3≈0.67) beats common (1/2)
+        d1 = {r["term_rank"]: r["term"] for r in got if r["doc_id"] == 1}
+        assert d1 == {1: "rare", 2: "the"}
+        # tie doc: equal score 1.0/1.0 -> lexicographic
+        d7 = {r["term_rank"]: r["term"] for r in got if r["doc_id"] == 7}
+        assert d7 == {1: "tie1", 2: "tie2"}
+        assert not any(r["doc_id"] in (4, 5, 6) for r in got)
+
+    def test_zero_python_one_scan_plan(self, spark):
+        from pfutil_spark.functions.text import distinctive_terms
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = distinctive_terms(df)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        for node in ("EvalPython", "MapInPandas", "MapInArrow",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan, plan
+        import re
+
+        assert len(set(re.findall(r"\(\d+\) Scan \w+", plan))) == 1, plan
+        assert "Join" not in plan, plan
+        with pytest.raises(ValueError, match="k=0"):
+            distinctive_terms(df, k=0)
+
+
 class TestIncrementalDedup:
     def test_cross_pairs_only_and_recall(self, spark):
         from pfutil_spark.operators.dedup import lsh_pairs_between
