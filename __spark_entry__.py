@@ -1434,6 +1434,72 @@ def _q_length_clip_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table drift report (operators/drift.py::table_drift): all
+    numeric columns of events, ONE scan per side (sketch_multi KLL
+    snapshot), compared between the two halves of a deterministic
+    hash split on event_id — the A/B null check a pipeline runs to
+    alarm on ingestion drift (two random halves of the same data must
+    NOT drift; the ks_est quantifies exactly how little). Both halves
+    are lossless at k=8192, so every per-column KS statistic is graded
+    as EXACT float parity with DuckDB's window-cumsum CDF compute over
+    the same sql_split_expr halves."""
+    from pfutil_spark.operators.drift import table_drift, table_sketches
+    from pfutil_spark.operators.sampling import hash_split_col
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    halves = ev.withColumn(
+        "__half", hash_split_col("event_id", (("a", 0.5), ("b", 0.5)), seed=0)
+    )
+    ref = table_sketches(
+        halves.filter(F.col("__half") == "b"), ["value", "user_id"], k=8192
+    )
+    return (
+        table_drift(
+            halves.filter(F.col("__half") == "a"),
+            ref,
+            ["value", "user_id"],
+            k=8192,
+        )
+        .select("col_name", "ks_est", "n_cur", "n_ref")
+        .orderBy("col_name")
+    )
+
+
+def _events_drift_oracle_sql() -> str:
+    """Exact per-column two-sample KS between the same hash halves:
+    window-cumsum CDFs at every distinct value (counts <= x), int64
+    divisions — the identical IEEE ops as the sketch side's rank()."""
+    split = _sampling.sql_split_expr("event_id", (("a", 0.5), ("b", 0.5)), seed=0)
+    return (
+        "WITH s AS (SELECT value, user_id, " + split + " AS half"
+        "  FROM events WHERE event_id IS NOT NULL),"
+        " v AS (SELECT half, 'value' AS c, CAST(value AS DOUBLE) AS x"
+        "   FROM s WHERE value IS NOT NULL"
+        "  UNION ALL SELECT half, 'user_id', CAST(user_id AS DOUBLE)"
+        "   FROM s WHERE user_id IS NOT NULL),"
+        " n AS (SELECT c, half, count(*) AS cnt FROM v GROUP BY 1, 2),"
+        " m AS (SELECT c, x,"
+        "   sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS da,"
+        "   sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS db"
+        "  FROM v GROUP BY 1, 2),"
+        " cum AS (SELECT c, x,"
+        "   CAST(sum(da) OVER (PARTITION BY c ORDER BY x"
+        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,"
+        "   CAST(sum(db) OVER (PARTITION BY c ORDER BY x"
+        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb FROM m),"
+        " g AS (SELECT cum.c, abs(cum.ca / na.cnt - cum.cb / nb.cnt) AS gap"
+        "  FROM cum JOIN n na ON na.c = cum.c AND na.half = 'a'"
+        "  JOIN n nb ON nb.c = cum.c AND nb.half = 'b')"
+        " SELECT g.c AS col_name, max(g.gap) AS ks_est,"
+        "  CAST(max(na.cnt) AS BIGINT) AS n_cur,"
+        "  CAST(max(nb.cnt) AS BIGINT) AS n_ref"
+        " FROM g JOIN n na ON na.c = g.c AND na.half = 'a'"
+        " JOIN n nb ON nb.c = g.c AND nb.half = 'b'"
+        " GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction (functions/text.py::
     distinctive_terms): top-3 terms per doc by tf/doc_freq — tf-idf
@@ -2098,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_drift_by_lang": _q_length_drift_by_lang,
         "length_clip_by_lang": _q_length_clip_by_lang,
         "distinctive_terms": _q_distinctive_terms,
+        "events_drift_report": _q_events_drift_report,
         "pii_scan_report": _q_pii_scan_report,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
@@ -2349,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile_report": _table_profile_oracle_sql(),
         "chunk_pack_manifest": _chunk_pack_manifest_oracle_sql(),
         "length_drift_by_lang": _length_drift_oracle_sql(),
+        "events_drift_report": _events_drift_oracle_sql(),
         "length_clip_by_lang": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_total,"
             " TRUE AS within_bound FROM documents"

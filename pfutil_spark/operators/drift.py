@@ -86,6 +86,69 @@ def drift_matrix(
     ).select("a", "b", "__d.*")
 
 
+def table_sketches(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+    k: int = kll.DEFAULT_K,
+) -> DataFrame:
+    """One KLL sketch per numeric column (per group) from ONE scan and
+    ONE shuffle — the checkpointable distribution snapshot of a whole
+    table (sketch_agg.py::sketch_multi underneath; nulls drop per
+    column). Write this next to each ingest batch and ``table_drift``
+    can compare any two snapshots without the raw rows."""
+    from pfutil_spark.operators.sketch_agg import kll_spec, sketch_multi
+
+    metrics = {c: (F.col(c).cast("double"), kll_spec(k)) for c in cols}
+    return sketch_multi(df, metrics, by=list(by))
+
+
+def table_drift(
+    df: DataFrame,
+    reference: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] = (),
+    k: int = kll.DEFAULT_K,
+) -> DataFrame:
+    """Whole-table drift report: per-column two-sample KS of ``df``'s
+    current distributions against a REFERENCE snapshot
+    (:func:`table_sketches` output — e.g. read back from last week's
+    checkpoint). ONE scan over the current data builds all column
+    sketches; the compare is a broadcast join of two L-row sketch
+    tables. Columns: ``(by..., col_name, ks_est, err_bound, n_cur,
+    n_ref)``."""
+    by = list(by)
+    missing = [c for c in cols if c not in reference.columns]
+    if missing:
+        raise ValueError(
+            f"reference snapshot lacks sketch columns {missing}; "
+            f"build it with table_sketches(..., cols={list(cols)})"
+        )
+    cur = table_sketches(df, cols, by, k).select(
+        *by, *[F.col(c).alias(f"__cur_{i}") for i, c in enumerate(cols)]
+    )
+    ref = reference.select(
+        *by, *[F.col(c).alias(f"__ref_{i}") for i, c in enumerate(cols)]
+    )
+    if by:
+        joined = cur.join(F.broadcast(ref), by)
+    else:
+        joined = cur.crossJoin(F.broadcast(ref))
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            ks_drift_col(f"__cur_{i}", f"__ref_{i}").alias("d"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return (
+        joined.select(*by, F.explode(F.array(*per_col)).alias("__e"))
+        .select(*by, "__e.col_name", "__e.d.*")
+        .withColumnRenamed("n_a", "n_cur")
+        .withColumnRenamed("n_b", "n_ref")
+    )
+
+
 def drift_against_reference(
     df: DataFrame,
     col: str,

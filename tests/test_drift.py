@@ -312,3 +312,49 @@ class TestSqlSurface:
             for r in drift_matrix(df, "val", "grp", k=1024).collect()
         }
         assert got == col  # lossless regime: bit-equal, both surfaces
+
+
+class TestTableDrift:
+    def test_per_column_exact_in_lossless_regime(self, spark):
+        from pfutil_spark.operators.drift import table_drift, table_sketches
+
+        rng = np.random.default_rng(5)
+        mk = lambda shift: [
+            (float(a), float(b))
+            for a, b in zip(rng.normal(size=400), rng.uniform(size=400) + shift)
+        ]
+        hist = spark.createDataFrame(mk(0.0), "m1 double, m2 double")
+        cur = spark.createDataFrame(mk(0.5), "m1 double, m2 double")
+        ref = table_sketches(hist, ["m1", "m2"], k=1024)
+        out = {
+            r["col_name"]: r
+            for r in table_drift(cur, ref, ["m1", "m2"], k=1024).collect()
+        }
+        hp, cp = hist.toPandas(), cur.toPandas()
+        for c in ("m1", "m2"):
+            want = exact_ks(cp[c].to_numpy(), hp[c].to_numpy())
+            assert out[c]["ks_est"] == want
+            assert out[c]["err_bound"] == 0.0
+            assert out[c]["n_cur"] == 400 and out[c]["n_ref"] == 400
+        # m2 got shifted by half its range; m1 is the same distribution
+        assert out["m2"]["ks_est"] > 0.4 > out["m1"]["ks_est"]
+
+    def test_grouped_and_missing_column_validation(self, spark):
+        import pytest as _pytest
+
+        from pfutil_spark.operators.drift import table_drift, table_sketches
+
+        rng = np.random.default_rng(9)
+        rows = [
+            (g, float(v), float(w))
+            for g in ("x", "y")
+            for v, w in zip(rng.normal(size=200), rng.normal(size=200))
+        ]
+        df = spark.createDataFrame(rows, "grp string, m1 double, m2 double")
+        ref = table_sketches(df, ["m1", "m2"], by=("grp",), k=1024)
+        out = table_drift(df, ref, ["m1", "m2"], by=("grp",), k=1024).collect()
+        assert len(out) == 4  # 2 groups x 2 columns
+        for r in out:  # same rows vs same rows: zero drift, zero bound
+            assert r["ks_est"] == 0.0 and r["err_bound"] == 0.0
+        with _pytest.raises(ValueError, match="lacks sketch columns"):
+            table_drift(df, ref.drop("m2"), ["m1", "m2"], by=("grp",))
