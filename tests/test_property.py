@@ -316,3 +316,43 @@ def test_weighted_kll_fold_matches_scalar(n, n_groups, wmax, seed):
         ref = kll.KllSketch(64)
         ref.update_weighted(v[m], w[m])
         assert bytes(data[offs[gi] : offs[gi + 1]]) == ref.encode(), gi
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3000),   # n_a
+    st.integers(min_value=1, max_value=3000),   # n_b
+    st.integers(min_value=2, max_value=6),      # partials per side
+    st.sampled_from([64, 128, 256]),            # k
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ks_distance_bound_any_input(na, nb, parts, k, seed):
+    """ks_distance's (estimate, bound) contract on arbitrary inputs and
+    merge shapes: |est - exact| <= bound always; bound collapses to 0
+    (and the estimate to BIT-exact) whenever both sides stay lossless."""
+    from pfutil_spark.kernel import kll
+
+    rng = np.random.default_rng(seed)
+    # mix of continuous and heavily-tied integer values
+    x = np.where(rng.random(na) < 0.5, rng.normal(size=na),
+                 np.floor(rng.normal(size=na) * 3))
+    y = np.where(rng.random(nb) < 0.5, rng.normal(loc=0.3, size=nb),
+                 np.floor(rng.normal(size=nb) * 3))
+
+    def build(v):
+        sks = []
+        for p in np.array_split(v, parts):
+            s = kll.KllSketch(k)
+            s.update(p)
+            sks.append(s)
+        return kll.merge_all(sks)
+
+    a, b = build(x), build(y)
+    d, e = kll.ks_distance(a, b)
+    pts = np.unique(np.concatenate([x, y]))
+    fx = np.searchsorted(np.sort(x), pts, side="right") / na
+    fy = np.searchsorted(np.sort(y), pts, side="right") / nb
+    exact = float(np.max(np.abs(fx - fy)))
+    assert abs(d - exact) <= e
+    if kll.is_lossless(a) and kll.is_lossless(b):
+        assert e == 0.0 and d == exact
