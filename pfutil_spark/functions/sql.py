@@ -98,28 +98,27 @@ def register_sql_functions(spark: SparkSession) -> None:
             ]
         )
 
+    # one shared pair evaluator (kernel/kll.py::ks_distance — the same
+    # body operators/drift.py::ks_drift_col wraps), sliced into the two
+    # scalar UDFs so the Column and SQL surfaces cannot drift
     from pfutil_spark.kernel import kll as _kll
+
+    def _ks_series(sa: pd.Series, sb: pd.Series, part: int) -> pd.Series:
+        return pd.Series(
+            [
+                _kll.ks_distance(_kll.decode(bytes(a)), _kll.decode(bytes(b)))[part]
+                for a, b in zip(sa, sb)
+            ],
+            dtype="float64",
+        )
 
     @F.pandas_udf(DoubleType())
     def kll_ks(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        # same evaluator body as operators/drift.py::ks_drift_col
-        return pd.Series(
-            [
-                _kll.ks_distance(_kll.decode(bytes(a)), _kll.decode(bytes(b)))[0]
-                for a, b in zip(sa, sb)
-            ],
-            dtype="float64",
-        )
+        return _ks_series(sa, sb, 0)
 
     @F.pandas_udf(DoubleType())
     def kll_ks_bound(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _kll.ks_distance(_kll.decode(bytes(a)), _kll.decode(bytes(b)))[1]
-                for a, b in zip(sa, sb)
-            ],
-            dtype="float64",
-        )
+        return _ks_series(sa, sb, 1)
 
     spark.udf.register("kmv_estimate", kmv_estimate)
     spark.udf.register("tdigest_quantile", tdigest_quantile)

@@ -903,7 +903,16 @@ def tdigest_edges(
     the index-building driver action of the bucketing pattern: one tiny
     collect (a few KB of sketch bytes, same class of documented action
     as the Bloom broadcast), after which bucketing is pure codegen."""
-    buf = sketch_df.select(sketch_col).first()[0]
+    row = sketch_df.select(sketch_col).first()
+    if row is None:
+        # a plan with ZERO partitions emits no partials at all (same
+        # regime bloom_filter_join documents) — surface it, don't
+        # TypeError on None
+        raise ValueError(
+            "tdigest_edges: sketch table has no rows (empty/zero-partition "
+            "input?) — no quantile edges exist"
+        )
+    buf = row[0]
     return [
         float(x)
         for x in tdigest.decode(bytes(buf)).quantile(
@@ -943,6 +952,8 @@ def quantile_clip(
     ``col`` — and, grouped, NULL group keys — drop (a NULL value is
     inside no band). Kept fraction is hi - lo up to the t-digest rank
     error at the two edges (tests bound it)."""
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"lo={lo}, hi={hi}: need 0 <= lo <= hi <= 1")
     by = list(by)
     c = F.col(col).cast("double")
     if not by:
@@ -950,12 +961,14 @@ def quantile_clip(
         return df.filter((c >= F.lit(edges[0])) & (c <= F.lit(edges[1])))
     q = tdigest_quantiles_col([lo, hi])
     ed = tdigest_sketch(df, col, by=by, delta=delta).select(
-        *by, q.getItem(0).alias("__lo"), q.getItem(1).alias("__hi")
+        *by,
+        q.getItem(0).alias("__pf_clip_lo"),
+        q.getItem(1).alias("__pf_clip_hi"),
     )
     joined = df.join(F.broadcast(ed), by)
-    return joined.filter((c >= F.col("__lo")) & (c <= F.col("__hi"))).drop(
-        "__lo", "__hi"
-    )
+    return joined.filter(
+        (c >= F.col("__pf_clip_lo")) & (c <= F.col("__pf_clip_hi"))
+    ).drop("__pf_clip_lo", "__pf_clip_hi")
 
 
 def _long_weight(weight_col: str) -> Column:

@@ -56,7 +56,11 @@ class TestKernelKs:
     @pytest.mark.parametrize("dist", ["normal", "exponential", "heavy"])
     @pytest.mark.parametrize("k", [128, 256])
     def test_estimate_within_bound(self, dist, k):
-        rng = np.random.default_rng(hash((dist, k)) % (1 << 31))
+        import zlib
+
+        # crc32, not hash(): string hashing is salted per process, which
+        # would make a bound failure unreproducible
+        rng = np.random.default_rng(zlib.crc32(f"{dist}:{k}".encode()))
         n = 20_000
         if dist == "normal":
             x, y = rng.normal(size=n), rng.normal(loc=0.15, size=n)
@@ -358,3 +362,34 @@ class TestTableDrift:
             assert r["ks_est"] == 0.0 and r["err_bound"] == 0.0
         with _pytest.raises(ValueError, match="lacks sketch columns"):
             table_drift(df, ref.drop("m2"), ["m1", "m2"], by=("grp",))
+
+
+class TestReviewRegressions:
+    def test_quantile_clip_validates_band(self, spark):
+        import pytest as _pytest
+
+        from pfutil_spark.operators.sketch_agg import quantile_clip
+
+        df = spark.range(10).select(F.col("id").cast("double").alias("val"))
+        for lo, hi in ((0.9, 0.1), (-0.1, 0.5), (0.5, 1.5)):
+            with _pytest.raises(ValueError, match="need 0 <= lo <= hi <= 1"):
+                quantile_clip(df, "val", lo=lo, hi=hi)
+
+    def test_quantile_clip_survives_user_dunder_columns(self, spark):
+        from pfutil_spark.operators.sketch_agg import quantile_clip
+
+        rows = [("g", float(i), float(i)) for i in range(50)]
+        df = spark.createDataFrame(rows, "grp string, val double, __lo double")
+        kept = quantile_clip(df, "val", lo=0.0, hi=1.0, by=("grp",))
+        assert kept.count() == 50
+        assert "__lo" in kept.columns  # user's column untouched
+
+    def test_tdigest_edges_empty_sketch_table_raises_clearly(self, spark):
+        import pytest as _pytest
+
+        from pfutil_spark.operators.sketch_agg import tdigest_edges, tdigest_sketch
+
+        empty = spark.createDataFrame([], "val double").repartition(1)
+        sk = tdigest_sketch(empty, "val")
+        with _pytest.raises(ValueError, match="no rows"):
+            tdigest_edges(sk.filter(F.lit(False)), [0.5])
