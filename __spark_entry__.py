@@ -1500,6 +1500,63 @@ def _events_drift_oracle_sql() -> str:
     )
 
 
+def _q_partkey_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count drift report (operators/drift.py::
+    cardinality_drift): per returnflag, distinct l_partkey of the
+    current half vs the reference half of a deterministic hash split on
+    l_orderkey — est_cur / est_ref / est_new (= union - ref, the
+    "genuinely new content" monitor) from two 12KB sketches per
+    stratum, no historical raw rows. Graded: the exact per-stratum
+    counts (n_cur/n_ref/n_new — EXACT DuckDB parity) plus booleans
+    pinning every estimate within the union-relative 5% bound
+    (estimates at ~2000 distinct are far inside it)."""
+    from pfutil_spark.operators.drift import cardinality_drift
+    from pfutil_spark.operators.hll_agg import pf_sketch
+    from pfutil_spark.operators.sampling import hash_split_col
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_partkey").cast("string").alias("pk"),
+        hash_split_col("l_orderkey", (("a", 0.5), ("b", 0.5)), seed=0).alias(
+            "__half"
+        ),
+    )
+    ref = pf_sketch(li.filter(F.col("__half") == "b"), "pk", by=("l_returnflag",))
+    est = cardinality_drift(
+        li.filter(F.col("__half") == "a"), "pk", ref, by=("l_returnflag",)
+    )
+    exact = (
+        li.groupBy("l_returnflag", "pk")
+        .agg(
+            F.max((F.col("__half") == "a").cast("int")).alias("__in_a"),
+            F.max((F.col("__half") == "b").cast("int")).alias("__in_b"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("__in_a").alias("n_cur"),
+            F.sum("__in_b").alias("n_ref"),
+            F.sum(
+                ((F.col("__in_a") == 1) & (F.col("__in_b") == 0)).cast("long")
+            ).alias("n_new"),
+            F.count(F.lit(1)).alias("__n_uni"),
+        )
+    )
+    tol = F.col("__n_uni") * 0.05
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_cur",
+            "n_ref",
+            "n_new",
+            (F.abs(F.col("est_cur") - F.col("n_cur")) <= tol).alias("cur_ok"),
+            (F.abs(F.col("est_ref") - F.col("n_ref")) <= tol).alias("ref_ok"),
+            (F.abs(F.col("est_new") - F.col("n_new")) <= tol).alias("new_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction (functions/text.py::
     distinctive_terms): top-3 terms per doc by tf/doc_freq — tf-idf
@@ -2165,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_clip_by_lang": _q_length_clip_by_lang,
         "distinctive_terms": _q_distinctive_terms,
         "events_drift_report": _q_events_drift_report,
+        "partkey_cardinality_drift": _q_partkey_cardinality_drift,
         "pii_scan_report": _q_pii_scan_report,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
@@ -2417,6 +2475,25 @@ def oracle_sql() -> dict[str, str]:
         "chunk_pack_manifest": _chunk_pack_manifest_oracle_sql(),
         "length_drift_by_lang": _length_drift_oracle_sql(),
         "events_drift_report": _events_drift_oracle_sql(),
+        "partkey_cardinality_drift": (
+            "WITH s AS (SELECT l_returnflag,"
+            "  CAST(l_partkey AS VARCHAR) AS pk, "
+            + _sampling.sql_split_expr(
+                "l_orderkey", (("a", 0.5), ("b", 0.5)), seed=0
+            )
+            + " AS half FROM lineitem),"
+            " p AS (SELECT l_returnflag, pk,"
+            "  max(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS in_a,"
+            "  max(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS in_b"
+            "  FROM s GROUP BY 1, 2)"
+            " SELECT l_returnflag,"
+            "  CAST(sum(in_a) AS BIGINT) AS n_cur,"
+            "  CAST(sum(in_b) AS BIGINT) AS n_ref,"
+            "  CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_new,"
+            "  TRUE AS cur_ok, TRUE AS ref_ok, TRUE AS new_ok"
+            " FROM p GROUP BY 1 ORDER BY 1"
+        ),
         "length_clip_by_lang": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_total,"
             " TRUE AS within_bound FROM documents"

@@ -393,3 +393,56 @@ class TestReviewRegressions:
         sk = tdigest_sketch(empty, "val")
         with _pytest.raises(ValueError, match="no rows"):
             tdigest_edges(sk.filter(F.lit(False)), [0.5])
+
+
+class TestCardinalityDrift:
+    def test_overlap_new_and_gone_strata(self, spark):
+        from pfutil_spark.operators.drift import cardinality_drift
+        from pfutil_spark.operators.hll_agg import pf_sketch
+
+        # ref stratum x: ids 0..99; cur x: 50..129 (30 new)
+        # ref-only stratum gone; cur-only stratum born; null stratum on both
+        ref_rows = [("x", str(i)) for i in range(100)]
+        ref_rows += [("gone", str(i)) for i in range(40)]
+        ref_rows += [(None, str(i)) for i in range(20)]
+        cur_rows = [("x", str(i)) for i in range(50, 130)]
+        cur_rows += [("born", str(i)) for i in range(25)]
+        cur_rows += [(None, str(i)) for i in range(10, 25)]  # 5 new vs ref
+        ref_df = spark.createDataFrame(ref_rows, "grp string, e string")
+        cur_df = spark.createDataFrame(cur_rows, "grp string, e string")
+        ref = pf_sketch(ref_df, "e", by=("grp",))
+        out = {
+            r["grp"]: r
+            for r in cardinality_drift(cur_df, "e", ref, by=("grp",)).collect()
+        }
+        assert set(out) == {"x", "gone", "born", None}
+
+        def close(got, want):  # HLL near-exact at these cardinalities
+            assert abs(got - want) <= max(2, 0.02 * want), (got, want)
+
+        close(out["x"]["est_cur"], 80)
+        close(out["x"]["est_ref"], 100)
+        close(out["x"]["est_new"], 30)
+        assert out["gone"]["est_cur"] == 0 and out["gone"]["est_new"] == 0
+        close(out["gone"]["est_ref"], 40)
+        assert out["born"]["est_ref"] == 0
+        close(out["born"]["est_cur"], 25)
+        close(out["born"]["est_new"], 25)
+        # null stratum matches null-safely (one row, not two)
+        close(out[None]["est_ref"], 20)
+        close(out[None]["est_cur"], 15)
+        close(out[None]["est_new"], 5)
+
+    def test_global_and_identical_snapshot(self, spark):
+        from pfutil_spark.operators.drift import cardinality_drift
+        from pfutil_spark.operators.hll_agg import pf_sketch
+
+        df = spark.createDataFrame(
+            [(str(i),) for i in range(500)], "e string"
+        )
+        ref = pf_sketch(df, "e")
+        out = cardinality_drift(df, "e", ref).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["est_cur"] == r["est_ref"]  # same sketch bytes
+        assert r["est_new"] == 0  # union == ref exactly
