@@ -1557,6 +1557,33 @@ def _q_partkey_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter churn (operators/drift.py::topk_drift): which users
+    entered / exited / stayed in the event-count top-10 between the two
+    halves of a deterministic hash split on event_id. With 150 distinct
+    users < m=256 both SpaceSaving summaries are EXACT frequency
+    tables, so every churn row and estimate is graded at EXACT DuckDB
+    parity (ties broken by value, deterministic both engines); above m
+    the same query degrades to upper-bound estimates with the
+    documented guarantees (tests cover that regime)."""
+    from pfutil_spark.operators.drift import topk_drift
+    from pfutil_spark.operators.sampling import hash_split_col
+    from pfutil_spark.operators.sketch_agg import spacesaving_sketch
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.col("user_id").cast("string").alias("uid"),
+        hash_split_col("event_id", (("a", 0.5), ("b", 0.5)), seed=0).alias(
+            "__half"
+        ),
+    )
+    ref = spacesaving_sketch(ev.filter(F.col("__half") == "b"), "uid", m=256)
+    return topk_drift(
+        ev.filter(F.col("__half") == "a"), "uid", ref, k=10, m=256
+    ).orderBy("value")
+
+
 def _q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction (functions/text.py::
     distinctive_terms): top-3 terms per doc by tf/doc_freq — tf-idf
@@ -2223,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": _q_distinctive_terms,
         "events_drift_report": _q_events_drift_report,
         "partkey_cardinality_drift": _q_partkey_cardinality_drift,
+        "user_topk_drift": _q_user_topk_drift,
         "pii_scan_report": _q_pii_scan_report,
         "lang_mix_sample": _q_lang_mix_sample,
         "ngram_contamination": _q_ngram_contamination,
@@ -2493,6 +2521,26 @@ def oracle_sql() -> dict[str, str]:
             "   AS BIGINT) AS n_new,"
             "  TRUE AS cur_ok, TRUE AS ref_ok, TRUE AS new_ok"
             " FROM p GROUP BY 1 ORDER BY 1"
+        ),
+        "user_topk_drift": (
+            "WITH s AS (SELECT CAST(user_id AS VARCHAR) AS v, "
+            + _sampling.sql_split_expr(
+                "event_id", (("a", 0.5), ("b", 0.5)), seed=0
+            )
+            + " AS half FROM events"
+            "  WHERE event_id IS NOT NULL AND user_id IS NOT NULL),"
+            " c AS (SELECT half, v, count(*) AS cnt FROM s GROUP BY 1, 2),"
+            " r AS (SELECT half, v, cnt, row_number() OVER ("
+            "   PARTITION BY half ORDER BY cnt DESC, v ASC) AS rk FROM c),"
+            " ta AS (SELECT v, cnt FROM r WHERE half = 'a' AND rk <= 10),"
+            " tb AS (SELECT v, cnt FROM r WHERE half = 'b' AND rk <= 10)"
+            " SELECT coalesce(ta.v, tb.v) AS value,"
+            "  CASE WHEN ta.v IS NOT NULL AND tb.v IS NOT NULL THEN 'stayed'"
+            "   WHEN ta.v IS NOT NULL THEN 'entered' ELSE 'exited' END"
+            "   AS status,"
+            "  CAST(ta.cnt AS BIGINT) AS est_cur,"
+            "  CAST(tb.cnt AS BIGINT) AS est_ref"
+            " FROM ta FULL OUTER JOIN tb ON ta.v = tb.v ORDER BY value"
         ),
         "length_clip_by_lang": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_total,"

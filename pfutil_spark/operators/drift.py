@@ -30,7 +30,14 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from pfutil_spark.kernel import kll
 from pfutil_spark.operators.sketch_agg import SKETCH_COL, kll_sketch
@@ -149,6 +156,32 @@ def table_drift(
     )
 
 
+def _snapshot_join(
+    cur: DataFrame, ref: DataFrame, by: Sequence[str]
+) -> DataFrame:
+    """Null-safe FULL OUTER broadcast join of a current and a reference
+    L-row sketch table carrying ``__sa`` / ``__sb`` — strata present on
+    only one side survive with a NULL sketch on the other (born /
+    vanished strata ARE the signal in a snapshot diff); a NULL stratum
+    key matches null-safely (one row, not two)."""
+    by = list(by)
+    if not by:
+        return cur.crossJoin(F.broadcast(ref))
+    ca, cr = cur.alias("__cur"), ref.alias("__ref")
+    cond = None
+    for c in by:
+        eq = F.col(f"__cur.{c}").eqNullSafe(F.col(f"__ref.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return ca.join(F.broadcast(cr), cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__cur.{c}"), F.col(f"__ref.{c}")).alias(c)
+            for c in by
+        ],
+        "__sa",
+        "__sb",
+    )
+
+
 def cardinality_drift_col(
     a: str | Column, b: str | Column, version: int = 4
 ) -> Column:
@@ -215,25 +248,80 @@ def cardinality_drift(
         SKETCH_COL, "__sa"
     )
     ref = reference.select(*by, F.col(SKETCH_COL).alias("__sb"))
-    if by:
-        ca, cr = cur.alias("__cur"), ref.alias("__ref")
-        cond = None
-        for c in by:
-            eq = F.col(f"__cur.{c}").eqNullSafe(F.col(f"__ref.{c}"))
-            cond = eq if cond is None else (cond & eq)
-        joined = ca.join(F.broadcast(cr), cond, "full_outer").select(
-            *[
-                F.coalesce(F.col(f"__cur.{c}"), F.col(f"__ref.{c}")).alias(c)
-                for c in by
-            ],
-            "__sa",
-            "__sb",
-        )
-    else:
-        joined = cur.crossJoin(F.broadcast(ref))
+    joined = _snapshot_join(cur, ref, by)
     return joined.select(
         *by, cardinality_drift_col("__sa", "__sb", version).alias("__d")
     ).select(*by, "__d.*")
+
+
+def topk_drift(
+    df: DataFrame,
+    col: str,
+    reference: DataFrame,
+    by: Sequence[str] = (),
+    k: int = 10,
+    m: int = 256,
+) -> DataFrame:
+    """Heavy-hitter churn vs a checkpointed SpaceSaving summary table:
+    which values ENTERED the per-stratum top-k since the reference
+    snapshot, which EXITED, which STAYED — the "new trending
+    domains/tokens this week" monitor, from two <= m-entry summaries
+    per stratum (``reference`` is sketch_agg.spacesaving_sketch output;
+    build it with the same ``m`` so the overcount regimes match).
+
+    One scan + one constant-size shuffle summarizes the current batch;
+    the compare explodes the tiny joined sketch table. Output one row
+    per (stratum, value) in either side's top-k:
+    ``(by..., value, status, est_cur, est_ref)`` with status in
+    {'entered','exited','stayed'} and the absent side's estimate NULL.
+    Estimates are SpaceSaving upper bounds (exact while a stratum has
+    <= m distinct values — the summary is then the exact frequency
+    table); top-k ties break by value, so churn rows are deterministic.
+    Born/vanished/null strata survive via the same null-safe outer
+    snapshot join as :func:`cardinality_drift`."""
+    from pfutil_spark.kernel import spacesaving
+    from pfutil_spark.operators.sketch_agg import spacesaving_sketch
+
+    by = list(by)
+    out_t = StructType(
+        [
+            StructField("value", StringType()),
+            StructField("status", StringType()),
+            StructField("est_cur", LongType()),
+            StructField("est_ref", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(ArrayType(out_t))
+    def _churn(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        def top(buf):
+            if buf is None:
+                return {}
+            # (est desc, value asc) total order -> deterministic top-k
+            items = spacesaving.decode(bytes(buf)).top_k(k)
+            return {v: int(c) for v, c, _ in items}
+
+        out = []
+        for x, y in zip(sa, sb):
+            cur_top, ref_top = top(x), top(y)
+            rows = []
+            for v in sorted(set(cur_top) | set(ref_top)):
+                in_c, in_r = v in cur_top, v in ref_top
+                status = "stayed" if in_c and in_r else (
+                    "entered" if in_c else "exited"
+                )
+                rows.append((v, status, cur_top.get(v), ref_top.get(v)))
+            out.append(rows)
+        return pd.Series(out)
+
+    cur = spacesaving_sketch(df, col, by=by, m=m).withColumnRenamed(
+        SKETCH_COL, "__sa"
+    )
+    ref = reference.select(*by, F.col(SKETCH_COL).alias("__sb"))
+    joined = _snapshot_join(cur, ref, by)
+    return joined.select(
+        *by, F.explode(_churn("__sa", "__sb")).alias("__e")
+    ).select(*by, "__e.*")
 
 
 def drift_against_reference(

@@ -446,3 +446,57 @@ class TestCardinalityDrift:
         r = out[0]
         assert r["est_cur"] == r["est_ref"]  # same sketch bytes
         assert r["est_new"] == 0  # union == ref exactly
+
+
+class TestTopkDrift:
+    def test_churn_exact_below_m(self, spark):
+        """Below m distinct the summaries are exact frequency tables, so
+        churn rows and estimates are exact and deterministic."""
+        from pfutil_spark.operators.drift import topk_drift
+        from pfutil_spark.operators.sketch_agg import spacesaving_sketch
+
+        def batch(weights):  # value -> count
+            return [
+                ("g", v) for v, c in weights.items() for _ in range(c)
+            ]
+
+        hist = spark.createDataFrame(
+            batch({"old_hot": 30, "stable": 20, "meh": 2, "tiny": 1}),
+            "grp string, val string",
+        )
+        cur = spark.createDataFrame(
+            batch({"new_hot": 25, "stable": 22, "meh": 1}),
+            "grp string, val string",
+        )
+        ref = spacesaving_sketch(hist, "val", by=("grp",), m=64)
+        out = {
+            r["value"]: r
+            for r in topk_drift(cur, "val", ref, by=("grp",), k=2, m=64).collect()
+        }
+        # top-2 ref: old_hot(30), stable(20); top-2 cur: new_hot(25), stable(22)
+        assert set(out) == {"old_hot", "new_hot", "stable"}
+        assert out["new_hot"]["status"] == "entered"
+        assert out["new_hot"]["est_cur"] == 25 and out["new_hot"]["est_ref"] is None
+        assert out["old_hot"]["status"] == "exited"
+        assert out["old_hot"]["est_ref"] == 30 and out["old_hot"]["est_cur"] is None
+        assert out["stable"]["status"] == "stayed"
+        assert (out["stable"]["est_cur"], out["stable"]["est_ref"]) == (22, 20)
+
+    def test_born_and_vanished_strata(self, spark):
+        from pfutil_spark.operators.drift import topk_drift
+        from pfutil_spark.operators.sketch_agg import spacesaving_sketch
+
+        hist = spark.createDataFrame(
+            [("gone", "a"), ("gone", "a"), ("both", "x")], "grp string, val string"
+        )
+        cur = spark.createDataFrame(
+            [("born", "b"), ("both", "x")], "grp string, val string"
+        )
+        ref = spacesaving_sketch(hist, "val", by=("grp",), m=16)
+        rows = topk_drift(cur, "val", ref, by=("grp",), k=3, m=16).collect()
+        got = {(r["grp"], r["value"]): r["status"] for r in rows}
+        assert got == {
+            ("gone", "a"): "exited",
+            ("born", "b"): "entered",
+            ("both", "x"): "stayed",
+        }
