@@ -22,3 +22,11 @@ from pfutil_spark.operators.rollup import (  # noqa: F401
     pf_rollup,
     pf_time_rollup,
 )
+from pfutil_spark.operators.drift import (  # noqa: F401
+    cardinality_drift,
+    drift_against_reference,
+    drift_matrix,
+    table_drift,
+    table_sketches,
+    topk_drift,
+)
