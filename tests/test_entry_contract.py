@@ -32,7 +32,11 @@ def _norm(v):
 
 
 def _rowset(rows):
-    return sorted(tuple(_norm(v) for v in r) for r in rows)
+    # sort by a stringified key (the driver's own ordering — it sorts
+    # stringified rows): tuples containing NULLs are not '<'-comparable
+    # in Python, and any deterministic key is fine for multiset equality
+    norm = [tuple(_norm(v) for v in r) for r in rows]
+    return sorted(norm, key=lambda r: tuple(str(x) for x in r))
 
 
 def test_entry_smoke(spark):
