@@ -163,10 +163,23 @@ def _snapshot_join(
     L-row sketch table carrying ``__sa`` / ``__sb`` — strata present on
     only one side survive with a NULL sketch on the other (born /
     vanished strata ARE the signal in a snapshot diff); a NULL stratum
-    key matches null-safely (one row, not two)."""
+    key matches null-safely (one row, not two). The global (``by=()``)
+    case joins the two <= 1-row frames full-outer on a constant key —
+    a cross join would return ZERO rows whenever either side is empty,
+    silently reporting "no drift" on exactly the anomalies (empty
+    current batch, empty reference) a monitor exists to surface; both
+    sides empty yields no row (there is nothing to diff)."""
     by = list(by)
     if not by:
-        return cur.crossJoin(F.broadcast(ref))
+        return (
+            cur.withColumn("__pf_k", F.lit(1))
+            .join(
+                F.broadcast(ref.withColumn("__pf_k", F.lit(1))),
+                "__pf_k",
+                "full_outer",
+            )
+            .select("__sa", "__sb")
+        )
     ca, cr = cur.alias("__cur"), ref.alias("__ref")
     cond = None
     for c in by:
@@ -244,6 +257,11 @@ def cardinality_drift(
     from pfutil_spark.operators.hll_agg import pf_sketch
 
     by = list(by)
+    if isinstance(element, Column):
+        # pf_sketch/pf_partial take a column NAME (they read the dtype
+        # from the schema) — materialize expression elements first
+        df = df.withColumn("__pf_drift_elem", element)
+        element = "__pf_drift_elem"
     cur = pf_sketch(df, element, by=by, version=version).withColumnRenamed(
         SKETCH_COL, "__sa"
     )

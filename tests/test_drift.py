@@ -500,3 +500,43 @@ class TestTopkDrift:
             ("born", "b"): "entered",
             ("both", "x"): "stayed",
         }
+
+
+class TestSnapshotEdges:
+    def test_global_empty_sides_still_report(self, spark):
+        """by=() snapshot diffs must SURFACE empty current batches and
+        empty references, not return zero rows (review regression)."""
+        from pfutil_spark.operators.drift import cardinality_drift, topk_drift
+        from pfutil_spark.operators.hll_agg import pf_sketch
+        from pfutil_spark.operators.sketch_agg import spacesaving_sketch
+
+        full = spark.createDataFrame([(str(i),) for i in range(60)], "e string")
+        empty = spark.createDataFrame([], "e string")
+        ref = pf_sketch(full, "e")
+
+        gone = cardinality_drift(empty, "e", ref).collect()
+        assert len(gone) == 1
+        assert gone[0]["est_cur"] == 0 and gone[0]["est_new"] == 0
+        assert gone[0]["est_ref"] == 60
+
+        born = cardinality_drift(full, "e", pf_sketch(empty, "e").limit(0)).collect()
+        assert len(born) == 1
+        assert born[0]["est_ref"] == 0
+        assert born[0]["est_cur"] == 60 and born[0]["est_new"] == 60
+
+        ss_ref = spacesaving_sketch(full, "e", m=128)
+        churn = topk_drift(empty, "e", ss_ref, k=3, m=128).collect()
+        assert len(churn) == 3
+        assert all(r["status"] == "exited" for r in churn)
+
+    def test_cardinality_drift_accepts_expression_element(self, spark):
+        from pfutil_spark.operators.drift import cardinality_drift
+        from pfutil_spark.operators.hll_agg import pf_sketch
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+        ref = pf_sketch(df.withColumn("b", (F.col("id") % 10).cast("string")), "b")
+        out = cardinality_drift(
+            df, (F.col("id") % 10).cast("string"), ref
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["est_cur"] == 10 and out[0]["est_new"] == 0

@@ -36,7 +36,10 @@ def _rowset(rows):
     # stringified rows): tuples containing NULLs are not '<'-comparable
     # in Python, and any deterministic key is fine for multiset equality
     norm = [tuple(_norm(v) for v in r) for r in rows]
-    return sorted(norm, key=lambda r: tuple(str(x) for x in r))
+    # type-tagged so distinct values can't share a key (None vs 'None',
+    # 1 vs '1' — a collision would let engine-dependent input order leak
+    # through sorted()'s stability and falsely fail equal multisets)
+    return sorted(norm, key=lambda r: tuple((type(x).__name__, str(x)) for x in r))
 
 
 def test_entry_smoke(spark):
