@@ -120,9 +120,21 @@ def register_sql_functions(spark: SparkSession) -> None:
     def kll_ks_bound(sa: pd.Series, sb: pd.Series) -> pd.Series:
         return _ks_series(sa, sb, 1)
 
+    @F.pandas_udf(DoubleType())
+    def kll_psi(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        # kernel/kll.py::psi_distance — same body as psi_drift_col
+        return pd.Series(
+            [
+                _kll.psi_distance(_kll.decode(bytes(a)), _kll.decode(bytes(b)))
+                for a, b in zip(sa, sb)
+            ],
+            dtype="float64",
+        )
+
     spark.udf.register("kmv_estimate", kmv_estimate)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("cms_total", cms_total)
     spark.udf.register("ss_topk_json", ss_topk_json)
     spark.udf.register("kll_ks", kll_ks)
     spark.udf.register("kll_ks_bound", kll_ks_bound)
+    spark.udf.register("kll_psi", kll_psi)

@@ -236,6 +236,37 @@ def rank_eps(sk: KllSketch) -> float:
     return 0.0 if is_lossless(sk) else KS_EPS_C / float(sk.k)
 
 
+def psi_distance(
+    cur: KllSketch, ref: KllSketch, bins: int = 10, floor: float = 1e-4
+) -> float:
+    """Population Stability Index of ``cur`` against ``ref`` — the
+    ML-ops-standard drift score: Σ (q_i - p_i) ln(q_i / p_i) over
+    ``bins`` equal-mass bins of the REFERENCE distribution (edges =
+    reference quantiles, the conventional construction). Rule of thumb:
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major shift.
+
+    Bin masses come from the sketches' rank estimates (exact in the
+    lossless regime); empty or tied-edge bins are floored at ``floor``
+    before renormalizing so the log never sees 0 (standard practice).
+    Unlike :func:`ks_distance` no sound error bound is returned — PSI's
+    log-ratio amplifies small-mass errors unboundedly; use KS for
+    bounded decisions and PSI for the familiar dashboard number.
+    Returns nan if either sketch is empty."""
+    if cur.n == 0 or ref.n == 0:
+        return float("nan")
+    edges = ref.quantile(np.linspace(0.0, 1.0, bins + 1)[1:-1])
+    edges = np.atleast_1d(edges)
+
+    def masses(sk: KllSketch) -> np.ndarray:
+        r = np.atleast_1d(sk.rank(edges))
+        m = np.diff(np.concatenate(([0.0], r, [1.0])))
+        m = np.maximum(m, floor)
+        return m / m.sum()
+
+    p, q = masses(ref), masses(cur)
+    return float(np.sum((q - p) * np.log(q / p)))
+
+
 def ks_distance(a: KllSketch, b: KllSketch) -> tuple[float, float]:
     """Two-sample Kolmogorov-Smirnov statistic estimated from two
     sketches: ``D_hat = max |F_a(x) - F_b(x)|`` over the union of both

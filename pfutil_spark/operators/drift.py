@@ -75,6 +75,32 @@ def ks_drift_col(a: str | Column, b: str | Column) -> Column:
     return _ks(ca, cb)
 
 
+def psi_drift_col(
+    cur: str | Column, ref: str | Column, bins: int = 10
+) -> Column:
+    """Population Stability Index (kernel/kll.py::psi_distance) of a
+    current KLL sketch column against a reference — the familiar
+    dashboard drift score (<0.1 stable / >0.25 major shift), computed
+    from the same sketches as :func:`ks_drift_col`. KS carries the
+    sound error bound; PSI is the convention. Weighted sketches
+    (kll_weighted_sketch — e.g. token-weighted length distributions)
+    feed both unchanged. Per sketch PAIR, never per input row."""
+
+    @F.pandas_udf(DoubleType())
+    def _psi(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                kll.psi_distance(kll.decode(bytes(a)), kll.decode(bytes(b)), bins)
+                for a, b in zip(sa, sb)
+            ],
+            dtype="float64",
+        )
+
+    ca = F.col(cur) if isinstance(cur, str) else cur
+    cb = F.col(ref) if isinstance(ref, str) else ref
+    return _psi(ca, cb)
+
+
 def drift_matrix(
     df: DataFrame, col: str, by: str, k: int = kll.DEFAULT_K
 ) -> DataFrame:

@@ -302,20 +302,21 @@ class TestSqlSurface:
         ]
         df = spark.createDataFrame(rows, "grp string, val double")
         kll_sketch(df, "val", by=("grp",), k=1024).createOrReplaceTempView("t_kll")
-        got = {
-            (r["a"], r["b"]): (r["ks"], r["bound"])
-            for r in spark.sql(
-                "SELECT x.grp AS a, y.grp AS b,"
-                " kll_ks(x.sketch, y.sketch) AS ks,"
-                " kll_ks_bound(x.sketch, y.sketch) AS bound"
-                " FROM t_kll x JOIN t_kll y ON x.grp < y.grp"
-            ).collect()
-        }
+        sql_rows = spark.sql(
+            "SELECT x.grp AS a, y.grp AS b,"
+            " kll_ks(x.sketch, y.sketch) AS ks,"
+            " kll_ks_bound(x.sketch, y.sketch) AS bound,"
+            " kll_psi(x.sketch, y.sketch) AS psi"
+            " FROM t_kll x JOIN t_kll y ON x.grp < y.grp"
+        ).collect()
+        got = {(r["a"], r["b"]): (r["ks"], r["bound"]) for r in sql_rows}
         col = {
             (r["a"], r["b"]): (r["ks_est"], r["err_bound"])
             for r in drift_matrix(df, "val", "grp", k=1024).collect()
         }
         assert got == col  # lossless regime: bit-equal, both surfaces
+        psi = {(r["a"], r["b"]): r["psi"] for r in sql_rows}
+        assert psi[("a", "c")] > 0.5 > psi[("a", "b")]  # 2-sigma shift
 
 
 class TestTableDrift:
@@ -540,3 +541,88 @@ class TestSnapshotEdges:
         ).collect()
         assert len(out) == 1
         assert out[0]["est_cur"] == 10 and out[0]["est_new"] == 0
+
+
+class TestWeightedKs:
+    def test_weighted_drift_within_bound(self):
+        """kll_weighted updates feed ks_distance unchanged: the estimate
+        tracks the WEIGHTED empirical KS (token-weighted drift). The
+        weighted path is conservatively non-lossless (is_lossless can't
+        prove no-drop for multi-level layouts), so the bound is 4/k per
+        side — assert it holds against exact weighted CDFs."""
+        rng = np.random.default_rng(31)
+        n = 8000
+        x, wx = rng.normal(size=n), rng.integers(1, 50, size=n)
+        y, wy = rng.normal(loc=0.2, size=n), rng.integers(1, 50, size=n)
+        a, b = kll.KllSketch(256), kll.KllSketch(256)
+        a.update_weighted(x, wx)
+        b.update_weighted(y, wy)
+        d, e = kll.ks_distance(a, b)
+        pts = np.unique(np.concatenate([x, y]))
+
+        def wcdf(v, w):
+            order = np.argsort(v)
+            cum = np.cumsum(w[order])
+            return cum[
+                np.clip(np.searchsorted(v[order], pts, side="right") - 1, -1, None)
+            ] * (np.searchsorted(v[order], pts, side="right") > 0) / w.sum()
+
+        exact = float(np.max(np.abs(wcdf(x, wx) - wcdf(y, wy))))
+        assert e <= 2 * kll.KS_EPS_C / 256
+        assert abs(d - exact) <= e
+
+
+class TestPsi:
+    def test_psi_zero_for_identical_and_large_for_shifted(self):
+        rng = np.random.default_rng(13)
+        x = rng.normal(size=5000)
+        a = kll.KllSketch(1024); a.update(x[:400])
+        b = kll.KllSketch(1024); b.update(x[:400])
+        assert kll.psi_distance(a, b) < 1e-6  # identical sketches
+        c = kll.KllSketch(1024); c.update(x[:400] + 1.5)
+        assert kll.psi_distance(c, b) > 0.25  # major shift
+
+    def test_psi_matches_exact_binned_psi_in_lossless_regime(self):
+        rng = np.random.default_rng(17)
+        ref_v = rng.normal(size=800)
+        cur_v = rng.normal(loc=0.4, size=700)
+        ref = kll.KllSketch(2048); ref.update(ref_v)
+        cur = kll.KllSketch(2048); cur.update(cur_v)
+        got = kll.psi_distance(cur, ref, bins=10)
+        # independent exact computation with the same reference edges
+        edges = np.quantile(ref_v, np.linspace(0, 1, 11)[1:-1], method="inverted_cdf")
+        def m(v):
+            c = np.searchsorted(np.sort(v), edges, side="right")
+            mm = np.diff(np.concatenate(([0], c, [len(v)]))) / len(v)
+            mm = np.maximum(mm, 1e-4)
+            return mm / mm.sum()
+        p, q = m(ref_v), m(cur_v)
+        want = float(np.sum((q - p) * np.log(q / p)))
+        assert abs(got - want) < 0.02  # same bins up to edge convention
+        assert got > 0.2  # 0.4-sigma shift lands at ~0.24: moderate-major
+
+    def test_psi_empty_and_ties(self):
+        empty = kll.KllSketch(128)
+        full = kll.KllSketch(128); full.update(np.ones(100))
+        assert np.isnan(kll.psi_distance(empty, full))
+        # all-ties reference: every inner edge identical; floor handles
+        same = kll.KllSketch(128); same.update(np.ones(50))
+        assert kll.psi_distance(same, full) < 1e-6
+
+    def test_psi_drift_col_matches_kernel(self, spark):
+        from pfutil_spark.operators.drift import psi_drift_col
+        from pfutil_spark.operators.sketch_agg import SKETCH_COL, kll_sketch
+
+        rng = np.random.default_rng(19)
+        rows = [("a", float(v)) for v in rng.normal(size=300)]
+        rows += [("b", float(v + 1.0)) for v in rng.normal(size=300)]
+        df = spark.createDataFrame(rows, "grp string, val double")
+        sk = {r["grp"]: bytes(r[SKETCH_COL])
+              for r in kll_sketch(df, "val", by=("grp",), k=1024).collect()}
+        got = (
+            spark.createDataFrame([(sk["a"], sk["b"])], "sa binary, sb binary")
+            .select(psi_drift_col("sa", "sb").alias("psi"))
+            .first()["psi"]
+        )
+        want = kll.psi_distance(kll.decode(sk["a"]), kll.decode(sk["b"]))
+        assert got == want
