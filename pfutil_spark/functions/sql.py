@@ -104,9 +104,17 @@ def register_sql_functions(spark: SparkSession) -> None:
     from pfutil_spark.kernel import kll as _kll
 
     def _ks_series(sa: pd.Series, sb: pd.Series, part: int) -> pd.Series:
+        # NULL sketches (a stratum on one side of a snapshot outer
+        # join) yield NULL, never a job-failing TypeError
         return pd.Series(
             [
-                _kll.ks_distance(_kll.decode(bytes(a)), _kll.decode(bytes(b)))[part]
+                (
+                    None
+                    if a is None or b is None
+                    else _kll.ks_distance(
+                        _kll.decode(bytes(a)), _kll.decode(bytes(b))
+                    )[part]
+                )
                 for a, b in zip(sa, sb)
             ],
             dtype="float64",
@@ -120,16 +128,12 @@ def register_sql_functions(spark: SparkSession) -> None:
     def kll_ks_bound(sa: pd.Series, sb: pd.Series) -> pd.Series:
         return _ks_series(sa, sb, 1)
 
+    from pfutil_spark.operators.drift import PSI_DEFAULT_BINS, psi_pair_series
+
     @F.pandas_udf(DoubleType())
     def kll_psi(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        # kernel/kll.py::psi_distance — same body as psi_drift_col
-        return pd.Series(
-            [
-                _kll.psi_distance(_kll.decode(bytes(a)), _kll.decode(bytes(b)))
-                for a, b in zip(sa, sb)
-            ],
-            dtype="float64",
-        )
+        # the SAME evaluator body as psi_drift_col (shared import)
+        return psi_pair_series(sa, sb, PSI_DEFAULT_BINS)
 
     spark.udf.register("kmv_estimate", kmv_estimate)
     spark.udf.register("tdigest_quantile", tdigest_quantile)

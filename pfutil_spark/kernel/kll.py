@@ -252,6 +252,10 @@ def psi_distance(
     log-ratio amplifies small-mass errors unboundedly; use KS for
     bounded decisions and PSI for the familiar dashboard number.
     Returns nan if either sketch is empty."""
+    if bins < 2:
+        # a single bin makes PSI identically 0 for ANY pair — a silent
+        # "no drift" verdict from a miscomputed parameter
+        raise ValueError(f"bins={bins}: need >= 2")
     if cur.n == 0 or ref.n == 0:
         return float("nan")
     edges = ref.quantile(np.linspace(0.0, 1.0, bins + 1)[1:-1])

@@ -75,8 +75,32 @@ def ks_drift_col(a: str | Column, b: str | Column) -> Column:
     return _ks(ca, cb)
 
 
+PSI_DEFAULT_BINS = 10
+
+
+def psi_pair_series(sa: pd.Series, sb: pd.Series, bins: int) -> pd.Series:
+    """The ONE pair-evaluator body behind both :func:`psi_drift_col`
+    and the ``kll_psi`` SQL UDF (functions/sql.py) — shared so the two
+    surfaces cannot drift (the module's KS convention). NULL sketches
+    (e.g. a stratum on only one side of a snapshot outer join) yield
+    NULL, not a TypeError that fails the job."""
+    return pd.Series(
+        [
+            (
+                None
+                if a is None or b is None
+                else kll.psi_distance(
+                    kll.decode(bytes(a)), kll.decode(bytes(b)), bins
+                )
+            )
+            for a, b in zip(sa, sb)
+        ],
+        dtype="float64",
+    )
+
+
 def psi_drift_col(
-    cur: str | Column, ref: str | Column, bins: int = 10
+    cur: str | Column, ref: str | Column, bins: int = PSI_DEFAULT_BINS
 ) -> Column:
     """Population Stability Index (kernel/kll.py::psi_distance) of a
     current KLL sketch column against a reference — the familiar
@@ -84,17 +108,12 @@ def psi_drift_col(
     from the same sketches as :func:`ks_drift_col`. KS carries the
     sound error bound; PSI is the convention. Weighted sketches
     (kll_weighted_sketch — e.g. token-weighted length distributions)
-    feed both unchanged. Per sketch PAIR, never per input row."""
+    feed both unchanged. NULL on NULL input. Per sketch PAIR, never
+    per input row."""
 
     @F.pandas_udf(DoubleType())
     def _psi(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                kll.psi_distance(kll.decode(bytes(a)), kll.decode(bytes(b)), bins)
-                for a, b in zip(sa, sb)
-            ],
-            dtype="float64",
-        )
+        return psi_pair_series(sa, sb, bins)
 
     ca = F.col(cur) if isinstance(cur, str) else cur
     cb = F.col(ref) if isinstance(ref, str) else ref

@@ -317,6 +317,55 @@ class TestSqlSurface:
         assert got == col  # lossless regime: bit-equal, both surfaces
         psi = {(r["a"], r["b"]): r["psi"] for r in sql_rows}
         assert psi[("a", "c")] > 0.5 > psi[("a", "b")]  # 2-sigma shift
+        # SQL psi bit-equals the Column path (shared evaluator body)
+        from pfutil_spark.operators.drift import psi_drift_col
+
+        col_psi = {
+            (r["a"], r["b"]): r["psi"]
+            for r in spark.sql("SELECT * FROM t_kll")
+            .alias("x")
+            .join(
+                spark.sql("SELECT * FROM t_kll").alias("y"),
+                F.col("x.grp") < F.col("y.grp"),
+            )
+            .select(
+                F.col("x.grp").alias("a"),
+                F.col("y.grp").alias("b"),
+                psi_drift_col(F.col("x.sketch"), F.col("y.sketch")).alias("psi"),
+            )
+            .collect()
+        }
+        assert psi == col_psi
+
+    def test_null_sketches_yield_null_not_crash(self, spark):
+        """NULL sketch rows (a stratum on one side of a snapshot outer
+        join) must produce NULL from every pair evaluator, not a
+        job-failing TypeError (review regression)."""
+        from pfutil_spark.functions.sql import register_sql_functions
+        from pfutil_spark.operators.drift import psi_drift_col
+        from pfutil_spark.operators.sketch_agg import kll_sketch
+
+        register_sql_functions(spark)
+        sk = bytes(
+            kll_sketch(
+                spark.createDataFrame([(1.0,), (2.0,)], "v double"), "v"
+            ).first()["sketch"]
+        )
+        df = spark.createDataFrame(
+            [(sk, None), (None, sk), (sk, sk)], "sa binary, sb binary"
+        )
+        df.createOrReplaceTempView("t_null_sk")
+        rows = spark.sql(
+            "SELECT kll_ks(sa, sb) AS ks, kll_ks_bound(sa, sb) AS bound,"
+            " kll_psi(sa, sb) AS psi FROM t_null_sk"
+        ).collect()
+        assert sum(r["ks"] is None for r in rows) == 2
+        assert sum(r["psi"] is None for r in rows) == 2
+        assert rows[-1]["ks"] == 0.0 and rows[-1]["psi"] == 0.0
+        got = df.select(psi_drift_col("sa", "sb").alias("p")).collect()
+        assert [r["p"] for r in got[:2]] == [None, None]
+        # ks_drift_col (struct) is documented for non-null frames; the
+        # scalar evaluators are the null-tolerant surface
 
 
 class TestTableDrift:
@@ -600,6 +649,12 @@ class TestPsi:
         want = float(np.sum((q - p) * np.log(q / p)))
         assert abs(got - want) < 0.02  # same bins up to edge convention
         assert got > 0.2  # 0.4-sigma shift lands at ~0.24: moderate-major
+
+    def test_psi_bins_guard(self):
+        a = kll.KllSketch(128); a.update(np.arange(10.0))
+        for bad in (0, 1):
+            with pytest.raises(ValueError, match="need >= 2"):
+                kll.psi_distance(a, a, bins=bad)
 
     def test_psi_empty_and_ties(self):
         empty = kll.KllSketch(128)
