@@ -356,3 +356,26 @@ def test_ks_distance_bound_any_input(na, nb, parts, k, seed):
     assert abs(d - exact) <= e
     if kll.is_lossless(a) and kll.is_lossless(b):
         assert e == 0.0 and d == exact
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=2000),
+    st.integers(min_value=1, max_value=2000),
+    st.sampled_from([64, 200]),
+    st.integers(min_value=2, max_value=20),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_psi_nonnegative_finite_any_input(na, nb, k, bins, seed):
+    """PSI from sketches is >= 0 and finite for ANY pair of non-empty
+    inputs (termwise (q-p)ln(q/p) >= 0; floored masses keep the log
+    finite), including heavy ties and disjoint supports."""
+    from pfutil_spark.kernel import kll
+
+    rng = np.random.default_rng(seed)
+    x = np.floor(rng.normal(size=na) * rng.integers(1, 4))
+    y = np.floor(rng.normal(loc=rng.uniform(-2, 2), size=nb) * 2)
+    a = kll.KllSketch(k); a.update(x)
+    b = kll.KllSketch(k); b.update(y)
+    psi = kll.psi_distance(a, b, bins=bins)
+    assert np.isfinite(psi) and psi >= 0.0
