@@ -48,8 +48,10 @@ def ks_drift_col(a: str | Column, b: str | Column) -> Column:
 
     ``ks_est`` is the two-sample KS statistic estimate, ``err_bound``
     a sound bound on |ks_est - D_exact| (0.0 when both sketches are
-    lossless — then ks_est IS the exact empirical statistic). Decodes
-    per row: meant for the usual tiny evaluation frames (one row per
+    lossless — then ks_est IS the exact empirical statistic). A NULL
+    sketch on either side (a stratum on one side of a snapshot outer
+    join) yields an all-NULL struct, never a TypeError. Decodes per
+    row: meant for the usual tiny evaluation frames (one row per
     sketch PAIR), never per input row.
     """
     out_t = StructType(
@@ -65,6 +67,9 @@ def ks_drift_col(a: str | Column, b: str | Column) -> Column:
     def _ks(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
         rows = []
         for ba, bb in zip(sa, sb):
+            if ba is None or bb is None:
+                rows.append((None, None, None, None))
+                continue
             A, B = kll.decode(bytes(ba)), kll.decode(bytes(bb))
             d, e = kll.ks_distance(A, B)
             rows.append((d, e, A.n, B.n))

@@ -364,8 +364,11 @@ class TestSqlSurface:
         assert rows[-1]["ks"] == 0.0 and rows[-1]["psi"] == 0.0
         got = df.select(psi_drift_col("sa", "sb").alias("p")).collect()
         assert [r["p"] for r in got[:2]] == [None, None]
-        # ks_drift_col (struct) is documented for non-null frames; the
-        # scalar evaluators are the null-tolerant surface
+        from pfutil_spark.operators.drift import ks_drift_col
+
+        ks = df.select(ks_drift_col("sa", "sb").alias("d")).select("d.*").collect()
+        assert ks[0]["ks_est"] is None and ks[1]["n_a"] is None
+        assert ks[2]["ks_est"] == 0.0 and ks[2]["n_a"] == 2
 
 
 class TestTableDrift:
