@@ -166,14 +166,19 @@ def table_drift(
     cols: Sequence[str],
     by: Sequence[str] = (),
     k: int = kll.DEFAULT_K,
+    broadcast_reference: bool = True,
 ) -> DataFrame:
     """Whole-table drift report: per-column two-sample KS of ``df``'s
     current distributions against a REFERENCE snapshot
     (:func:`table_sketches` output — e.g. read back from last week's
     checkpoint). ONE scan over the current data builds all column
-    sketches; the compare is a broadcast join of two L-row sketch
-    tables. Columns: ``(by..., col_name, ks_est, err_bound, n_cur,
-    n_ref)``."""
+    sketches; the compare joins two L-row sketch tables — broadcast by
+    default (the common few-strata case); pass
+    ``broadcast_reference=False`` when strata cardinality is huge
+    (per-domain/per-repo snapshots at 10^6+ keys: N sketch columns x L
+    rows would not fit a broadcast) and the join shuffles instead,
+    with AQE free to re-broadcast a side that turns out small.
+    Columns: ``(by..., col_name, ks_est, err_bound, n_cur, n_ref)``."""
     by = list(by)
     missing = [c for c in cols if c not in reference.columns]
     if missing:
@@ -187,10 +192,11 @@ def table_drift(
     ref = reference.select(
         *by, *[F.col(c).alias(f"__ref_{i}") for i, c in enumerate(cols)]
     )
+    ref_side = F.broadcast(ref) if broadcast_reference else ref
     if by:
-        joined = cur.join(F.broadcast(ref), by)
+        joined = cur.join(ref_side, by)
     else:
-        joined = cur.crossJoin(F.broadcast(ref))
+        joined = cur.crossJoin(ref_side)
     per_col = [
         F.struct(
             F.lit(c).alias("col_name"),
@@ -209,8 +215,8 @@ def table_drift(
 def _snapshot_join(
     cur: DataFrame, ref: DataFrame, by: Sequence[str]
 ) -> DataFrame:
-    """Null-safe FULL OUTER broadcast join of a current and a reference
-    L-row sketch table carrying ``__sa`` / ``__sb`` — strata present on
+    """Null-safe FULL OUTER join of a current and a reference L-row
+    sketch table carrying ``__sa`` / ``__sb`` — strata present on
     only one side survive with a NULL sketch on the other (born /
     vanished strata ARE the signal in a snapshot diff); a NULL stratum
     key matches null-safely (one row, not two). The global (``by=()``)
@@ -218,13 +224,20 @@ def _snapshot_join(
     a cross join would return ZERO rows whenever either side is empty,
     silently reporting "no drift" on exactly the anomalies (empty
     current batch, empty reference) a monitor exists to surface; both
-    sides empty yields no row (there is nothing to diff)."""
+    sides empty yields no row (there is nothing to diff).
+
+    Deliberately NOT broadcast-hinted: Spark ignores broadcast hints on
+    full-outer equi-joins anyway (it plans a shuffle join), and a
+    shuffle of two L-row SKETCH tables is exactly right when L is huge
+    (per-domain snapshots at 10^6+ strata would not fit a broadcast);
+    AQE still converts to a broadcast join at runtime when a side turns
+    out tiny."""
     by = list(by)
     if not by:
         return (
             cur.withColumn("__pf_k", F.lit(1))
             .join(
-                F.broadcast(ref.withColumn("__pf_k", F.lit(1))),
+                ref.withColumn("__pf_k", F.lit(1)),
                 "__pf_k",
                 "full_outer",
             )
@@ -235,7 +248,7 @@ def _snapshot_join(
     for c in by:
         eq = F.col(f"__cur.{c}").eqNullSafe(F.col(f"__ref.{c}"))
         cond = eq if cond is None else (cond & eq)
-    return ca.join(F.broadcast(cr), cond, "full_outer").select(
+    return ca.join(cr, cond, "full_outer").select(
         *[
             F.coalesce(F.col(f"__cur.{c}"), F.col(f"__ref.{c}")).alias(c)
             for c in by
@@ -398,6 +411,7 @@ def drift_against_reference(
     reference: DataFrame,
     by: Sequence[str] = (),
     k: int = kll.DEFAULT_K,
+    broadcast_reference: bool = True,
 ) -> DataFrame:
     """KS drift of ``df``'s ``col`` distribution against a REFERENCE
     sketch table (e.g. last month's checkpointed ``kll_sketch`` output
@@ -406,16 +420,23 @@ def drift_against_reference(
     column named ``sketch``; current-side sketches are built with the
     same ``k`` so the error bounds line up. Inner equi-join on ``by``
     (strata absent from either side drop); with ``by=()`` both sides
-    are single-row and a cross join of 1x1 is used. Columns:
+    are single-row and a cross join of 1x1 is used. The reference is
+    broadcast by default (the common few-strata case) — pass
+    ``broadcast_reference=False`` at huge strata cardinality
+    (per-domain snapshots: 10^6 strata x O(k) sketch bytes would not
+    fit a broadcast) to shuffle-join instead, with AQE free to
+    re-broadcast a side that turns out small. Columns:
     ``(by..., ks_est, err_bound, n_a, n_b)`` — ``n_a`` is the current
     side."""
     by = list(by)
     cur = kll_sketch(df, col, by=by, k=k).withColumnRenamed(SKETCH_COL, "__sa")
     ref = reference.withColumnRenamed(SKETCH_COL, "__sb")
+    ref_cols = ref.select(*by, "__sb") if by else ref.select("__sb")
+    ref_side = F.broadcast(ref_cols) if broadcast_reference else ref_cols
     if by:
-        joined = cur.join(F.broadcast(ref.select(*by, "__sb")), by)
+        joined = cur.join(ref_side, by)
     else:
-        joined = cur.crossJoin(F.broadcast(ref.select("__sb")))
+        joined = cur.crossJoin(ref_side)
     return joined.select(
         *by, ks_drift_col("__sa", "__sb").alias("__d")
     ).select(*by, "__d.*")

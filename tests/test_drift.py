@@ -684,3 +684,34 @@ class TestPsi:
         )
         want = kll.psi_distance(kll.decode(sk["a"]), kll.decode(sk["b"]))
         assert got == want
+
+
+class TestSnapshotJoinScale:
+    def test_broadcast_reference_knob(self, spark):
+        """Default broadcasts the reference (few-strata case); False
+        must NOT force a broadcast so 10^6-strata snapshots shuffle
+        (pre-AQE plan inspected - AQE may still re-broadcast tiny
+        sides at runtime, which is the desired adaptivity)."""
+        from pfutil_spark.operators.drift import drift_against_reference
+        from pfutil_spark.operators.sketch_agg import kll_sketch
+
+        df = spark.createDataFrame(
+            [("g%d" % (i % 4), float(i)) for i in range(200)],
+            "grp string, val double",
+        )
+        ref = kll_sketch(df, "val", by=("grp",), k=256)
+
+        def initial_plan(frame):
+            return frame._jdf.queryExecution().executedPlan().toString()
+
+        hinted = drift_against_reference(df, "val", ref, by=("grp",), k=256)
+        assert "BroadcastHashJoin" in initial_plan(hinted)
+        shuffled = drift_against_reference(
+            df, "val", ref, by=("grp",), k=256, broadcast_reference=False
+        )
+        plan = initial_plan(shuffled)
+        assert "BroadcastHashJoin" not in plan, plan
+        # results identical either way
+        a = sorted((r["grp"], r["ks_est"]) for r in hinted.collect())
+        b = sorted((r["grp"], r["ks_est"]) for r in shuffled.collect())
+        assert a == b
