@@ -100,7 +100,14 @@ def streaming_drift_with_state(
     rather than being dropped — a brand-new stratum IS a drift signal.
     KLL is the right drift state: mergeable (at-least-once replay keeps
     the bound sound), uniform rank error (the KS bound is its sum), and
-    constant-size regardless of stream length."""
+    constant-size regardless of stream length.
+
+    Scale note: the reference dict ships in the task closure — right
+    for the intended dashboard-scale key counts (10^2-10^4 keys x O(k)
+    bytes). For per-domain-scale references (10^6+ keys), monitor in
+    micro-batch with ``foreachBatch`` + operators/drift.py::
+    drift_against_reference(broadcast_reference=False) instead, which
+    joins the reference as a DataFrame."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
         BinaryType,
