@@ -146,11 +146,7 @@ class KllSketch:
         it, wt = self._weighted()
         if len(it) == 0:
             return np.full(np.shape(q) or (), np.nan)
-        cum = np.cumsum(wt)
-        targets = np.atleast_1d(np.asarray(q, dtype=np.float64)) * cum[-1]
-        pos = np.searchsorted(cum, targets, side="left")
-        pos = np.clip(pos, 0, len(it) - 1)
-        out = it[pos]
+        out = quantile_arrays(it, wt, np.atleast_1d(np.asarray(q, dtype=np.float64)))
         return out if np.ndim(q) else out[0]
 
     def rank(self, value: float | np.ndarray) -> np.ndarray:
@@ -158,9 +154,7 @@ class KllSketch:
         it, wt = self._weighted()
         if len(it) == 0:
             return np.full(np.shape(value) or (), np.nan)
-        cum = np.concatenate(([0], np.cumsum(wt)))
-        pos = np.searchsorted(it, np.atleast_1d(value), side="right")
-        out = cum[pos] / cum[-1]
+        out = rank_arrays(it, wt, np.atleast_1d(value))
         return out if np.ndim(value) else out[0]
 
     # -- serialization ----------------------------------------------------------
@@ -194,6 +188,28 @@ def decode(buf: bytes) -> KllSketch:
         )
         off += 8 * int(s)
     return sk
+
+
+def quantile_arrays(it: np.ndarray, wt: np.ndarray, qs: np.ndarray) -> np.ndarray:
+    """Value(s) at normalized rank(s) over a value-sorted (items,
+    int64-weights) pair — the ONE quantile body behind
+    :meth:`KllSketch.quantile` and the batch-decoded drift evaluators
+    (shared so the two paths cannot drift; same float ops, bit for
+    bit). Caller guarantees ``len(it) > 0``."""
+    cum = np.cumsum(wt)
+    targets = qs * cum[-1]
+    pos = np.clip(np.searchsorted(cum, targets, side="left"), 0, len(it) - 1)
+    return it[pos]
+
+
+def rank_arrays(it: np.ndarray, wt: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Normalized rank(s) (P[X <= x], right-continuous) over a
+    value-sorted (items, int64-weights) pair — the ONE rank body behind
+    :meth:`KllSketch.rank` and the batch-decoded drift evaluators.
+    Caller guarantees ``len(it) > 0``."""
+    cum = np.concatenate(([0], np.cumsum(wt)))
+    pos = np.searchsorted(it, values, side="right")
+    return cum[pos] / cum[-1]
 
 
 def merge_all(sketches: list[KllSketch]) -> KllSketch:
@@ -258,17 +274,9 @@ def psi_distance(
         raise ValueError(f"bins={bins}: need >= 2")
     if cur.n == 0 or ref.n == 0:
         return float("nan")
-    edges = ref.quantile(np.linspace(0.0, 1.0, bins + 1)[1:-1])
-    edges = np.atleast_1d(edges)
-
-    def masses(sk: KllSketch) -> np.ndarray:
-        r = np.atleast_1d(sk.rank(edges))
-        m = np.diff(np.concatenate(([0.0], r, [1.0])))
-        m = np.maximum(m, floor)
-        return m / m.sum()
-
-    p, q = masses(ref), masses(cur)
-    return float(np.sum((q - p) * np.log(q / p)))
+    it_c, wt_c = cur._weighted()
+    it_r, wt_r = ref._weighted()
+    return psi_arrays(it_c, wt_c, it_r, wt_r, bins, floor)
 
 
 def ks_distance(a: KllSketch, b: KllSketch) -> tuple[float, float]:
@@ -290,6 +298,135 @@ def ks_distance(a: KllSketch, b: KllSketch) -> tuple[float, float]:
     pts = np.unique(np.concatenate([a._weighted()[0], b._weighted()[0]]))
     d = float(np.max(np.abs(a.rank(pts) - b.rank(pts))))
     return d, rank_eps(a) + rank_eps(b)
+
+
+# ---------------------------------------------------------------------------
+# batch-decoded pair evaluators (r5, VERDICT r4 item 2): the drift
+# operators evaluate KS/PSI over Arrow batches of sketch PAIRS. The old
+# path paid a Python ``decode`` (one frombuffer per level + object
+# construction) per pair; these parse every sketch of a batch in ONE
+# flat pass and evaluate over segment-sliced arrays. KS is additionally
+# vectorized ACROSS pairs — integer cumulative weights make the flat
+# cumsum-minus-base per-pair CDFs bit-identical to the per-sketch path,
+# so ks_pairs_flat matches ks_distance float for float.
+# ---------------------------------------------------------------------------
+
+def parse_weighted_flat(
+    data: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Flat parse of many KLL buffers -> ``(n, eps, items, weights,
+    starts)`` with each row's retained items VALUE-sorted (stable across
+    levels, the exact order :meth:`KllSketch._weighted` produces) and
+    ``weights[i] = 2**level``. ``eps`` is :func:`rank_eps` per row.
+    Mixed-k batches are allowed (two-sample queries are k-agnostic)."""
+    k_arr, _, _, n, tot, item_row, item_level, item_val = parse_flat(data, offsets)
+    order = np.lexsort((item_val, item_row))  # stable: level order on ties
+    items = item_val[order]
+    weights = (np.int64(1) << item_level[order]).astype(np.int64)
+    starts = np.zeros(len(offsets), dtype=np.int64)
+    np.cumsum(tot, out=starts[1:])
+    # lossless: every retained item at level 0 AND nothing dropped
+    has_upper = np.zeros(len(tot), dtype=bool)
+    upper = item_level > 0
+    if upper.any():
+        has_upper[np.unique(item_row[upper])] = True
+    lossless = ~has_upper & (tot == n)
+    with np.errstate(divide="ignore"):
+        eps = np.where(lossless, 0.0, KS_EPS_C / k_arr.astype(np.float64))
+    return n, eps, items, weights, starts
+
+
+def ks_pairs_flat(
+    pa: tuple[np.ndarray, ...], pb: tuple[np.ndarray, ...]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-sample KS for MANY sketch pairs at once, fully vectorized
+    (zero per-pair Python): ``pa``/``pb`` are :func:`parse_weighted_flat`
+    results with one row per pair. Returns ``(d_est, err_bound)`` —
+    float-for-float identical to calling :func:`ks_distance` per pair
+    (integer cumulative weights keep the flat per-pair CDF divisions
+    exactly the per-sketch ones; the max runs over the same union
+    support). Pairs with an empty side yield ``(nan, inf)``."""
+    n_a, eps_a, it_a, wt_a, st_a = pa
+    n_b, eps_b, it_b, wt_b, st_b = pb
+    P = len(n_a)
+    d_out = np.full(P, np.nan)
+    e_out = np.full(P, np.inf)
+    cnt_a = np.diff(st_a)
+    cnt_b = np.diff(st_b)
+    # retained-item presence tracks n>0 for valid sketches
+    valid = (n_a > 0) & (n_b > 0)
+    if not valid.any():
+        return d_out, e_out
+    vids = np.flatnonzero(valid)
+    # rebuild compact item streams over the valid pairs only
+    def compact(st, cnt, items, wts):
+        take_cnt = cnt[vids]
+        seg = np.repeat(vids, take_cnt)
+        from .sketch_common import segment_ranks
+
+        idx = st[seg] + segment_ranks(np.repeat(np.arange(len(vids)), take_cnt))
+        return items[idx], wts[idx], np.repeat(
+            np.arange(len(vids), dtype=np.int64), take_cnt
+        )
+    ia, wa, pa_id = compact(st_a, cnt_a, it_a, wt_a)
+    ib, wb, pb_id = compact(st_b, cnt_b, it_b, wt_b)
+    vals = np.concatenate([ia, ib])
+    wts = np.concatenate([wa, wb]).astype(np.uint64)
+    side_b = np.concatenate(
+        [np.zeros(len(ia), dtype=bool), np.ones(len(ib), dtype=bool)]
+    )
+    pid = np.concatenate([pa_id, pb_id])
+    order = np.lexsort((vals, pid))
+    sv, sw, sb, sp = vals[order], wts[order], side_b[order], pid[order]
+    cum_a = np.cumsum(np.where(sb, np.uint64(0), sw))
+    cum_b = np.cumsum(np.where(sb, sw, np.uint64(0)))
+    V = len(vids)
+    pstart = np.searchsorted(sp, np.arange(V))
+    base_a = np.concatenate(([np.uint64(0)], cum_a))[pstart]
+    base_b = np.concatenate(([np.uint64(0)], cum_b))[pstart]
+    pend = np.append(pstart[1:], len(sp))
+    tot_a = (cum_a[pend - 1] - base_a).astype(np.float64)
+    tot_b = (cum_b[pend - 1] - base_b).astype(np.float64)
+    # evaluation points = run ends of equal (pair, value): the union
+    # support, each value counted once with all items <= it folded in
+    is_end = np.ones(len(sp), dtype=bool)
+    is_end[:-1] = (sp[1:] != sp[:-1]) | (sv[1:] != sv[:-1])
+    ends = np.flatnonzero(is_end)
+    ep = sp[ends]
+    # uint64 subtraction is exact (mod 2^64; per-pair totals < 2^63)
+    ra = (cum_a[ends] - base_a[ep]).astype(np.float64) / tot_a[ep]
+    rb = (cum_b[ends] - base_b[ep]).astype(np.float64) / tot_b[ep]
+    dd = np.abs(ra - rb)
+    estart = np.searchsorted(ep, np.arange(V))
+    d_out[vids] = np.maximum.reduceat(dd, estart)
+    e_out[vids] = eps_a[vids] + eps_b[vids]
+    return d_out, e_out
+
+
+def psi_arrays(
+    it_cur: np.ndarray,
+    wt_cur: np.ndarray,
+    it_ref: np.ndarray,
+    wt_ref: np.ndarray,
+    bins: int,
+    floor: float,
+) -> float:
+    """PSI over two value-sorted (items, weights) pairs — the same float
+    ops as :func:`psi_distance` (which delegates here), usable on
+    segment slices from :func:`parse_weighted_flat`. Caller guarantees
+    both sides non-empty and ``bins >= 2``."""
+    edges = np.atleast_1d(
+        quantile_arrays(it_ref, wt_ref, np.linspace(0.0, 1.0, bins + 1)[1:-1])
+    )
+
+    def masses(it: np.ndarray, wt: np.ndarray) -> np.ndarray:
+        r = np.atleast_1d(rank_arrays(it, wt, edges))
+        m = np.diff(np.concatenate(([0.0], r, [1.0])))
+        m = np.maximum(m, floor)
+        return m / m.sum()
+
+    p, q = masses(it_ref, wt_ref), masses(it_cur, wt_cur)
+    return float(np.sum((q - p) * np.log(q / p)))
 
 
 # ---------------------------------------------------------------------------
@@ -484,6 +621,177 @@ def popcount_sum(x: np.ndarray) -> int:
     for b in range(63):  # positive int64: bit 63 is the sign bit
         total += int(((x >> np.int64(b)) & np.int64(1)).sum())
     return total
+
+
+def parse_flat(
+    data: np.ndarray, offsets: np.ndarray, k: int | None = None
+) -> tuple[np.ndarray, ...]:
+    """Raising flat parse of many KLL buffers in one vectorized pass —
+    the shared front half of :func:`merge_groups_flat` and the drift
+    pair evaluators (which previously paid a Python ``decode`` per
+    sketch PAIR). Returns
+    ``(ks, nlv, comp, n, tot, item_row, item_level, item_val)`` with
+    items in (row, level, within-level original) order — exactly the
+    wire layout order. ``k`` (when given) is enforced per buffer, like
+    the CMS/Bloom flat merges enforce their params."""
+    from .sketch_common import read_le_flat, segment_ranks
+
+    n_rows = len(offsets) - 1
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lens = np.diff(offsets)
+    if n_rows == 0:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e, e, e, e, e, e, np.zeros(0, dtype=np.float64)
+    if (lens < 32).any():
+        raise ValueError("Invalid KLL representation")
+    hp = offsets[:-1]
+    ok = np.ones(n_rows, dtype=bool)
+    for i, byte in enumerate(MAGIC):
+        ok &= data[hp + i] == byte
+    if not ok.all():
+        raise ValueError("Invalid KLL representation")
+    if (read_le_flat(data, hp + 4, 4) != 1).any():
+        raise ValueError("unsupported KLL version")
+    ks = read_le_flat(data, hp + 8, 4).astype(np.int64)
+    if k is not None and (ks != k).any():
+        raise ValueError("Invalid KLL representation")  # param mismatch
+    nlv = read_le_flat(data, hp + 12, 4).astype(np.int64)
+    comp = read_le_flat(data, hp + 16, 4).astype(np.int64)
+    n = read_le_flat(data, hp + 20, 8).view(np.int64)
+    if (nlv < 1).any() or (lens < 28 + 4 * nlv).any():
+        raise ValueError("Invalid KLL representation")
+    # per-(row, level) sizes, then the flat item stream
+    seg = np.repeat(np.arange(n_rows, dtype=np.int64), nlv)
+    lvl = segment_ranks(seg)
+    sizes = read_le_flat(data, hp[seg] + 28 + 4 * lvl, 4).astype(np.int64)
+    tot = np.bincount(seg, weights=sizes.astype(np.float64), minlength=n_rows).astype(
+        np.int64
+    )
+    if (lens != 28 + 4 * nlv + 8 * tot).any():
+        raise ValueError("Invalid KLL representation")
+    slot = np.repeat(np.arange(len(seg), dtype=np.int64), sizes)
+    item_row = seg[slot]
+    item_level = lvl[slot]
+    pos = hp[item_row] + 28 + 4 * nlv[item_row] + 8 * segment_ranks(item_row)
+    item_val = read_le_flat(data, pos, 8).view(np.float64)
+    return ks, nlv, comp, n, tot, item_row, item_level, item_val
+
+
+def merge_groups_flat(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    group_codes: np.ndarray,
+    n_groups: int,
+    k: int = DEFAULT_K,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grouped KLL merge over flat wire buffers (``group_codes``
+    non-decreasing, every code present) — the concat-then-compress-once
+    multiway merge, zero per-group Python in the no-compaction regime:
+
+    * every group's merged state starts as the per-level concatenation
+      of its partials' levels in arrival order (exactly what sequential
+      :func:`merge_all` builds when no compaction fires), written flat;
+    * groups whose retained-item total exceeds the capacity schedule
+      compact through ONE scalar ``_compress`` over the already-gathered
+      level arrays (never a per-partial ``decode``). Compress-once
+      strictly dominates sequential pairwise merging on error, so the
+      KLL merge bound applies unchanged.
+
+    Byte parity with ``merge_all`` holds whenever the sequential merge
+    never compacts (lossless strata, the EXACT-oracle regime — the
+    ``compactions`` counter replays the sequential max-fold); compacted
+    groups are estimate-stable like every KLL merge (NOTES.md r2).
+    Scratch memory is O(n_groups * max_levels) for the per-(group,
+    level) size table plus the item stream itself."""
+    from .sketch_common import segment_ranks, write_le_flat
+
+    g_row = np.asarray(group_codes, dtype=np.int64)
+    _, nlv, comp, n, tot, item_row, item_level, item_val = parse_flat(
+        data, offsets, k
+    )
+    if len(g_row) == 0:
+        raise ValueError("merge_groups_flat needs at least one buffer")
+    counts_rows = np.bincount(g_row, minlength=n_groups).astype(np.int64)
+    gstarts = np.concatenate(([0], np.cumsum(counts_rows)))[:-1]
+    gstarts = np.minimum(gstarts, len(g_row) - 1)  # trailing-empty-group safety
+    n_out = np.add.reduceat(n, gstarts)
+    n_out[counts_rows == 0] = 0  # reduceat repeats on empty segments
+    nlv_out = np.maximum.reduceat(nlv, gstarts)
+    nlv_out = np.where(counts_rows > 0, nlv_out, 1)
+    # sequential merge_all bumps compactions via max(c, c_i) + 1 per
+    # step; unrolled, partial i of a P-way merge contributes
+    # c_i + P - max(i, 1) — replayed here so the no-compaction regime is
+    # byte-identical to the scalar path
+    r = segment_ranks(g_row)
+    contrib = comp + counts_rows[g_row] - np.maximum(r, 1)
+    comp_out = np.maximum.reduceat(contrib, gstarts)
+    comp_out = np.where(counts_rows > 0, comp_out, 0)
+
+    item_group = g_row[item_row]
+    order = np.lexsort((item_level, item_group))  # stable: keeps arrival order
+    item_group = item_group[order]
+    item_level_s = item_level[order]
+    item_val_s = item_val[order]
+    tot_out = np.bincount(item_group, minlength=n_groups).astype(np.int64)
+    Lmax = int(nlv_out.max()) if n_groups else 1
+    counts_gl = np.bincount(
+        item_group * Lmax + item_level_s, minlength=n_groups * Lmax
+    ).astype(np.int64)
+    big = tot_out > _total_cap_table(Lmax + 1, k)[nlv_out]
+    enc_big: dict[int, bytes] = {}
+    if big.any():
+        istarts = np.concatenate(([0], np.cumsum(tot_out)))
+        for gi in np.flatnonzero(big):
+            sk = KllSketch(k)
+            sk.n = int(n_out[gi])
+            sk.compactions = int(comp_out[gi])
+            base = istarts[gi]
+            lv_sizes = counts_gl[gi * Lmax : gi * Lmax + nlv_out[gi]]
+            bounds = base + np.concatenate(([0], np.cumsum(lv_sizes)))
+            sk.levels = [
+                item_val_s[bounds[j] : bounds[j + 1]].copy()
+                for j in range(int(nlv_out[gi]))
+            ]
+            sk._compress()
+            enc_big[int(gi)] = sk.encode()
+    row_len = 28 + 4 * nlv_out + 8 * tot_out
+    for gi, b in enc_big.items():
+        row_len[gi] = len(b)
+    out_offsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(row_len, out=out_offsets[1:])
+    out = np.zeros(int(out_offsets[-1]), dtype=np.uint8)
+    small = ~big
+    hp = out_offsets[:-1][small]
+    for i, byte in enumerate(MAGIC):
+        out[hp + i] = byte
+    ones = np.ones(int(small.sum()), dtype=np.int64)
+    write_le_flat(out, hp + 4, ones, 4)                  # version
+    write_le_flat(out, hp + 8, ones * k, 4)              # k
+    write_le_flat(out, hp + 12, nlv_out[small], 4)       # n_levels
+    write_le_flat(out, hp + 16, comp_out[small], 4)      # compactions
+    write_le_flat(out, hp + 20, n_out[small], 8)         # n
+    small_ids = np.flatnonzero(small)
+    if len(small_ids):
+        seg = np.repeat(
+            np.arange(len(small_ids), dtype=np.int64), nlv_out[small_ids]
+        )
+        lvl = segment_ranks(seg)
+        write_le_flat(                                   # sizes[0..L)
+            out,
+            out_offsets[small_ids][seg] + 28 + 4 * lvl,
+            counts_gl[np.repeat(small_ids, nlv_out[small_ids]) * Lmax + lvl],
+            4,
+        )
+    isel = small[item_group]
+    if isel.any():
+        ig = item_group[isel]
+        pos = out_offsets[ig] + 28 + 4 * nlv_out[ig] + 8 * segment_ranks(ig)
+        write_le_flat(out, pos, item_val_s[isel].view(np.uint64), 8)
+    for gi, b in enc_big.items():
+        out[out_offsets[gi] : out_offsets[gi] + len(b)] = np.frombuffer(
+            b, dtype=np.uint8
+        )
+    return out, out_offsets
 
 
 def valid_flat(data: np.ndarray, offsets: np.ndarray, k: int) -> np.ndarray:

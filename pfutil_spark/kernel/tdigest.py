@@ -276,6 +276,110 @@ def fold_groups_weighted(
     return _emit_groups(means, wsum, cent_g, vmin, vmax, n_groups, delta)
 
 
+def merge_groups_flat(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    group_codes: np.ndarray,
+    n_groups: int,
+    delta: int = DEFAULT_DELTA,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grouped t-digest merge over flat wire buffers (``group_codes``
+    non-decreasing, every code present): gather every partial's
+    centroids in one vectorized parse, then run the k-space bucket
+    compression for ALL multi-partial groups in one flat pass — the
+    compress-once multiway merge, zero per-group Python.
+
+    Groups with at most one non-empty partial emit that partial's
+    centroids unchanged (byte-identical to scalar ``merge_all``, which
+    skips compression when ``other`` is empty). Multi-source groups are
+    estimate-stable, not byte-stable, vs the sequential scalar merge —
+    the documented t-digest merge contract (NOTES.md r2): the flat
+    cumulative-rank terms differ from an isolated per-group cumsum by
+    ulps, and compress-once vs pairwise bucketization differ anyway.
+    Compressing the union once never exceeds the error of sequential
+    pairwise merges."""
+    from .sketch_common import read_le_flat, segment_ranks
+
+    n_rows = len(offsets) - 1
+    offsets = np.asarray(offsets, dtype=np.int64)
+    g_row = np.asarray(group_codes, dtype=np.int64)
+    if n_rows == 0 or len(g_row) == 0:
+        raise ValueError("merge_groups_flat needs at least one buffer")
+    lens = np.diff(offsets)
+    if (lens < 32).any():
+        raise ValueError("Invalid t-digest representation")
+    hp = offsets[:-1]
+    ok = np.ones(n_rows, dtype=bool)
+    for i, byte in enumerate(MAGIC):
+        ok &= data[hp + i] == byte
+    if not ok.all():
+        raise ValueError("Invalid t-digest representation")
+    if (read_le_flat(data, hp + 4, 4) != 1).any():
+        raise ValueError("unsupported t-digest version")
+    if (read_le_flat(data, hp + 8, 4).astype(np.int64) != delta).any():
+        raise ValueError("Invalid t-digest representation")  # param mismatch
+    n_c = read_le_flat(data, hp + 12, 4).astype(np.int64)
+    if (lens != 32 + 16 * n_c).any():
+        raise ValueError("Invalid t-digest representation")
+    vmin_r = read_le_flat(data, hp + 16, 8).view(np.float64)
+    vmax_r = read_le_flat(data, hp + 24, 8).view(np.float64)
+
+    counts_rows = np.bincount(g_row, minlength=n_groups).astype(np.int64)
+    gstarts = np.minimum(
+        np.concatenate(([0], np.cumsum(counts_rows)))[:-1], n_rows - 1
+    )
+    vmin = np.minimum.reduceat(vmin_r, gstarts)
+    vmax = np.maximum.reduceat(vmax_r, gstarts)
+    # groups fed by >= 2 non-empty partials recompress; others pass
+    # their (already bucket-compressed, mean-sorted) centroids through
+    src = np.bincount(g_row[n_c > 0], minlength=n_groups)
+    multi = src >= 2
+
+    cent_row = np.repeat(np.arange(n_rows, dtype=np.int64), n_c)
+    rank = segment_ranks(cent_row)
+    means = read_le_flat(data, hp[cent_row] + 32 + 8 * rank, 8).view(np.float64)
+    wts = read_le_flat(
+        data, hp[cent_row] + 32 + 8 * n_c[cent_row] + 8 * rank, 8
+    ).view(np.float64)
+    cent_g = g_row[cent_row]
+    sel = multi[cent_g]
+    out_m = [means[~sel]]
+    out_w = [wts[~sel]]
+    out_g = [cent_g[~sel]]
+    if sel.any():
+        v, w, g = means[sel], wts[sel], cent_g[sel]
+        order = np.lexsort((v, g))  # stable sort by mean within group
+        v, w, g = v[order], w[order], g[order]
+        ccounts = np.bincount(g, minlength=n_groups).astype(np.int64)
+        cstarts = np.minimum(
+            np.concatenate(([0], np.cumsum(ccounts)))[:-1], len(v) - 1
+        )
+        totals = np.bincount(g, weights=w, minlength=n_groups)
+        totals = np.where(ccounts > 0, totals, 1.0)
+        cw = np.cumsum(w)
+        base = np.concatenate(([0.0], cw))[cstarts]
+        q_mid = (cw - np.repeat(base, ccounts) - 0.5 * w) / np.repeat(
+            totals, ccounts
+        )
+        k_ = delta * (
+            np.arcsin(2.0 * np.clip(q_mid, 0.0, 1.0) - 1.0) / np.pi + 0.5
+        )
+        bucket = np.floor(k_).astype(np.int64)
+        stride = delta + 2
+        key = g * stride + bucket
+        uniq, inv2 = np.unique(key, return_inverse=True)
+        out_w.append(np.bincount(inv2, weights=w))
+        out_m.append(np.bincount(inv2, weights=w * v) / out_w[-1])
+        out_g.append(uniq // stride)
+    means_o = np.concatenate(out_m)
+    wts_o = np.concatenate(out_w)
+    g_o = np.concatenate(out_g)
+    order = np.lexsort((means_o, g_o))
+    return _emit_groups(
+        means_o[order], wts_o[order], g_o[order], vmin, vmax, n_groups, delta
+    )
+
+
 def valid_flat(data: np.ndarray, offsets: np.ndarray, delta: int) -> np.ndarray:
     """Non-raising per-buffer structural validity (merge passthrough
     probe): magic / version / matching delta / length == 32 + 16*n_c.

@@ -161,6 +161,7 @@ def kll_spec(k: int = kll.DEFAULT_K) -> KernelSpec:
         encode=lambda s: s.encode(),
         decode=kll.decode,
         fold_groups=lambda v, inv, n: kll.fold_groups_level0(v, inv, n, k),
+        merge_groups=lambda d, o, g, n: kll.merge_groups_flat(d, o, g, n, k),
         valid_flat=lambda d, o: kll.valid_flat(d, o, k),
         fold_bytes_bound=lambda g, n: 32 * g + 8 * n,
         update_weighted=update_weighted,
@@ -194,8 +195,19 @@ def spacesaving_spec(m: int = 256) -> KernelSpec:
         merge=ss.merge_all,
         encode=lambda s: s.encode(),
         decode=ss.decode,
+        fold_groups=lambda v, inv, n: ss.fold_groups(v, inv, n, m),
+        merge_groups=lambda d, o, g, n: ss.merge_groups_flat(d, o, g, n, m),
         valid_flat=lambda d, o: ss.valid_flat(d, o, m),
+        # a group's wire row is 32B + (12 + key bytes) per kept item and
+        # kept items never exceed the batch's rows for that group; 256B
+        # assumed per key (SS elements are reportable values — ids,
+        # terms), and the partial path's 2GB offsets check still guards
+        # the pathological-long-key case
+        fold_bytes_bound=lambda g, n: 32 * g + 268 * n,
         update_weighted=update_weighted,
+        fold_groups_weighted=lambda v, w, inv, n: ss.fold_groups_weighted(
+            v, w, inv, n, m
+        ),
     )
 
 
@@ -232,6 +244,7 @@ def tdigest_spec(delta: int = tdigest.DEFAULT_DELTA) -> KernelSpec:
         encode=lambda s: s.encode(),
         decode=tdigest.decode,
         fold_groups=lambda v, inv, n: tdigest.fold_groups(v, inv, n, delta),
+        merge_groups=lambda d, o, g, n: tdigest.merge_groups_flat(d, o, g, n, delta),
         valid_flat=lambda d, o: tdigest.valid_flat(d, o, delta),
         fold_bytes_bound=lambda g, n: 32 * g + 16 * min(n, g * (delta + 2)),
         update_weighted=update_weighted,
@@ -274,9 +287,9 @@ def sketch_agg(
     * HIGH-cardinality batches with a ``spec.fold_groups`` hook: the
       whole batch folds to per-group encoded sketches in one vectorized
       pass (flat buffers, zero per-group Python) and emits directly —
-      the near-unique-key regime where accumulation buys nothing.
-      SpaceSaving has no such hook (object-string summaries) and always
-      accumulates; its merge still benefits from the passthrough below.
+      the near-unique-key regime where accumulation buys nothing. As of
+      r5 every spec has the hook (SpaceSaving folds its object-string
+      summaries via factorize+reduceat).
     * ``engine='arrow'`` (default) merge: repartition on the keys (the
       only Exchange, no per-partition Sort) + a single vectorized pass
       per partition — validated single-partial groups PASS THROUGH

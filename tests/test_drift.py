@@ -715,3 +715,99 @@ class TestSnapshotJoinScale:
         a = sorted((r["grp"], r["ks_est"]) for r in hinted.collect())
         b = sorted((r["grp"], r["ks_est"]) for r in shuffled.collect())
         assert a == b
+
+
+class TestBatchDecodedEvaluators:
+    """r5 (VERDICT r4 item 2): the pair evaluators batch-decode — one
+    flat parse per Arrow batch, KS vectorized ACROSS pairs. Must be
+    float-for-float identical to the scalar per-pair path."""
+
+    @staticmethod
+    def _flat_of(bufs):
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        offs = np.zeros(len(bufs) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in bufs], out=offs[1:])
+        return data, offs
+
+    def _population(self, seed):
+        rng = np.random.default_rng(seed)
+
+        def mk(kind, k):
+            sk = kll.KllSketch(k)
+            if kind == "lossless":
+                sk.update(rng.normal(size=int(rng.integers(1, 50))))
+            elif kind == "big":
+                for _ in range(6):
+                    sk.update(rng.normal(size=1000))
+            elif kind == "weighted":
+                sk.update_weighted(
+                    rng.normal(size=200), rng.integers(1, 1000, 200)
+                )
+            return sk  # "empty" falls through
+
+        kinds = ["lossless", "big", "weighted", "empty", "lossless", "big"]
+        a = [mk(kinds[i % 6], [200, 100][i % 2]) for i in range(60)]
+        b = [mk(kinds[(i + 2) % 6], 200) for i in range(60)]
+        return a, b
+
+    def test_ks_pairs_flat_bit_parity(self):
+        sks_a, sks_b = self._population(31)
+        pa = kll.parse_weighted_flat(*self._flat_of([s.encode() for s in sks_a]))
+        pb = kll.parse_weighted_flat(*self._flat_of([s.encode() for s in sks_b]))
+        d, e = kll.ks_pairs_flat(pa, pb)
+        for i, (a, b) in enumerate(zip(sks_a, sks_b)):
+            d0, e0 = kll.ks_distance(a, b)
+            if np.isnan(d0):
+                assert np.isnan(d[i]) and e[i] == float("inf")
+            else:
+                assert d[i] == d0 and e[i] == e0, i
+            assert pa[0][i] == a.n
+            assert pa[1][i] == kll.rank_eps(a)
+
+    def test_psi_arrays_bit_parity(self):
+        sks_a, sks_b = self._population(32)
+        for a, b in zip(sks_a, sks_b):
+            if a.n == 0 or b.n == 0:
+                continue
+            assert kll.psi_distance(a, b, 10) == kll.psi_arrays(
+                *a._weighted(), *b._weighted(), 10, 1e-4
+            )
+
+    def test_evaluator_columns_match_scalar(self, spark):
+        """End-to-end: ks_drift_col / psi via the Spark columns equal
+        the scalar kernel per pair, NULLs stay NULL."""
+        from pfutil_spark.operators.drift import ks_drift_col, psi_drift_col
+
+        sks_a, sks_b = self._population(33)
+        rows = [
+            (i, a.encode() if i % 7 else None, b.encode())
+            for i, (a, b) in enumerate(zip(sks_a, sks_b))
+        ]
+        df = spark.createDataFrame(rows, "id long, sa binary, sb binary")
+        out = (
+            df.select(
+                "id",
+                ks_drift_col("sa", "sb").alias("ks"),
+                psi_drift_col("sa", "sb").alias("psi"),
+            )
+            .orderBy("id")
+            .collect()
+        )
+        for r in out:
+            i = r["id"]
+            if i % 7 == 0:
+                assert r["ks"]["ks_est"] is None and r["psi"] is None
+                continue
+            a, b = sks_a[i], sks_b[i]
+            d0, e0 = kll.ks_distance(a, b)
+            if np.isnan(d0):
+                assert r["ks"]["ks_est"] is None
+                assert r["ks"]["err_bound"] == float("inf")
+            else:
+                assert r["ks"]["ks_est"] == d0 and r["ks"]["err_bound"] == e0
+                assert r["ks"]["n_a"] == a.n and r["ks"]["n_b"] == b.n
+            p0 = kll.psi_distance(a, b, 10)
+            if np.isnan(p0):
+                assert r["psi"] is None
+            else:
+                assert r["psi"] == p0

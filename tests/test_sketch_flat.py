@@ -445,15 +445,68 @@ class TestNoPerGroupPython:
         assert len(got) == 250
 
     def test_kll_singles_passthrough(self):
-        """KLL has no vectorized merge — but singles (the ~only regime at
-        high-cardinality by) must pass through without touching the
-        scalar decode."""
+        """Singles (the ~only regime at high-cardinality by) must pass
+        through without touching the scalar decode."""
         rng, inv, _ = _pairs(10, n=20_000, n_groups=300)
         vals = rng.normal(size=len(inv))
         spec = kll_spec(100)
         data, offs = kll.fold_groups_level0(vals, inv, 300, 100)
         got = self._drive(spec, data, offs, 300, 0)
         assert len(got) == 300
+
+    def test_kll_multi_partial_vectorized(self):
+        """r5: multi-partial KLL groups merge via merge_groups_flat with
+        the scalar hooks broken — and match merge_all byte-for-byte in
+        the no-compaction regime."""
+        rng, inv, _ = _pairs(12, n=20_000, n_groups=400)
+        vals = rng.normal(size=len(inv))
+        spec = kll_spec(100)
+        data, offs = kll.fold_groups_level0(vals, inv, 400, 100)
+        expected = {f"s{g}": bytes(data[offs[g] : offs[g + 1]]) for g in range(100)}
+        for g in range(150):
+            i = 100 + 2 * g
+            parts = [
+                kll.decode(bytes(data[offs[i + j] : offs[i + j + 1]]))
+                for j in range(2)
+            ]
+            expected[f"m{g}"] = kll.merge_all(parts).encode()
+        got = self._drive(spec, data, offs, 100, 150)
+        assert got == expected
+
+    def test_tdigest_multi_partial_vectorized(self):
+        rng, inv, _ = _pairs(13, n=20_000, n_groups=400)
+        vals = rng.normal(size=len(inv))
+        spec = tdigest_spec(50)
+        data, offs = tdigest.fold_groups(vals, inv, 400, 50)
+        got = self._drive(spec, data, offs, 100, 150)
+        assert len(got) == 250
+        for g in range(0, 150, 30):
+            i = 100 + 2 * g
+            parts = [
+                tdigest.decode(bytes(data[offs[i + j] : offs[i + j + 1]]))
+                for j in range(2)
+            ]
+            exp = tdigest.merge_all(parts)
+            out = tdigest.decode(got[f"m{g}"])
+            assert abs(out.n - exp.n) < 1e-9
+            assert abs(out.quantile(0.5) - exp.quantile(0.5)) < 0.3
+
+    def test_spacesaving_multi_partial_vectorized(self):
+        rng = np.random.default_rng(14)
+        univ = np.asarray([f"t{i}" for i in range(40)], dtype=object)
+        bufs = []
+        for _ in range(400):
+            s = ss.SpaceSaving(16)
+            s.update_batch(rng.choice(univ, size=25))
+            bufs.append(s.encode())
+        data, offs = _flat_of(bufs)
+        spec = spacesaving_spec(16)
+        got = self._drive(spec, data, offs, 100, 150)
+        for g in range(0, 150, 30):
+            i = 100 + 2 * g
+            a = ss.decode(bufs[i])
+            b = ss.decode(bufs[i + 1])
+            assert got[f"m{g}"] == a.merge(b).encode()  # P=2 byte parity
 
     def test_cms_sparse_wire(self):
         """Sparse (v2) CMS encoding: the canonical encoder picks sparse
@@ -537,13 +590,15 @@ class TestNoPerGroupPython:
         assert not bloom.valid_flat(flat, np.array([0, len(nc)]), 1 << 10, 5).any()
 
     def test_near_unique_1m_gate_fresh_jvm(self):
-        """VERDICT r3 done-criterion: kmv / cms / bloom sketches (CMS at
-        the DEFAULT width, Bloom at the default 1M-key sizing — feasible
-        only because of the sparse wire formats) at 1M rows / 900k
-        near-unique groups within ~3x of the low-card case. Fresh JVM
-        via tools/sketch_highcard_gate.py (the shared test session
-        measures GC archaeology — see tools/highcard_gate rationale);
-        A-B-A low-card timing + one retry for noise bursts."""
+        """VERDICT r3+r4 done-criterion: EVERY sketch family (CMS at the
+        DEFAULT width, Bloom at the default 1M-key sizing — feasible
+        only because of the sparse wire formats; r5 adds kll / tdigest /
+        spacesaving and the weighted-KLL fold, closing the last
+        per-group-Python merge path) at 1M rows / 900k near-unique
+        groups within ~3x of the low-card case. Fresh JVM via
+        tools/sketch_highcard_gate.py (the shared test session measures
+        GC archaeology — see tools/highcard_gate rationale); A-B-A
+        low-card timing + one retry for noise bursts."""
         import json
         import os
         import subprocess
@@ -554,10 +609,17 @@ class TestNoPerGroupPython:
             "tools",
             "sketch_highcard_gate.py",
         )
-        kinds = ("kmv", "cms", "bloom")
+        kinds = (
+            "kmv", "cms", "bloom", "kll", "tdigest", "spacesaving",
+            "kll_weighted",
+        )
         for _ in range(2):
             out = subprocess.run(
-                [sys.executable, gate], capture_output=True, text=True, timeout=1800
+                [sys.executable, gate],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+                env={**os.environ, "PFUTIL_GATE_KINDS": ",".join(kinds)},
             )
             assert out.returncode == 0, out.stderr[-2000:]
             r = json.loads(out.stdout.strip().splitlines()[-1])
@@ -581,3 +643,276 @@ class TestNoPerGroupPython:
         offs[1:] = np.cumsum([len(b) for b in bufs])
         got = self._drive(spec, flat, offs, 200, 0)
         assert got == {f"s{i}": bufs[i] for i in range(200)}
+
+
+def _flat_of(bufs):
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offs = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bufs], out=offs[1:])
+    return data, offs
+
+
+class TestKllFlatMerge:
+    """r5: kll.merge_groups_flat — concat-then-compress-once multiway
+    merge; byte parity with sequential merge_all whenever the sequential
+    path never compacts (the lossless EXACT-oracle regime), estimate
+    stability + the space contract for compacted groups."""
+
+    def test_lossless_byte_parity_with_merge_all(self):
+        rng = np.random.default_rng(7)
+        k, bufs, codes, groups = 200, [], [], []
+        for g in range(50):
+            parts = []
+            for _ in range(int(rng.integers(1, 5))):
+                sk = kll.KllSketch(k)
+                sk.update(rng.normal(size=int(rng.integers(0, 30))))
+                parts.append(sk.encode())
+            groups.append(parts)
+            bufs += parts
+            codes += [g] * len(parts)
+        data, offs = _flat_of(bufs)
+        md, mo = kll.merge_groups_flat(data, offs, np.asarray(codes), 50, k)
+        for g, parts in enumerate(groups):
+            exp = kll.merge_all([kll.decode(p) for p in parts]).encode()
+            assert bytes(md[mo[g] : mo[g + 1]]) == exp, g
+            assert kll.is_lossless(kll.decode(exp))
+
+    def test_weighted_multilevel_byte_parity(self):
+        rng = np.random.default_rng(8)
+        bufs, codes = [], []
+        for g in range(10):
+            for _ in range(3):
+                sk = kll.KllSketch(200)
+                sk.update_weighted(
+                    rng.normal(size=20), rng.integers(1, 100, 20)
+                )
+                bufs.append(sk.encode())
+                codes.append(g)
+        data, offs = _flat_of(bufs)
+        md, mo = kll.merge_groups_flat(data, offs, np.asarray(codes), 10, 200)
+        for g in range(10):
+            exp = kll.merge_all(
+                [kll.decode(bufs[3 * g + p]) for p in range(3)]
+            ).encode()
+            assert bytes(md[mo[g] : mo[g + 1]]) == exp, g
+
+    def test_compacted_groups_estimate_and_space_contract(self):
+        rng = np.random.default_rng(9)
+        k, bufs, codes, vals = 50, [], [], {}
+        for g in range(5):
+            vals[g] = []
+            for _ in range(20):
+                v = rng.normal(size=500)
+                sk = kll.KllSketch(k)
+                sk.update(v)
+                bufs.append(sk.encode())
+                codes.append(g)
+                vals[g].append(v)
+        data, offs = _flat_of(bufs)
+        md, mo = kll.merge_groups_flat(data, offs, np.asarray(codes), 5, k)
+        for g in range(5):
+            got = kll.decode(bytes(md[mo[g] : mo[g + 1]]))
+            allv = np.concatenate(vals[g])
+            assert got.n == len(allv)
+            r = (allv <= got.quantile(0.5)).mean()
+            assert abs(r - 0.5) <= 3 * kll.KS_EPS_C / k
+            assert sum(len(lv) for lv in got.levels) <= got._total_cap()
+
+    def test_invalid_and_param_mismatch_raise(self):
+        sk = kll.KllSketch(100)
+        sk.update(np.arange(5.0))
+        good = sk.encode()
+        data, offs = _flat_of([good, b"XXXX" + good[4:]])
+        with pytest.raises(ValueError, match="Invalid KLL"):
+            kll.merge_groups_flat(data, offs, np.array([0, 0]), 1, 100)
+        data, offs = _flat_of([good, good])
+        with pytest.raises(ValueError, match="Invalid KLL"):
+            kll.merge_groups_flat(data, offs, np.array([0, 0]), 1, 200)
+
+    def test_empty_merge(self):
+        data, offs = _flat_of([kll.KllSketch(200).encode()] * 3)
+        md, mo = kll.merge_groups_flat(data, offs, np.array([0, 0, 0]), 1, 200)
+        got = kll.decode(bytes(md[mo[0] : mo[1]]))
+        assert got.n == 0 and np.isnan(got.quantile(0.5))
+
+
+class TestTdigestFlatMerge:
+    """r5: tdigest.merge_groups_flat — compress-once multiway merge;
+    byte parity when at most one partial is non-empty (scalar merge_all
+    skips compression then), estimate stability otherwise."""
+
+    def test_single_nonempty_byte_parity(self):
+        rng = np.random.default_rng(11)
+        delta, bufs, codes, expect = 100, [], [], []
+        for g in range(20):
+            sk = tdigest.TDigest(delta)
+            sk.update(rng.normal(size=int(rng.integers(1, 2000))))
+            trio = [
+                tdigest.TDigest(delta).encode(),
+                sk.encode(),
+                tdigest.TDigest(delta).encode(),
+            ]
+            bufs += trio
+            codes += [g] * 3
+            expect.append(
+                tdigest.merge_all([tdigest.decode(b) for b in trio]).encode()
+            )
+        data, offs = _flat_of(bufs)
+        md, mo = tdigest.merge_groups_flat(data, offs, np.asarray(codes), 20, delta)
+        for g in range(20):
+            assert bytes(md[mo[g] : mo[g + 1]]) == expect[g], g
+
+    def test_multi_source_estimates(self):
+        rng = np.random.default_rng(12)
+        delta, bufs, codes, vals = 100, [], [], {}
+        for g in range(8):
+            vals[g] = []
+            for _ in range(16):
+                v = rng.normal(loc=g, size=3000)
+                sk = tdigest.TDigest(delta)
+                sk.update(v)
+                bufs.append(sk.encode())
+                codes.append(g)
+                vals[g].append(v)
+        data, offs = _flat_of(bufs)
+        md, mo = tdigest.merge_groups_flat(data, offs, np.asarray(codes), 8, delta)
+        for g in range(8):
+            got = tdigest.decode(bytes(md[mo[g] : mo[g + 1]]))
+            allv = np.concatenate(vals[g])
+            for q in (0.01, 0.5, 0.95, 0.99):
+                r = (allv <= got.quantile(q)).mean()
+                assert abs(r - q) < 0.02, (g, q, r)
+            assert got.vmin == allv.min() and got.vmax == allv.max()
+            assert abs(got.n - len(allv)) < 1e-6
+            assert len(got.means) <= delta + 2
+
+    def test_all_empty_and_param_mismatch(self):
+        bufs = [tdigest.TDigest(100).encode()] * 3
+        data, offs = _flat_of(bufs)
+        md, mo = tdigest.merge_groups_flat(data, offs, np.array([0, 0, 0]), 1, 100)
+        assert bytes(md[mo[0] : mo[1]]) == tdigest.TDigest(100).encode()
+        with pytest.raises(ValueError, match="Invalid t-digest"):
+            tdigest.merge_groups_flat(data, offs, np.array([0, 0, 0]), 1, 50)
+
+
+class TestSpaceSavingV2:
+    """r5: binary v2 wire + vectorized fold/merge. The one-shot multiway
+    merge (PODS'12) is order-free and never looser than the sequential
+    pairwise path; P=2 is byte-identical to scalar merge."""
+
+    def _v1_blob(self, s):
+        import json
+
+        pay = json.dumps(
+            {"c": s.counts, "t": s.theta, "n": s.n}, ensure_ascii=False
+        ).encode("utf-8")
+        return ss.MAGIC + np.array([1, s.m, len(pay)], dtype="<u4").tobytes() + pay
+
+    def test_v2_roundtrip_and_v1_backcompat(self):
+        s = ss.SpaceSaving(8)
+        s.update_batch(np.asarray(["a", "b", "a", "ü", "c", "a", "b", "x"] * 3, dtype=object))
+        b2 = s.encode()
+        assert b2[4] == 2
+        d = ss.decode(b2)
+        assert (d.counts, d.theta, d.n) == (s.counts, s.theta, s.n)
+        assert d.encode() == b2
+        d1 = ss.decode(self._v1_blob(s))
+        assert (d1.counts, d1.theta, d1.n) == (s.counts, s.theta, s.n)
+        # passthrough probe: v2 valid, legacy v1 re-routes (re-encodes)
+        data, offs = _flat_of([b2, self._v1_blob(s), ss.SpaceSaving(8).encode()])
+        assert ss.valid_flat(data, offs, 8).tolist() == [True, False, True]
+
+    def test_fold_groups_byte_parity(self):
+        rng = np.random.default_rng(21)
+        m, vals, inv = 6, [], []
+        univ = np.asarray([f"u{i}" for i in range(12)], dtype=object)
+        for g in range(40):
+            vv = rng.choice(univ, size=int(rng.integers(0, 40)))
+            vals.append(vv)
+            inv.append(np.full(len(vv), g, dtype=np.int64))
+        values = np.concatenate(vals).astype(object)
+        inverse = np.concatenate(inv)
+        data, offs = ss.fold_groups(values, inverse, 40, m)
+        for g in range(40):
+            exp = ss.SpaceSaving(m)
+            exp.update_batch(vals[g].astype(object))
+            assert bytes(data[offs[g] : offs[g + 1]]) == exp.encode(), g
+        # weighted variant, zero/negative weights dropped like the spec
+        wts = rng.integers(-2, 50, size=len(values)).astype(np.int64)
+        data, offs = ss.fold_groups_weighted(values, wts, inverse, 40, m)
+        pos = 0
+        for g in range(40):
+            w_g = wts[pos : pos + len(vals[g])]
+            pos += len(vals[g])
+            exp = ss.SpaceSaving(m)
+            keep = w_g > 0
+            exp.update_batch(vals[g][keep].astype(object), w_g[keep])
+            assert bytes(data[offs[g] : offs[g + 1]]) == exp.encode(), g
+
+    def test_fold_coerces_nonstring_like_scalar(self):
+        vals = np.asarray([5, "5", 7, None, "x"], dtype=object)
+        data, offs = ss.fold_groups(vals, np.zeros(5, dtype=np.int64), 1, 4)
+        exp = ss.SpaceSaving(4)
+        exp.update_batch(vals)
+        assert bytes(data[offs[0] : offs[1]]) == exp.encode()
+        assert ss.decode(bytes(data[offs[0] : offs[1]])).counts["5"] == 2
+
+    def test_pairwise_merge_byte_parity(self):
+        rng = np.random.default_rng(22)
+        m, bufs, codes, pairs = 6, [], [], []
+        univ = np.asarray([f"k{i}" for i in range(20)], dtype=object)
+        for g in range(30):
+            a, b = ss.SpaceSaving(m), ss.SpaceSaving(m)
+            a.update_batch(rng.choice(univ, size=int(rng.integers(1, 60))))
+            b.update_batch(rng.choice(univ, size=int(rng.integers(1, 60))))
+            pairs.append((a, b))
+            bufs += [a.encode(), b.encode()]
+            codes += [g, g]
+        data, offs = _flat_of(bufs)
+        md, mo = ss.merge_groups_flat(data, offs, np.asarray(codes), 30, m)
+        for g, (a, b) in enumerate(pairs):
+            exp = ss.decode(a.encode()).merge(ss.decode(b.encode())).encode()
+            assert bytes(md[mo[g] : mo[g + 1]]) == exp, g
+
+    def test_multiway_guarantees_and_order_freedom(self):
+        import collections
+
+        rng = np.random.default_rng(23)
+        keys = np.asarray(
+            [f"v{z % 500}" for z in rng.zipf(1.5, size=40_000)], dtype=object
+        )
+        bufs = []
+        for p in np.array_split(keys, 12):
+            sk = ss.SpaceSaving(64)
+            sk.update_batch(p)
+            bufs.append(sk.encode())
+        cnt = collections.Counter(keys.tolist())
+        N = sum(cnt.values())
+        data, offs = _flat_of(bufs)
+        md, mo = ss.merge_groups_flat(data, offs, np.zeros(12, dtype=np.int64), 1, 64)
+        got = ss.decode(bytes(md[mo[0] : mo[1]]))
+        assert got.n == N and got.theta <= N / 64
+        for k_, c in got.counts.items():
+            assert cnt[k_] <= c <= cnt[k_] + got.theta
+        for k_, c in cnt.items():
+            if c > N / 64:
+                assert k_ in got.counts
+        # one-shot multiway is never looser than sequential pairwise
+        assert got.theta <= ss.merge_all([ss.decode(b) for b in bufs]).theta
+        # ... and arrival-order free
+        perm = rng.permutation(12)
+        md2, _ = ss.merge_groups_flat(
+            *_flat_of([bufs[i] for i in perm]), np.zeros(12, dtype=np.int64), 1, 64
+        )
+        assert bytes(md2) == bytes(md)
+
+    def test_v1_partial_in_merge_upgrades(self):
+        a, b = ss.SpaceSaving(6), ss.SpaceSaving(6)
+        a.update_batch(np.asarray(["x", "y", "x"], dtype=object))
+        b.update_batch(np.asarray(["y", "z"], dtype=object))
+        data, offs = _flat_of([self._v1_blob(a), b.encode()])
+        md, mo = ss.merge_groups_flat(data, offs, np.array([0, 0]), 1, 6)
+        exp = ss.decode(a.encode()).merge(ss.decode(b.encode())).encode()
+        assert bytes(md[mo[0] : mo[1]]) == exp
+        with pytest.raises(ValueError, match="Invalid SpaceSaving"):
+            ss.merge_groups_flat(data, offs, np.array([0, 0]), 1, 7)

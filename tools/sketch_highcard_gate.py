@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Extension-sketch extreme-cardinality gate (VERDICT r3 top item).
 
-Runs kmv_sketch and cms_sketch through the full partial/merge pipeline
-at 1M rows with a near-unique grouping key (900k groups — the regime
-where the r3 per-group-Python aggregation broke down) vs a low-card key
-(17 groups), in a FRESH JVM, and prints one JSON line with timings.
+Runs every sketch family (r5: kmv/cms/bloom + kll/tdigest/spacesaving
+and the weighted-KLL fold — select with PFUTIL_GATE_KINDS) through the
+full partial/merge pipeline at 1M rows with a near-unique grouping key
+(900k groups — the regime where the r3 per-group-Python aggregation
+broke down) vs a low-card key (17 groups), in a FRESH JVM, and prints
+one JSON line with timings.
 Same rationale and A-B-A protocol as tools/highcard_gate.py: the shared
 pytest session measures GC archaeology, and this host's noise comes in
 multi-minute bursts, so the low-card leg is timed before AND after the
@@ -34,7 +36,11 @@ def main() -> None:
         SKETCH_COL,
         bloom_sketch,
         cms_sketch,
+        kll_sketch,
+        kll_weighted_sketch,
         kmv_sketch,
+        spacesaving_sketch,
+        tdigest_sketch,
     )
 
     spark = (
@@ -61,6 +67,8 @@ def main() -> None:
                     F.lit("c"), (F.col("id") % int(n * 0.9)).cast("string")
                 ).alias("commit"),
                 F.col("id").cast("string").alias("elem"),
+                (F.col("id") % 9973).cast("double").alias("val"),
+                (F.col("id") % 37 + 1).cast("double").alias("wt"),
             )
             .repartition(8)
         )
@@ -72,6 +80,14 @@ def main() -> None:
             # default sizing (expected_n=1M -> m=2^24): feasible per-key
             # only because of the sparse v2 wire (~70B/near-empty filter)
             return bloom_sketch(df, "elem", by=by, expected_n=1_000_000)
+        if kind == "kll":
+            return kll_sketch(df, "val", by=by)
+        if kind == "kll_weighted":  # the weighted-fold high-card property
+            return kll_weighted_sketch(df, "val", "wt", by=by)
+        if kind == "tdigest":
+            return tdigest_sketch(df, "val", by=by)
+        if kind == "spacesaving":
+            return spacesaving_sketch(df, "elem", by=by)  # default m=256
         return cms_sketch(df, "elem", by=by)  # DEFAULT depth=5, width=2048
 
     def once(kind: str, n: int, by):
@@ -83,8 +99,12 @@ def main() -> None:
         row = agg.collect()[0]
         return round(time.time() - t0, 2), int(row["g"]), int(row["b"])
 
+    kinds = os.environ.get(
+        "PFUTIL_GATE_KINDS",
+        "kmv,cms,bloom,kll,tdigest,spacesaving,kll_weighted",
+    ).split(",")
     out = {}
-    for kind in ("kmv", "cms", "bloom"):
+    for kind in kinds:
         once(kind, 100_000, ("lang",))     # warm both shapes
         once(kind, 100_000, ("commit",))
         t_lo_a, g_lo, _ = once(kind, N, ("lang",))
