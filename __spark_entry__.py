@@ -1356,6 +1356,103 @@ def _chunk_pack_manifest_oracle_sql() -> str:
     )
 
 
+def _q_events_temporal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-axis drift (r5): for each event_type, the two-sample KS
+    between the ``value`` distribution of the FIRST and SECOND halves of
+    the event stream's time range — the "did this metric move since the
+    first half of the window?" monitor, answered from per-(type, half)
+    KLL sketches built in ONE scan + ONE shuffle, evaluated on the
+    5-row-per-side sketch table (batch-decoded ks_drift_col).
+
+    The half split compares the NTZ timestamp against the midpoint
+    ``min + floor(microseconds(min, max)/2)`` — pure naive-timestamp
+    integer-microsecond arithmetic in BOTH engines (no epoch, no
+    session timezone, no DST edge; ts is TIMESTAMP_NTZ and stays so).
+    The /2 runs on a double under 2^53 so it is IEEE-exact. At sf0.01
+    each (type, half) group holds ~1000 values < k=4096, so every
+    sketch is lossless and ks_est is the EXACT empirical statistic —
+    graded as exact float parity like length_drift_by_lang."""
+    from pfutil_spark.operators.drift import ks_drift_col
+    from pfutil_spark.operators.sketch_agg import SKETCH_COL, kll_sketch
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    mid = ev.agg(
+        F.min("ts").alias("__pf_lo"), F.max("ts").alias("__pf_hi")
+    ).select(
+        F.timestamp_add(
+            "MICROSECOND",
+            F.floor(
+                F.timestamp_diff("MICROSECOND", F.col("__pf_lo"), F.col("__pf_hi"))
+                / F.lit(2)
+            ).cast("long"),
+            F.col("__pf_lo"),
+        ).alias("__pf_mid")
+    )
+    lab = ev.crossJoin(F.broadcast(mid)).withColumn(
+        "half",
+        F.when(F.col("ts") <= F.col("__pf_mid"), F.lit("first")).otherwise(
+            F.lit("second")
+        ),
+    )
+    sk = kll_sketch(lab, "value", by=("event_type", "half"), k=4096)
+    first = sk.filter(F.col("half") == "first").select(
+        "event_type", F.col(SKETCH_COL).alias("__sa")
+    )
+    second = sk.filter(F.col("half") == "second").select(
+        "event_type", F.col(SKETCH_COL).alias("__sb")
+    )
+    j = first.join(second, "event_type")  # types seen in BOTH halves
+    return (
+        j.select("event_type", ks_drift_col("__sa", "__sb").alias("__d"))
+        .select(
+            "event_type",
+            F.col("__d.ks_est").alias("ks_est"),
+            F.col("__d.n_a").alias("n_first"),
+            F.col("__d.n_b").alias("n_second"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _events_temporal_drift_oracle_sql() -> str:
+    """Exact per-type two-sample KS between time halves: the same
+    int-count CDF divisions as the sketch side's rank() (lossless
+    regime), max |gap| over each type's distinct values — a superset of
+    the union support, which cannot change the max."""
+    return (
+        "WITH e AS (SELECT event_type AS t, value AS x, ts"
+        "  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL"
+        "   AND ts IS NOT NULL),"
+        " m AS (SELECT min(ts) + to_microseconds(CAST(floor("
+        "   date_diff('microsecond', min(ts), max(ts)) / 2) AS BIGINT))"
+        "   AS mid FROM e),"
+        " v AS (SELECT t, CASE WHEN ts <= mid THEN 'first' ELSE 'second' END"
+        "   AS h, x FROM e, m),"
+        " n AS (SELECT t, h, count(*) AS cnt FROM v GROUP BY t, h),"
+        " cdf AS (SELECT g.t, g.h, p.x, count(w.x) AS c"
+        "  FROM (SELECT DISTINCT t, h FROM v) g"
+        "  JOIN (SELECT DISTINCT t, x FROM v) p ON p.t = g.t"
+        "  LEFT JOIN v w ON w.t = g.t AND w.h = g.h AND w.x <= p.x"
+        "  GROUP BY g.t, g.h, p.x),"
+        " gaps AS (SELECT ca.t AS t,"
+        "   abs(ca.c / na.cnt - cb.c / nb.cnt) AS gap"
+        "  FROM cdf ca JOIN cdf cb ON cb.t = ca.t AND cb.x = ca.x"
+        "   AND ca.h = 'first' AND cb.h = 'second'"
+        "  JOIN n na ON na.t = ca.t AND na.h = 'first'"
+        "  JOIN n nb ON nb.t = ca.t AND nb.h = 'second')"
+        " SELECT g.t AS event_type, max(g.gap) AS ks_est,"
+        "  CAST(max(na.cnt) AS BIGINT) AS n_first,"
+        "  CAST(max(nb.cnt) AS BIGINT) AS n_second"
+        " FROM gaps g JOIN n na ON na.t = g.t AND na.h = 'first'"
+        " JOIN n nb ON nb.t = g.t AND nb.h = 'second'"
+        " GROUP BY g.t ORDER BY g.t"
+    )
+
+
 def _q_length_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise two-sample KS drift between per-language n_chars
     distributions from per-lang KLL sketches (operators/drift.py::
@@ -2246,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "chunk_pack_manifest": _q_chunk_pack_manifest,
         "length_drift_by_lang": _q_length_drift_by_lang,
+        "events_temporal_drift": _q_events_temporal_drift,
         "length_clip_by_lang": _q_length_clip_by_lang,
         "distinctive_terms": _q_distinctive_terms,
         "events_drift_report": _q_events_drift_report,
@@ -2502,6 +2600,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile_report": _table_profile_oracle_sql(),
         "chunk_pack_manifest": _chunk_pack_manifest_oracle_sql(),
         "length_drift_by_lang": _length_drift_oracle_sql(),
+        "events_temporal_drift": _events_temporal_drift_oracle_sql(),
         "events_drift_report": _events_drift_oracle_sql(),
         "partkey_cardinality_drift": (
             "WITH s AS (SELECT l_returnflag,"
