@@ -6,11 +6,13 @@ Python decode was the latent bottleneck.
 
 Two legs, one JSON line:
 
-* kernel leg (no Spark): L strata sketches (k=200, compacted), ALL
-  L(L-1)/2 pairs through kernel/kll.py::ks_pairs_flat in one call
-  (internally chunked at 2^24 items) — the pure evaluator number, plus
-  the measured per-pair cost of the OLD decode-per-pair path on a 2k
-  sample for the disclosed speedup.
+* kernel leg (no Spark, single core): L strata sketches (k=200,
+  compacted), ALL L(L-1)/2 pairs through the PRODUCTION chunked
+  pipeline (operators/drift.py::_iter_pair_chunks -> ks_pairs_flat;
+  4MB pair slices, 2^17-item eval chunks — monolithic parsing hits
+  this host's 0.12GB/s fresh-allocation wall, measured 873 vs 6500
+  pairs/s), plus the measured per-pair cost of the OLD decode-per-pair
+  path on a 2k sample for the disclosed speedup.
 * Spark leg: operators/drift.py::drift_matrix at the same L over
   ``PFUTIL_DRIFT_ROWS`` rows (default 2M) — end-to-end including the
   one scan, one shuffle, broadcast self-join and Arrow transfer.
@@ -51,20 +53,17 @@ def main() -> None:
     ia, ib = np.triu_indices(L, k=1)
     n_pairs = len(ia)
 
-    def flat_of(idx):
-        bufs = [sketches[i] for i in idx]
-        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-        offs = np.zeros(len(bufs) + 1, dtype=np.int64)
-        np.cumsum([len(b) for b in bufs], out=offs[1:])
-        return data, offs
+    import pandas as pd
 
+    from pfutil_spark.operators.drift import _iter_pair_chunks
+
+    sa = pd.Series([sketches[i] for i in ia])
+    sb = pd.Series([sketches[i] for i in ib])
+    d = np.full(n_pairs, np.nan)
     t0 = time.time()
-    pa = kll.parse_weighted_flat(*flat_of(ia))
-    pb = kll.parse_weighted_flat(*flat_of(ib))
-    parse_sec = time.time() - t0
-    t0 = time.time()
-    d, e = kll.ks_pairs_flat(pa, pb)
-    eval_sec = time.time() - t0
+    for ids, pa, pb in _iter_pair_chunks(sa, sb):
+        d[ids] = kll.ks_pairs_flat(pa, pb)[0]
+    kernel_sec = time.time() - t0
     assert int(np.isfinite(d).sum()) == n_pairs
 
     # old path cost on a sample (decode per pair, like pre-r5)
@@ -111,9 +110,8 @@ def main() -> None:
                 "strata": L,
                 "pairs": n_pairs,
                 "rows_per_stratum": per,
-                "kernel_parse_sec": round(parse_sec, 3),
-                "kernel_eval_sec": round(eval_sec, 3),
-                "kernel_pairs_per_sec": round(n_pairs / (parse_sec + eval_sec)),
+                "kernel_sec": round(kernel_sec, 3),
+                "kernel_pairs_per_sec": round(n_pairs / kernel_sec),
                 "old_decode_path_per_pair_sec": round(old_per_pair, 6),
                 "old_path_extrapolated_sec": round(old_per_pair * n_pairs, 1),
                 "spark_drift_matrix_sec": spark_sec,

@@ -98,9 +98,11 @@ def register_sql_functions(spark: SparkSession) -> None:
             ]
         )
 
-    # one shared pair evaluator (kernel/kll.py::ks_distance — the same
-    # body operators/drift.py::ks_drift_col wraps), sliced into the two
-    # scalar UDFs so the Column and SQL surfaces cannot drift
+    # pair evaluator = kernel/kll.py::ks_distance; the Column surface
+    # (operators/drift.py::ks_drift_col) runs the batch-vectorized
+    # ks_pairs_flat instead, whose BIT parity with ks_distance is
+    # regression-gated (tests/test_drift.py::TestBatchDecodedEvaluators)
+    # — edit either only together with that gate
     from pfutil_spark.kernel import kll as _kll
 
     def _ks_series(sa: pd.Series, sb: pd.Series, part: int) -> pd.Series:

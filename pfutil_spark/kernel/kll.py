@@ -349,7 +349,7 @@ def _slice_parsed(
 def ks_pairs_flat(
     pa: tuple[np.ndarray, ...],
     pb: tuple[np.ndarray, ...],
-    max_chunk_items: int = 1 << 24,
+    max_chunk_items: int = 1 << 17,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Two-sample KS for MANY sketch pairs at once, fully vectorized
     (zero per-pair Python): ``pa``/``pb`` are :func:`parse_weighted_flat`
@@ -360,11 +360,13 @@ def ks_pairs_flat(
     support). Pairs with an empty side yield ``(nan, inf)``.
 
     Pair batches whose total retained-item mass exceeds
-    ``max_chunk_items`` evaluate in pair-contiguous chunks (a handful of
-    Python iterations per ARROW BATCH, never per pair) — at 10^4 strata
-    a pairwise matrix batch can carry 10^8+ items, and the scratch
-    arrays must stay cache/arena-sized (NOTES.md r4 merge-stage
-    forensics: this host punishes monolithic allocations)."""
+    ``max_chunk_items`` evaluate in pair-contiguous chunks (a few dozen
+    Python iterations per ARROW BATCH, never per pair): the ~30 ufunc/
+    fancy-index passes must run on cache/arena-resident arrays — this
+    host faults fresh large allocations at ~0.12GB/s (NOTES.md), and the
+    measured cliff is stark: 1.8k pairs/s at 2^24-item chunks vs 12.5k
+    pairs/s at 2^16 on 488-item pairs (the r4 merge-stage lesson,
+    relearned). Default 2^17 items ~= 1MB working arrays."""
     n_items_per_pair = np.diff(pa[4]) + np.diff(pb[4])
     total = int(n_items_per_pair.sum())
     P = len(pa[0])
@@ -713,8 +715,10 @@ def parse_flat(
     slot = np.repeat(np.arange(len(seg), dtype=np.int64), sizes)
     item_row = seg[slot]
     item_level = lvl[slot]
-    pos = hp[item_row] + 28 + 4 * nlv[item_row] + 8 * segment_ranks(item_row)
-    item_val = read_le_flat(data, pos, 8).view(np.float64)
+    # each row's items are ONE contiguous f8 run after the sizes table
+    from .sketch_common import gather_f8_runs
+
+    item_val = gather_f8_runs(data, hp + 28 + 4 * nlv, tot)
     return ks, nlv, comp, n, tot, item_row, item_level, item_val
 
 

@@ -310,11 +310,15 @@ def parse_items_flat(
                 np.cumsum(klens) - klens
                 - np.repeat(np.cumsum(tot) - tot, ni[rows])
             )
-            kbytes = data.tobytes()
+            # gather ONLY the key bytes into a compact blob (no
+            # whole-buffer tobytes copy — r5 review), then slice
+            bseg = np.repeat(np.arange(len(klens), dtype=np.int64), klens)
+            bidx = np.repeat(kstart, klens) + segment_ranks(bseg)
+            blob = np.ascontiguousarray(data[bidx]).tobytes()
+            ko = np.concatenate(([0], np.cumsum(klens)))
             keys = np.empty(len(klens), dtype=object)
             for i in range(len(klens)):
-                s = int(kstart[i])
-                keys[i] = kbytes[s : s + int(klens[i])]
+                keys[i] = blob[ko[i] : ko[i + 1]]
             row_parts.append(v2[rows][seg])
             cnt_parts.append(cnts)
             key_parts.append(keys)

@@ -298,7 +298,7 @@ def merge_groups_flat(
     ulps, and compress-once vs pairwise bucketization differ anyway.
     Compressing the union once never exceeds the error of sequential
     pairwise merges."""
-    from .sketch_common import read_le_flat, segment_ranks
+    from .sketch_common import read_le_flat
 
     n_rows = len(offsets) - 1
     offsets = np.asarray(offsets, dtype=np.int64)
@@ -335,12 +335,11 @@ def merge_groups_flat(
     src = np.bincount(g_row[n_c > 0], minlength=n_groups)
     multi = src >= 2
 
+    from .sketch_common import gather_f8_runs
+
     cent_row = np.repeat(np.arange(n_rows, dtype=np.int64), n_c)
-    rank = segment_ranks(cent_row)
-    means = read_le_flat(data, hp[cent_row] + 32 + 8 * rank, 8).view(np.float64)
-    wts = read_le_flat(
-        data, hp[cent_row] + 32 + 8 * n_c[cent_row] + 8 * rank, 8
-    ).view(np.float64)
+    means = gather_f8_runs(data, hp + 32, n_c)
+    wts = gather_f8_runs(data, hp + 32 + 8 * n_c, n_c)
     cent_g = g_row[cent_row]
     sel = multi[cent_g]
     out_m = [means[~sel]]

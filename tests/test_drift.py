@@ -724,10 +724,9 @@ class TestBatchDecodedEvaluators:
 
     @staticmethod
     def _flat_of(bufs):
-        data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-        offs = np.zeros(len(bufs) + 1, dtype=np.int64)
-        np.cumsum([len(b) for b in bufs], out=offs[1:])
-        return data, offs
+        from pfutil_spark.kernel.sketch_common import flat_buffers
+
+        return flat_buffers(bufs)
 
     def _population(self, seed):
         rng = np.random.default_rng(seed)

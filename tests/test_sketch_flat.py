@@ -646,10 +646,9 @@ class TestNoPerGroupPython:
 
 
 def _flat_of(bufs):
-    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-    offs = np.zeros(len(bufs) + 1, dtype=np.int64)
-    np.cumsum([len(b) for b in bufs], out=offs[1:])
-    return data, offs
+    from pfutil_spark.kernel.sketch_common import flat_buffers
+
+    return flat_buffers(bufs)
 
 
 class TestKllFlatMerge:
@@ -916,3 +915,19 @@ class TestSpaceSavingV2:
         assert bytes(md[mo[0] : mo[1]]) == exp
         with pytest.raises(ValueError, match="Invalid SpaceSaving"):
             ss.merge_groups_flat(data, offs, np.array([0, 0]), 1, 7)
+
+
+class TestSketchCommonHelpers:
+    def test_gather_f8_runs(self):
+        from pfutil_spark.kernel.sketch_common import flat_buffers, gather_f8_runs
+
+        rng = np.random.default_rng(3)
+        runs = [rng.normal(size=int(n)) for n in rng.integers(0, 7, 30)]
+        bufs = [b"HD" + r.astype("<f8").tobytes() for r in runs]  # 2B header
+        data, offs = flat_buffers(bufs)
+        got = gather_f8_runs(
+            data, offs[:-1] + 2, np.array([len(r) for r in runs], dtype=np.int64)
+        )
+        assert np.array_equal(got, np.concatenate(runs))
+        # all-empty runs
+        assert len(gather_f8_runs(data, offs[:-1], np.zeros(30, dtype=np.int64))) == 0

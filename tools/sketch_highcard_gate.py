@@ -88,7 +88,10 @@ def main() -> None:
             return tdigest_sketch(df, "val", by=by)
         if kind == "spacesaving":
             return spacesaving_sketch(df, "elem", by=by)  # default m=256
-        return cms_sketch(df, "elem", by=by)  # DEFAULT depth=5, width=2048
+        if kind == "cms":
+            return cms_sketch(df, "elem", by=by)  # DEFAULT depth=5, width=2048
+        raise ValueError(f"unknown gate kind {kind!r}")  # typo'd env var
+        # must fail loudly, not silently benchmark CMS under a wrong label
 
     def once(kind: str, n: int, by):
         q = build(kind, frame(n), by)
