@@ -472,6 +472,29 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (r5,
+    operators/dedup.py::containment_pairs): ordered pairs where >= 80%
+    of doc A's 5-gram set appears in doc B — the "A is quoted/wrapped
+    inside B" detector symmetric-Jaccard LSH structurally misses when
+    |B| >> |A|. Candidates come from ONE shingle equi-join of each
+    doc's bottom-64 signature against the corpus's distinct
+    (doc, shingle) table (hypergeometric gate at floor 0.4, miss
+    probability ~1e-10), then EXACT per-candidate verification — so the
+    result equals the all-ordered-pairs ground truth the DuckDB oracle
+    computes exactly. Containment emitted UNROUNDED (one int/int IEEE
+    division in both engines; the doc_repetition rounding lesson)."""
+    from pfutil_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    return (
+        containment_pairs(
+            d, "text", "doc_id", k=5, sample=64, min_containment=0.8
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
 
 
@@ -2370,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_global": _q_hll_users_global,
         "hll_v5_orderkey_by_flag": _q_hll_v5_orderkey_by_flag,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "containment_dups": _q_containment_dups,
         "incremental_dedup_pairs": _q_incremental_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "cluster_split": _q_cluster_split,
@@ -2908,6 +2932,22 @@ def oracle_sql() -> dict[str, str]:
             " FROM inter JOIN cnt ca ON ca.doc_id = id_a"
             " JOIN cnt cb ON cb.doc_id = id_b"
             " WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8"
+            " ORDER BY id_a, id_b"
+        ),
+        "containment_dups": (
+            "WITH g AS (SELECT unnest(range(1,"
+            "  (SELECT max(length(text)) + 1 FROM documents))) AS i),"
+            " sh AS ("
+            " SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS s"
+            " FROM documents d JOIN g ON g.i <= length(d.text) - 4),"
+            " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+            " inter AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id)"
+            " SELECT id_a, id_b, i::DOUBLE / ca.n AS containment"
+            " FROM inter JOIN cnt ca ON ca.doc_id = id_a"
+            " WHERE i::DOUBLE / ca.n >= 0.8"
             " ORDER BY id_a, id_b"
         ),
         "dedup_clusters": (

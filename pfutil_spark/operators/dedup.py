@@ -719,3 +719,158 @@ def assign_dedup_clusters(
     return df.join(comp, id_col, "left").withColumn(
         "cluster_id", F.coalesce("__cc_component", F.col(id_col))
     ).drop("__cc_component")
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment near-dups (r5): C(A in B) = |S_A ∩ S_B| / |S_A|.
+# Symmetric Jaccard LSH structurally MISSES a small doc quoted inside a
+# much larger one (J <= |A|/|B| no matter how complete the quote); this
+# is the "doc A is substantially contained in doc B" detector —
+# quote/expansion/boilerplate-wrapper discovery.
+# ---------------------------------------------------------------------------
+
+def shingle_pairs_df(
+    df: DataFrame, text: str, id_col: str, k: int = 5, sample: int | None = None
+) -> DataFrame:
+    """(id, shingle: long[, n_sampled: int]) — each document's DISTINCT
+    character-k-gram hashes, vectorized over Arrow buffers (the shared
+    rolling-hash machinery). With ``sample=s`` only the s SMALLEST
+    distinct hashes survive (a bottom-s signature: min-wise hashing
+    makes it a uniform without-replacement sample of the doc's shingle
+    set) and ``n_sampled`` carries the per-doc sample size — the query
+    side of the containment join. Docs with no k-grams emit nothing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pfutil_spark.operators.hll_agg import _varbin_buffers
+
+    pruned = df.select(id_col, text)
+    fields = [df.schema[id_col], StructField("shingle", LongType(), False)]
+    if sample is not None:
+        fields.append(StructField("n_sampled", LongType(), False))
+    schema = StructType(fields)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from pfutil_spark.kernel.sketch_common import segment_ranks
+
+        for batch in batches:
+            t = batch.column(text)
+            if t.null_count:
+                batch = batch.filter(pc.is_valid(t))
+                t = batch.column(text)
+            if len(batch) == 0:
+                continue
+            data, offsets = _varbin_buffers(t)
+            wh, bounds = _kgram_hashes(data, offsets, k)
+            doc = np.repeat(
+                np.arange(len(bounds) - 1, dtype=np.int64), np.diff(bounds)
+            )
+            order = np.lexsort((wh, doc))
+            doc_s, wh_s = doc[order], wh[order]
+            first = np.ones(len(doc_s), dtype=bool)
+            first[1:] = (doc_s[1:] != doc_s[:-1]) | (wh_s[1:] != wh_s[:-1])
+            doc_s, wh_s = doc_s[first], wh_s[first]
+            if sample is not None:
+                keep = segment_ranks(doc_s) < sample
+                doc_s, wh_s = doc_s[keep], wh_s[keep]
+            arrays = [
+                batch.column(id_col).take(pa.array(doc_s)),
+                pa.array(wh_s.view(np.int64)),
+            ]
+            names = [id_col, "shingle"]
+            if sample is not None:
+                n_s = np.bincount(doc_s, minlength=len(bounds) - 1)[doc_s]
+                arrays.append(pa.array(n_s.astype(np.int64)))
+                names.append("n_sampled")
+            yield pa.record_batch(arrays, names=names)
+
+    return pruned.mapInArrow(fn, schema)
+
+
+def containment_exact_pairs(
+    df: DataFrame, pairs: DataFrame, text: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """EXACT containment |S_a ∩ S_b| / |S_a| for given (id_a, id_b)
+    pairs — the candidate-bounded verify stage (same shape as
+    ngram_jaccard_pairs; never runs per corpus row)."""
+    from pyspark.sql.types import DoubleType
+
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text).alias("text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text).alias("text_b"))
+    joined = pairs.join(ta, "id_a").join(tb, "id_b")
+
+    @F.pandas_udf(DoubleType())
+    def _cont(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):  # per candidate PAIR only
+            sx = {x[j : j + k] for j in range(max(len(x) - k + 1, 0))}
+            sy = {y[j : j + k] for j in range(max(len(y) - k + 1, 0))}
+            out[i] = (len(sx & sy) / len(sx)) if sx else 1.0
+        return pd.Series(out)
+
+    return joined.select(
+        "id_a", "id_b", _cont("text_a", "text_b").alias("containment")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 5,
+    sample: int = 64,
+    min_containment: float = 0.8,
+    candidate_floor: float | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Ordered near-dup pairs (id_a, id_b, containment) with EXACT
+    containment of A's k-gram set in B's >= ``min_containment``.
+
+    Plan (the 100-TB shape): the query side ships only each doc's
+    bottom-``sample`` shingle signature (<= s rows/doc); the corpus side
+    is the distinct (doc, shingle) table — ONE equi-join on the shingle
+    hash (the decontamination-join shape, never all-pairs), a count
+    aggregate, the hypergeometric candidate gate, then exact
+    verification on the surviving pairs only. The bottom-s signature is
+    a uniform sample of A's shingles, so overlap/s estimates C(A in B)
+    with binomial error ~ sqrt(C(1-C)/s); the default gate
+    ``candidate_floor = min_containment / 2`` puts the miss probability
+    at the hypergeometric tail P[X < s/2 | C >= 0.8] ~ 1e-10 at s=64 —
+    effectively recall 1, then exact verify removes every false accept.
+
+    ``max_shingle_df`` (scale knob, default off) drops shingles whose
+    corpus doc-frequency exceeds the cap from the JOIN only —
+    ubiquitous boilerplate shingles otherwise fan a single signature
+    row out to millions of candidates; capped runs trade a documented
+    recall haircut on pairs whose overlap is ONLY boilerplate."""
+    if candidate_floor is None:
+        candidate_floor = min_containment / 2.0
+    a = shingle_pairs_df(df, text, id_col, k, sample=sample).select(
+        F.col(id_col).alias("id_a"), "shingle", "n_sampled"
+    )
+    b = shingle_pairs_df(df, text, id_col, k).select(
+        F.col(id_col).alias("id_b"), "shingle"
+    )
+    if max_shingle_df is not None:
+        hot = (
+            b.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__pf_df"))
+            .filter(F.col("__pf_df") > max_shingle_df)
+            .select("shingle")
+        )
+        b = b.join(F.broadcast(hot), "shingle", "left_anti")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_sampled")
+        .agg(F.count(F.lit(1)).alias("__pf_m"))
+        .filter(
+            F.col("__pf_m")
+            >= F.greatest(
+                F.lit(1), F.ceil(F.lit(candidate_floor) * F.col("n_sampled"))
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    verified = containment_exact_pairs(df, cand, text, id_col, k)
+    return verified.filter(F.col("containment") >= min_containment)

@@ -746,3 +746,72 @@ class TestIncrementalDedup:
         sn = minhash_signatures(d, "text", "doc_id", 64, 5)
         with pytest.raises(Exception, match="num_hashes=64"):
             lsh_pairs_between(sn, sb, num_hashes=64).collect()
+
+
+class TestContainmentPairs:
+    """r5: asymmetric containment near-dups — exact equality with the
+    all-ordered-pairs brute force (candidate gate recall + exact
+    verify), including the quoted-inside-a-larger-doc pairs symmetric
+    Jaccard misses."""
+
+    @staticmethod
+    def _shingles(t, k=5):
+        return {t[j : j + k] for j in range(len(t) - k + 1)}
+
+    def test_matches_brute_force_and_finds_asymmetric(self, spark):
+        import string
+
+        import numpy as np
+
+        from pfutil_spark.operators.dedup import containment_pairs
+
+        rng = np.random.default_rng(5)
+        alpha = list(string.ascii_lowercase + " ")
+
+        def rand_text(n):
+            return "".join(rng.choice(alpha, n))
+
+        rows = [(i, rand_text(200)) for i in range(120)]
+        # doc 1000+i = doc i embedded in a 2x wrapper: J ~ 0.4 (below a
+        # 0.8 Jaccard reporter) but containment(A in B) ~ 1.0
+        rows += [(1000 + i, rand_text(150) + rows[i][1] + rand_text(150)) for i in range(15)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(
+                df, "text", "doc_id", k=5, sample=64, min_containment=0.8
+            ).collect()
+        }
+        texts = dict(rows)
+        exp = {}
+        for a, ta in texts.items():
+            for b, tb in texts.items():
+                if a == b:
+                    continue
+                sa = self._shingles(ta)
+                c = len(sa & self._shingles(tb)) / len(sa)
+                if c >= 0.8:
+                    exp[(a, b)] = c
+        assert got == exp  # pair set AND exact values
+        found_asym = [(i, 1000 + i) for i in range(15) if (i, 1000 + i) in got]
+        assert len(found_asym) >= 14  # the pairs Jaccard-LSH can't see
+        # ... and they really are Jaccard-invisible at the same bar
+        for a, b in found_asym:
+            sa, sb = self._shingles(texts[a]), self._shingles(texts[b])
+            assert len(sa & sb) / len(sa | sb) < 0.8
+
+    def test_hot_shingle_cap_drops_boilerplate_only_pairs(self, spark):
+        from pfutil_spark.operators.dedup import containment_pairs
+
+        boiler = "the same header on every page "  # >5 chars, shared by all
+        rows = [(i, boiler + f"unique body {i} " * 10) for i in range(30)]
+        rows.append((99, boiler))  # the pure-boilerplate doc: contained in ALL
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = containment_pairs(df, "text", "doc_id", min_containment=0.9)
+        assert full.filter(F.col("id_a") == 99).count() == 30
+        capped = containment_pairs(
+            df, "text", "doc_id", min_containment=0.9, max_shingle_df=10
+        )
+        # shingles shared by all 31 docs leave the JOIN; the
+        # boilerplate-only containments are the documented haircut
+        assert capped.filter(F.col("id_a") == 99).count() == 0
