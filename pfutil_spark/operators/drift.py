@@ -192,18 +192,26 @@ def psi_drift_col(
 
 
 def drift_matrix(
-    df: DataFrame, col: str, by: str, k: int = kll.DEFAULT_K
+    df: DataFrame, col: str, by: str, k: int = kll.DEFAULT_K,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Pairwise KS-drift matrix between the strata of ``by`` from ONE
     scan: per-stratum KLL sketches over ``col``, then every unordered
     stratum pair (broadcast self-join of the L-row sketch table).
     Null stratum keys drop (the ``a < b`` pair condition is null-free
     by construction). Columns:
-    ``(a, b, ks_est, err_bound, n_a, n_b)``."""
+    ``(a, b, ks_est, err_bound, n_a, n_b)``.
+
+    ``broadcast=False`` for stratum counts whose sketch table exceeds
+    the broadcast limits (L ~ 10^5 at k=200 is ~500MB): the self-join
+    falls back to a shuffle join — same results, one extra Exchange
+    (the r4 _snapshot_join hardening, applied to the matrix)."""
     sk = kll_sketch(df, col, by=(by,), k=k)
     a = sk.select(F.col(by).alias("a"), F.col(SKETCH_COL).alias("__sa"))
     b = sk.select(F.col(by).alias("b"), F.col(SKETCH_COL).alias("__sb"))
-    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    pairs = a.join(
+        F.broadcast(b) if broadcast else b, F.col("a") < F.col("b")
+    )
     return pairs.select(
         "a", "b", ks_drift_col("__sa", "__sb").alias("__d")
     ).select("a", "b", "__d.*")

@@ -937,3 +937,21 @@ class TestCompactionDifferential:
         psi_s = kll.psi_distance(b, a, 10)
         psi_x = kll.psi_distance(ref_y, ref_x, 10)
         assert abs(psi_s - psi_x) <= 8.0 / k
+
+
+class TestDriftMatrixScale:
+    def test_non_broadcast_matrix_same_results(self, spark):
+        """broadcast=False (the past-broadcast-limit path, r5) must
+        produce the identical pair matrix."""
+        from pfutil_spark.operators.drift import drift_matrix
+
+        df = spark.range(4000).selectExpr(
+            "concat('s', id % 8) AS s", "cast(id % 97 AS double) AS v"
+        )
+        key = lambda r: (r["a"], r["b"])  # noqa: E731
+        bc = {key(r): r["ks_est"] for r in drift_matrix(df, "v", "s").collect()}
+        sj = {
+            key(r): r["ks_est"]
+            for r in drift_matrix(df, "v", "s", broadcast=False).collect()
+        }
+        assert bc == sj and len(bc) == 28
