@@ -2075,6 +2075,80 @@ def _q_sampled_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# integer per-source mixture weights (1..4 cycling over the 20 synthetic
+# sources) — integers so every quota op (product, div, mod) is exact
+# cross-engine; the SAME dict builds both the Spark plan and the oracle
+_MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+
+
+def _q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-source mixture with epoch upsampling
+    (operators/sampling.py::mixture_resample — the Pile/LLaMA-style
+    dataset-mixing step): per-source targets t_s = floor(T*w_s/W) at
+    T = 2x the corpus, oversampled sources repeating whole rows with an
+    epoch counter, undersampled ones keeping their smallest-sha256-draw
+    subset. EXACT row-set parity (epochs included) with the SQL mirror —
+    integer weights keep every quota op engine-exact."""
+    from pfutil_spark.operators.sampling import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        mixture_resample(
+            d, "doc_id", "source", _MIX_WEIGHTS, total_factor=2, seed=3
+        )
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def _q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.py::cap_per_group —
+    the per-domain cap of web-corpus curation): keep the 15
+    smallest-draw docs of each source. EXACT row-set parity with the
+    SQL mirror."""
+    from pfutil_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        cap_per_group(d, "doc_id", "source", cap=15, seed=11)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile of the corpus: histogram of near-dup
+    cluster sizes (operators/dedup.py::cluster_size_stats over the same
+    verified cluster assignment dedup_clusters grades). EXACT — the
+    oracle extends the recursive-CTE cluster fixpoint with the same
+    two-level aggregation; frac_docs is one long/long IEEE division."""
+    from pfutil_spark.operators.dedup import cluster_size_stats
+
+    return cluster_size_stats(_clusters_df(spark, sf_dir)).orderBy(
+        "cluster_size"
+    )
+
+
+def _q_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal with document
+    reconstruction (operators/contamination.py::remove_boilerplate_lines):
+    every occurrence of a line present in >400 distinct docs is deleted
+    and each doc is reassembled from its surviving lines in original
+    order. The synthetic corpus is single-line word-soup, so the graded
+    delimiter is ' ' (lines = words — the degenerate-but-exact case);
+    real multi-line behavior is pytest-gated on constructed docs. EXACT
+    parity including the reassembled text."""
+    from pfutil_spark.operators.contamination import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    # on_hash=False: the oracle joins raw strings, so the graded path
+    # does too — no xxhash64-collision risk class in an EXACT compare
+    # (hash==string equivalence is pytest-gated separately)
+    return remove_boilerplate_lines(
+        d, "text", "doc_id", delim=" ", max_docs=400, on_hash=False
+    ).orderBy("doc_id")
+
+
 def _q_weighted_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted t-digest (operators/sketch_agg.py::tdigest_weighted_sketch):
     quantity-weighted median of extendedprice per returnflag. The query
@@ -2385,6 +2459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile_report": _q_sketch_profile_report,
         "length_decile_buckets": _q_length_decile_buckets,
         "dedup_representatives": _q_dedup_representatives,
+        # round-5 additions: corpus-curation ops, all exact DuckDB parity
+        "source_mixture_sample": _q_source_mixture_sample,
+        "source_cap_sample": _q_source_cap_sample,
+        "dedup_cluster_stats": _q_dedup_cluster_stats,
+        "boilerplate_clean": _q_boilerplate_clean,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -2725,6 +2804,62 @@ def oracle_sql() -> dict[str, str]:
                 key_alias="doc_id", strata_alias="lang",
             )
             + " ORDER BY r.key"
+        ),
+        "source_mixture_sample": (
+            _sampling.sql_mixture_select(
+                "documents", "doc_id", "source", _MIX_WEIGHTS,
+                total_factor=2, seed=3,
+                key_alias="doc_id", source_alias="source",
+            )
+            + " ORDER BY k, epoch"
+        ),
+        "source_cap_sample": (
+            _sampling.sql_cap_select(
+                "documents", "doc_id", "source", 15, seed=11,
+                key_alias="doc_id", group_alias="source",
+            )
+            + " ORDER BY doc_id"
+        ),
+        "dedup_cluster_stats": (
+            _CLUSTER_CTE
+            + ", sz AS (SELECT cluster_id, count(*) AS cluster_size"
+            " FROM clusters GROUP BY cluster_id),"
+            " hist AS (SELECT cluster_size, count(*) AS n_clusters,"
+            " CAST(sum(cluster_size) AS BIGINT) AS n_docs"
+            " FROM sz GROUP BY cluster_size)"
+            " SELECT cluster_size, n_clusters, n_docs,"
+            # numerator cast to DOUBLE, denominator BIGINT: DuckDB
+            # promotes and divides exactly like Spark's long/long `/`
+            " CAST(n_docs AS DOUBLE) /"
+            " (SELECT CAST(sum(n_docs) AS BIGINT) FROM hist) AS frac_docs"
+            " FROM hist ORDER BY cluster_size"
+        ),
+        "boilerplate_clean": (
+            "WITH lab AS (SELECT doc_id, string_split(text, ' ') AS ws"
+            " FROM documents),"
+            " g AS (SELECT unnest(range(1,"
+            "  (SELECT max(len(ws)) + 1 FROM lab))) AS i),"
+            " ln AS (SELECT l.doc_id, g.i AS pos,"
+            "  list_extract(l.ws, g.i::INT) AS line"
+            "  FROM lab l JOIN g ON g.i <= len(l.ws)),"
+            " c AS (SELECT line, count(DISTINCT doc_id) AS nd"
+            "  FROM ln GROUP BY line),"
+            " boiler AS (SELECT line FROM c WHERE nd > 400),"
+            " kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln"
+            "  LEFT JOIN boiler b ON ln.line = b.line WHERE b.line IS NULL),"
+            " agg AS (SELECT doc_id,"
+            "  string_agg(line, ' ' ORDER BY pos) AS clean_text,"
+            "  count(*) AS n_kept FROM kept GROUP BY doc_id),"
+            " tot AS (SELECT doc_id, count(*) AS n_lines"
+            "  FROM ln GROUP BY doc_id)"
+            " SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,"
+            " CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,"
+            " CAST(coalesce(t.n_lines, 0) - coalesce(a.n_kept, 0) AS BIGINT)"
+            "  AS n_lines_removed"
+            " FROM documents d"
+            " LEFT JOIN tot t ON d.doc_id = t.doc_id"
+            " LEFT JOIN agg a ON d.doc_id = a.doc_id"
+            " ORDER BY d.doc_id"
         ),
         "sampled_customer_orders": (
             "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,"

@@ -152,6 +152,124 @@ def decontaminate(
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def _literal_regex(delim: str) -> str:
+    """Java-regex literal quoting (\\Q...\\E) for a delimiter string.
+    Rejects a delimiter containing the closing \\E marker — quoting it
+    correctly needs splicing, and no real line delimiter contains it."""
+    if not delim:
+        raise ValueError("delim must be non-empty")
+    if "\\E" in delim:
+        raise ValueError(r"delim containing '\E' is not supported")
+    return "\\Q" + delim + "\\E"
+
+
+def _doc_lines(
+    df: DataFrame, text: str, id_col: str, delim: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, lines): ``base`` = (id, array of lines), ``lines`` = one
+    row per (id, position, line). NULL text yields ZERO lines (not one
+    empty line — ``split(NULL)`` explodes to nothing and the empty-array
+    guard keeps ``size`` at 0 instead of NULL)."""
+    arr = F.split(F.col(text), _literal_regex(delim))
+    base = df.select(
+        id_col,
+        F.when(F.col(text).isNotNull(), arr)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__pf_lines"),
+    )
+    lines = base.select(
+        id_col, F.posexplode("__pf_lines").alias("__pf_pos", "__pf_line")
+    )
+    return base, lines
+
+
+def boilerplate_line_counts(
+    corpus: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """The cross-document repeated LINES of a corpus: ``(line, n_docs)``
+    for every line occurring in at least ``min_docs`` DISTINCT documents
+    — the C4-style line-boilerplate table (nav menus, cookie banners,
+    license headers). Repeats within one document count once.
+
+    Scale posture: the deduplicated ``(doc, line)`` pair set is the one
+    big shuffle; the per-line count groups on the line. Use this to
+    INSPECT boilerplate; :func:`remove_boilerplate_lines` is the cleaner
+    (which joins on 8-byte line hashes instead of raw strings)."""
+    _, lines = _doc_lines(corpus, text, id_col, delim)
+    return (
+        lines.select(id_col, "__pf_line")
+        .distinct()
+        .groupBy(F.col("__pf_line").alias("line"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    corpus: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    max_docs: int = 2,
+    on_hash: bool = True,
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: delete every occurrence
+    of any line that appears in MORE THAN ``max_docs`` distinct
+    documents, and reassemble each document from its surviving lines in
+    original order. Output: ``(id_col, clean_text, n_lines_kept,
+    n_lines_removed)`` — one row per input document, ``clean_text = ''``
+    when everything was boilerplate, and a NULL ``text`` counts zero
+    lines.
+
+    Plan (all JVM, no Python): split + posexplode per document; the
+    deduplicated ``(doc, line-key)`` pair set is the one corpus-sized
+    shuffle; per-key doc counts group on the key; cleaning is a
+    ``left_anti`` join of the exploded lines against the (small)
+    boilerplate key set; reassembly sorts each document's kept
+    ``(pos, line)`` structs in one groupBy — per-task memory is bounded
+    by the largest single document, same as any whole-doc transform.
+    ``on_hash=True`` (default) keys lines by ``xxhash64`` — fixed-width
+    8-byte shuffle/join keys; a false REMOVAL needs a 64-bit collision
+    between a boilerplate line and a unique line (~n_lines^2/2^64
+    corpus-wide). ``on_hash=False`` joins raw strings for exactness.
+    """
+    base, lines = _doc_lines(corpus, text, id_col, delim)
+    key = F.xxhash64("__pf_line") if on_hash else F.col("__pf_line")
+    keyed = lines.withColumn("__pf_k", key)
+    boiler = (
+        keyed.select(id_col, "__pf_k")
+        .distinct()
+        .groupBy("__pf_k")
+        .agg(F.count(F.lit(1)).alias("__pf_nd"))
+        .filter(F.col("__pf_nd") > max_docs)
+        .select("__pf_k")
+    )
+    kept = keyed.join(boiler, "__pf_k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pf_pos", "__pf_line"))),
+                lambda x: x["__pf_line"],
+            ),
+        ).alias("__pf_clean"),
+        F.count(F.lit(1)).alias("__pf_kept"),
+    )
+    totals = base.select(id_col, F.size("__pf_lines").alias("__pf_n_lines"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("__pf_clean", F.lit("")).alias("clean_text"),
+        F.coalesce("__pf_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("__pf_n_lines") - F.coalesce("__pf_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )
+
+
 def bloom_contaminated_ids(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -721,6 +721,38 @@ def assign_dedup_clusters(
     ).drop("__cc_component")
 
 
+def cluster_size_stats(
+    clusters: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """The duplication PROFILE of a corpus: histogram of near-dup
+    cluster sizes from an assigned-clusters table (the
+    :func:`assign_dedup_clusters` output). Output per distinct size:
+    ``(cluster_size, n_clusters, n_docs, frac_docs)`` — ``frac_docs`` is
+    the fraction of all documents living in clusters of that size (one
+    long/long IEEE division, exact cross-engine). The size-1 row is the
+    unique mass; everything else is what dedup would collapse —
+    ``sum((size-1) * n_clusters)`` rows removable by keep-one-per-cluster.
+
+    Plan: two map-side-combinable aggregations (per-cluster size, then
+    per-size histogram) + a broadcast 1-row total — the histogram is at
+    most ``max cluster size`` rows, so each shuffle shrinks the data;
+    nothing is per-row Python and no raw text moves."""
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    total = hist.agg(F.sum("n_docs").alias("__pf_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        (F.col("n_docs") / F.col("__pf_total")).alias("frac_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # asymmetric containment near-dups (r5): C(A in B) = |S_A ∩ S_B| / |S_A|.
 # Symmetric Jaccard LSH structurally MISSES a small doc quoted inside a

@@ -153,10 +153,9 @@ def geometric_mix_resample(
 
     Null keys draw null and sort last (explicitly — Spark's default is
     nulls-first, most other engines' is nulls-last), so they are only
-    kept if a stratum is almost entirely null-keyed.
+    kept if a stratum is almost entirely null-keyed. ``key`` must be
+    unique per row (see :func:`_rank_window`).
     """
-    from pyspark.sql import Window
-
     s = F.col(strata)
     counts = df.groupBy(s.alias("__stratum")).agg(F.count(F.lit(1)).alias("__n_s"))
     n_min = counts.agg(F.min("__n_s").alias("__n_min"))
@@ -164,12 +163,8 @@ def geometric_mix_resample(
         F.sqrt(F.col("__n_s").cast("double") * F.col("__n_min"))
     ).alias("__k_s")
     plan = counts.crossJoin(F.broadcast(n_min)).select("__stratum", k_s)
-    draw = hash_frac_hex_col(key, seed)
-    w = Window.partitionBy(s).orderBy(
-        draw.asc_nulls_last(), F.col(key).asc_nulls_last()
-    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__rn", F.row_number().over(_rank_window(key, s, seed)))
         .join(F.broadcast(plan), s.eqNullSafe(F.col("__stratum")))
         .filter(F.col("__rn") <= F.col("__k_s"))
         .drop("__stratum", "__k_s", "__rn")
@@ -206,6 +201,248 @@ def sql_geometric_mix_expr(
         # quota — a plain USING join would silently drop those rows
         " FROM r JOIN k ON r.stratum IS NOT DISTINCT FROM k.stratum"
         " WHERE rn <= k_s"
+    )
+
+
+def _rank_window(key: str, group: str | Column, seed: int):
+    """The shared deterministic per-group ranking: smallest sha256 draws
+    first, ties to the smallest key. Null keys draw null and sort LAST
+    explicitly (Spark defaults nulls-first; most other engines default
+    nulls-last — the asc_nulls_last makes the row set engine-portable).
+    ``key`` must be UNIQUE per row within a group: duplicate keys tie on
+    (draw, key) and row_number breaks the tie arbitrarily, which makes
+    WHICH physical row ranks first partition-dependent (every caller's
+    determinism guarantee inherits this requirement)."""
+    from pyspark.sql import Window
+
+    g = F.col(group) if isinstance(group, str) else group
+    return Window.partitionBy(g).orderBy(
+        hash_frac_hex_col(key, seed).asc_nulls_last(),
+        F.col(key).asc_nulls_last(),
+    )
+
+
+def cap_per_group(
+    df: DataFrame, key: str, group: str, cap: int, seed: int = 0
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group`` — the per-domain/per-source
+    document cap of web-corpus curation (a single crawl domain must not
+    dominate the training mix). Selection is the ``cap`` smallest sha256
+    draws of ``key`` per group: deterministic, partition-independent, and
+    referentially consistent with :func:`hash_sample` draws at the same
+    seed, so a capped corpus stays a SUBSET of any same-seed sample.
+
+    Plan: one rank window partitioned by ``group`` over one scan — no
+    joins, no Python. Group sizes bound the window task; a pathological
+    hot group (one domain = half the corpus) should be pre-filtered with
+    ``hash_sample`` at a rate comfortably above ``cap/n_group`` first,
+    same as :func:`geometric_mix_resample`'s huge-``k_s`` note (a
+    pre-filter keeping >= cap rows per group leaves the result
+    identical — the cap selects the globally smallest draws, which the
+    draw-ordered pre-filter preserves). ``key`` must be unique per row
+    (see :func:`_rank_window`)."""
+    if cap < 0:
+        raise ValueError(f"cap={cap}: must be >= 0")
+    return (
+        df.withColumn("__pf_rn", F.row_number().over(_rank_window(key, group, seed)))
+        .filter(F.col("__pf_rn") <= F.lit(cap))
+        .drop("__pf_rn")
+    )
+
+
+def sql_cap_select(
+    table: str,
+    key_sql: str,
+    group_sql: str,
+    cap: int,
+    seed: int = 0,
+    key_alias: str = "key",
+    group_alias: str = "grp",
+) -> str:
+    """ANSI/DuckDB mirror of :func:`cap_per_group` — a full SELECT of the
+    kept ``(key, group)`` rows, for oracles and cross-engine reproduction
+    of the exact row set."""
+    frac = sql_frac_expr(key_sql, seed)
+    return (
+        f"SELECT {key_sql} AS {key_alias}, {group_sql} AS {group_alias}"
+        f" FROM (SELECT *, row_number() OVER (PARTITION BY {group_sql}"
+        f" ORDER BY {frac} ASC NULLS LAST, {key_sql} ASC NULLS LAST) AS __rn"
+        f" FROM {table}) WHERE __rn <= {int(cap)}"
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    key: str,
+    source: str,
+    weights: dict[str, int],
+    total: int | None = None,
+    total_factor: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic multi-source mixture with epoch upsampling — the
+    dataset-mixing step of large-scale pretraining (per-source weights
+    with repetition/epoch factors, a la The Pile / LLaMA mixtures).
+
+    Per source ``s`` with integer weight ``w_s`` the target row count is
+    ``t_s = floor(T * w_s / W)`` where ``W = sum(weights)`` and the
+    budget ``T`` is either the explicit ``total`` or ``total_factor``
+    times the weighted corpus size (rows of sources present in
+    ``weights``). A source with ``n_s`` rows emits every row
+    ``t_s div n_s`` times (full epochs) plus one extra epoch for the
+    ``t_s mod n_s`` rows with the smallest sha256 draws — so the output
+    has EXACTLY ``t_s`` rows per source, oversampled sources repeat
+    whole rows with an ``epoch`` counter (0-based), and undersampled
+    sources keep their smallest-draw subset. Sources absent from
+    ``weights`` (including NULL sources) are dropped.
+
+    Weights are INTEGERS on purpose: every arithmetic op in the plan
+    (bigint product, ``div``, ``mod``) is exact on any engine, so the
+    selected row set — not just its size — reproduces bit-identically
+    cross-engine (the same reasoning that pins
+    :func:`geometric_mix_resample` to alpha=0.5). Double division would
+    round past 2^53 at 10^12-row budgets; ``div`` never does.
+
+    Plan: unweighted sources are filtered out BEFORE the rank window
+    (their rows can never reach the output, and the window is
+    partitioned by source so dropping whole sources leaves every rank
+    unchanged); then one counting scan (groupBy source), a broadcast
+    join against the tiny weights/quota table, one rank window per
+    source over the main scan, and a pure-JVM
+    ``explode(sequence(0, epochs-1))`` — no Python anywhere; the explode
+    amplifies AFTER the filter, so pre-explode data moved is at most one
+    row per kept row. The per-source rank sort is bounded by ``n_s``
+    (the window only decides which ``t_s mod n_s`` rows get the EXTRA
+    epoch — full epochs are rank-independent). Do NOT naively pre-filter
+    the input with ``hash_sample`` to shrink that sort: unlike
+    :func:`geometric_mix_resample`, the quotas here are computed FROM
+    the input's per-source counts, so a pre-filter changes ``n_s`` (and,
+    in the ``total_factor`` form, ``T``) and therefore the epoch
+    structure itself — a scale-out of the remainder selection must keep
+    the counting scan on the full table. ``key`` must be unique per row
+    (see :func:`_rank_window`).
+    """
+    if (total is None) == (total_factor is None):
+        raise ValueError("pass exactly one of total / total_factor")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if not isinstance(w, int) or isinstance(w, bool) or w <= 0:
+            raise ValueError(
+                f"weights[{s!r}]={w!r}: weights must be positive ints "
+                "(integer arithmetic is what makes the row set exact "
+                "cross-engine)"
+            )
+    # strict int checks (bool is an int subclass; floats would silently
+    # TRUNCATE — total_factor=0.5 must not become a 0 budget)
+    if total is not None and (
+        not isinstance(total, int) or isinstance(total, bool) or total < 0
+    ):
+        raise ValueError(f"total={total!r}: must be an int >= 0")
+    if total_factor is not None and (
+        not isinstance(total_factor, int)
+        or isinstance(total_factor, bool)
+        or total_factor <= 0
+    ):
+        raise ValueError(f"total_factor={total_factor!r}: must be an int >= 1")
+    big_w = sum(weights.values())
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted((str(s), int(w)) for s, w in weights.items()),
+        "__pf_src string, __pf_w long",
+    )
+    # drop unweighted sources BEFORE the window: their rows cannot reach
+    # the output, and the window partitions by source, so per-source
+    # ranks are identical with or without them. The cast matches the
+    # quota join's string coercion exactly (NULL sources drop here too).
+    df = df.filter(
+        F.col(source).cast("string").isin([str(s) for s in weights])
+    )
+    counts = (
+        df.groupBy(F.col(source).alias("__pf_src"))
+        .agg(F.count(F.lit(1)).alias("__pf_n_s"))
+        .join(F.broadcast(wdf), "__pf_src")
+    )
+    if total is not None:
+        counts = counts.withColumn("__pf_t", F.lit(int(total)).cast("long"))
+    else:
+        n_tot = counts.agg(
+            (F.sum("__pf_n_s") * F.lit(int(total_factor))).alias("__pf_t")
+        )
+        counts = counts.crossJoin(F.broadcast(n_tot))
+    plan = counts.select(
+        "__pf_src",
+        F.expr(f"__pf_t * __pf_w div {big_w}").alias("__pf_t_s"),
+        "__pf_n_s",
+    ).select(
+        "__pf_src",
+        F.expr("__pf_t_s div __pf_n_s").alias("__pf_full"),
+        (F.col("__pf_t_s") % F.col("__pf_n_s")).alias("__pf_rem"),
+    )
+    epochs = F.col("__pf_full") + F.when(
+        F.col("__pf_rn") <= F.col("__pf_rem"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("__pf_rn", F.row_number().over(_rank_window(key, source, seed)))
+        .join(F.broadcast(plan), F.col(source) == F.col("__pf_src"))
+        .withColumn("__pf_ep", epochs)
+        .filter(F.col("__pf_ep") >= 1)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__pf_ep") - 1)),
+        )
+        .drop("__pf_src", "__pf_full", "__pf_rem", "__pf_rn", "__pf_ep")
+    )
+
+
+def sql_mixture_select(
+    table: str,
+    key_sql: str,
+    source_sql: str,
+    weights: dict[str, int],
+    total: int | None = None,
+    total_factor: int | None = None,
+    seed: int = 0,
+    key_alias: str = "key",
+    source_alias: str = "source",
+) -> str:
+    """ANSI/DuckDB mirror of :func:`mixture_resample` — a full SELECT of
+    the output ``(key, source, epoch)`` rows, for oracles and
+    cross-engine reproduction of the exact mixture (epochs included)."""
+    if (total is None) == (total_factor is None):
+        raise ValueError("pass exactly one of total / total_factor")
+    big_w = sum(weights.values())
+    vals = ", ".join(
+        # double embedded quotes: a source like "o'reilly" must stay
+        # representable in the mirror (the Spark side handles it fine)
+        "('{}', {})".format(str(s).replace("'", "''"), int(w))
+        for s, w in sorted(weights.items())
+    )
+    t_expr = (
+        str(int(total))
+        if total is not None
+        else f"(SELECT sum(n_s) * {int(total_factor)} FROM base)"
+    )
+    frac = sql_frac_expr(key_sql, seed)
+    return (
+        f"WITH w(src, wt) AS (VALUES {vals}),"
+        f" cnt AS (SELECT {source_sql} AS src, count(*) AS n_s"
+        f" FROM {table} GROUP BY {source_sql}),"
+        " base AS (SELECT cnt.src, cnt.n_s, w.wt FROM cnt JOIN w USING (src)),"
+        f" plan AS (SELECT src, n_s, ({t_expr} * wt) // {big_w} AS t_s FROM base),"
+        " p2 AS (SELECT src, t_s // n_s AS fl, t_s % n_s AS rem FROM plan),"
+        f" r AS (SELECT {key_sql} AS k, {source_sql} AS src,"
+        f" row_number() OVER (PARTITION BY {source_sql}"
+        f" ORDER BY {frac} ASC NULLS LAST, {key_sql} ASC NULLS LAST) AS rn"
+        f" FROM {table}),"
+        " e AS (SELECT r.k, r.src,"
+        # CAST to BIGINT: DuckDB's integer aggregates/products promote to
+        # HUGEINT, which range() rejects (and which stringifies as a
+        # float in the driver compare — the NOTES r1 lesson)
+        " CAST(fl + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT) AS ep"
+        " FROM r JOIN p2 USING (src))"
+        f" SELECT k AS {key_alias}, src AS {source_alias},"
+        " unnest(range(ep)) AS epoch FROM e"
     )
 
 

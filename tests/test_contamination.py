@@ -322,3 +322,99 @@ class TestBloomContamination:
         )
         assert joined.count() == 0
         assert set(joined.columns) == {"doc_id", "text", "t2"}
+
+
+class TestBoilerplateClean:
+    DOCS = [
+        (0, "intro A\nCOOKIE BANNER\nbody text zero\nfooter nav"),
+        (1, "COOKIE BANNER\nbody text one\nfooter nav"),
+        (2, "body text two\nCOOKIE BANNER\nfooter nav"),
+        (3, "COOKIE BANNER\nfooter nav"),  # all lines boilerplate
+        (4, "unique only\nCOOKIE BANNER\nCOOKIE BANNER"),  # in-doc repeat
+        (5, None),  # null text: zero lines
+    ]
+
+    def frame(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id int, text string")
+
+    def test_removes_every_occurrence_keeps_order(self, spark):
+        """Lines in >2 distinct docs are deleted wherever they occur
+        (including within-doc repeats); surviving lines keep their
+        original order; all-boiler docs come back empty; NULL text is
+        zero lines, not one empty line."""
+        from pfutil_spark.operators.contamination import remove_boilerplate_lines
+
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_removed"])
+            for r in remove_boilerplate_lines(
+                self.frame(spark), "text", "doc_id", delim="\n", max_docs=2
+            ).collect()
+        }
+        # COOKIE BANNER in 5 docs, footer nav in 4 -> both boilerplate
+        assert out[0] == ("intro A\nbody text zero", 2, 2)
+        assert out[1] == ("body text one", 1, 2)
+        assert out[2] == ("body text two", 1, 2)
+        assert out[3] == ("", 0, 2)
+        assert out[4] == ("unique only", 1, 2)  # both in-doc repeats removed
+        assert out[5] == ("", 0, 0)
+
+    def test_threshold_counts_distinct_docs_not_occurrences(self, spark):
+        """doc 4 repeats COOKIE BANNER twice, but the doc-count for the
+        threshold is DISTINCT docs: with max_docs=5 (>= 5 docs contain
+        it) nothing is boilerplate and every doc round-trips."""
+        from pfutil_spark.operators.contamination import remove_boilerplate_lines
+
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in remove_boilerplate_lines(
+                self.frame(spark), "text", "doc_id", delim="\n", max_docs=5
+            ).collect()
+        }
+        for did, text in self.DOCS:
+            assert out[did] == (text or "")
+
+    def test_hash_and_string_keys_agree_and_partition_independent(self, spark):
+        from pfutil_spark.operators.contamination import remove_boilerplate_lines
+
+        d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        a = sorted(map(tuple, remove_boilerplate_lines(
+            d, "text", "doc_id", delim=" ", max_docs=400, on_hash=True).collect()))
+        b = sorted(map(tuple, remove_boilerplate_lines(
+            d, "text", "doc_id", delim=" ", max_docs=400, on_hash=False).collect()))
+        c = sorted(map(tuple, remove_boilerplate_lines(
+            d.repartition(17), "text", "doc_id", delim=" ", max_docs=400).collect()))
+        assert a == b == c
+        assert any(r[3] > 0 for r in a)  # something was actually removed
+
+    def test_line_counts_match_brute_force(self, spark):
+        from collections import Counter
+
+        from pfutil_spark.operators.contamination import boilerplate_line_counts
+
+        got = {
+            (r["line"], r["n_docs"])
+            for r in boilerplate_line_counts(
+                self.frame(spark), "text", "doc_id", delim="\n", min_docs=3
+            ).collect()
+        }
+        cnt = Counter()
+        for _, text in self.DOCS:
+            for line in set((text or "").split("\n") if text else []):
+                cnt[line] += 1
+        assert got == {(l, n) for l, n in cnt.items() if n >= 3}
+
+    def test_validation_and_pure_jvm_plan(self, spark):
+        import pytest
+
+        from pfutil_spark.operators.contamination import remove_boilerplate_lines
+
+        d = self.frame(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            remove_boilerplate_lines(d, "text", "doc_id", delim="")
+        with pytest.raises(ValueError, match="not supported"):
+            remove_boilerplate_lines(d, "text", "doc_id", delim="a\\Eb")
+        plan = (
+            remove_boilerplate_lines(d, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "mapInArrow" not in plan

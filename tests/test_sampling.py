@@ -292,3 +292,212 @@ class TestGeometricMixResample:
             ).fetchall()
         )
         assert a == b
+
+
+class TestCapPerGroup:
+    def test_cap_respected_and_partition_independent(self, spark):
+        from pfutil_spark.operators.sampling import cap_per_group
+
+        d = docs(spark)
+        out = cap_per_group(d, "doc_id", "source", 15, seed=11)
+        per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+        assert all(v == 15 for v in per.values())  # every source has >= 15 docs here
+        a = {r["doc_id"] for r in out.select("doc_id").collect()}
+        b = {
+            r["doc_id"]
+            for r in cap_per_group(d.repartition(17), "doc_id", "source", 15, seed=11)
+            .select("doc_id")
+            .collect()
+        }
+        assert a == b
+
+    def test_selects_smallest_draws_and_cap_above_size_is_identity(self, spark):
+        from pfutil_spark.operators.sampling import cap_per_group
+
+        d = docs(spark)
+        rows = d.select("doc_id", "source", hash_frac_hex_col("doc_id", 11).alias("fr")).collect()
+        by_src: dict[str, list] = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append((r["fr"], r["doc_id"]))
+        expect = {
+            did for pairs in by_src.values() for _, did in sorted(pairs)[:15]
+        }
+        got = {
+            r["doc_id"]
+            for r in cap_per_group(d, "doc_id", "source", 15, seed=11).select("doc_id").collect()
+        }
+        assert got == expect
+        assert cap_per_group(d, "doc_id", "source", 10_000).count() == d.count()
+        assert cap_per_group(d, "doc_id", "source", 0).count() == 0
+
+    def test_validation_and_schema_preserved(self, spark):
+        from pfutil_spark.operators.sampling import cap_per_group
+
+        d = docs(spark)
+        with pytest.raises(ValueError, match="cap"):
+            cap_per_group(d, "doc_id", "source", -1)
+        assert cap_per_group(d, "doc_id", "source", 3).columns == d.columns
+
+    def test_sql_mirror_exact_rowset(self, spark):
+        import duckdb
+
+        from pfutil_spark.operators.sampling import cap_per_group, sql_cap_select
+
+        d = docs(spark)
+        a = sorted(
+            (r["doc_id"], r["source"])
+            for r in cap_per_group(d, "doc_id", "source", 7, seed=2)
+            .select("doc_id", "source")
+            .collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS"
+            " SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+        )
+        b = sorted(
+            tuple(r)
+            for r in con.sql(
+                sql_cap_select("documents", "doc_id", "source", 7, seed=2)
+            ).fetchall()
+        )
+        assert a == b
+
+
+class TestMixtureResample:
+    WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+
+    def test_exact_per_source_targets_and_epoch_structure(self, spark):
+        """Output size per source is EXACTLY floor(T*w/W); every source
+        row appears either floor(t_s/n_s) or floor(t_s/n_s)+1 times with
+        contiguous 0-based epochs, and exactly t_s mod n_s rows get the
+        extra epoch."""
+        from pfutil_spark.operators.sampling import mixture_resample
+
+        d = docs(spark)
+        n_s = {r["source"]: r["count"] for r in d.groupBy("source").count().collect()}
+        T = 2 * sum(n_s.values())
+        W = sum(self.WEIGHTS.values())
+        out = mixture_resample(d, "doc_id", "source", self.WEIGHTS, total_factor=2, seed=3)
+        rows = out.select("doc_id", "source", "epoch").collect()
+        per_src: dict[str, list] = {}
+        for r in rows:
+            per_src.setdefault(r["source"], []).append((r["doc_id"], r["epoch"]))
+        for src, w in self.WEIGHTS.items():
+            t_s = T * w // W
+            got = per_src.get(src, [])
+            assert len(got) == t_s, src
+            full, rem = divmod(t_s, n_s[src])
+            eps: dict[int, list] = {}
+            for did, ep in got:
+                eps.setdefault(did, []).append(ep)
+            n_extra = 0
+            for did, lst in eps.items():
+                assert sorted(lst) == list(range(len(lst))), did  # contiguous
+                assert len(lst) in (full, full + 1)
+                n_extra += len(lst) == full + 1
+            assert n_extra == rem, src
+
+    def test_partition_independent_and_total_arg(self, spark):
+        from pfutil_spark.operators.sampling import mixture_resample
+
+        d = docs(spark)
+        a = sorted(
+            map(tuple, mixture_resample(d, "doc_id", "source", self.WEIGHTS, total=333, seed=1)
+                .select("doc_id", "source", "epoch").collect())
+        )
+        b = sorted(
+            map(tuple, mixture_resample(
+                d.repartition(13), "doc_id", "source", self.WEIGHTS, total=333, seed=1)
+                .select("doc_id", "source", "epoch").collect())
+        )
+        assert a == b
+        assert len(a) == sum(333 * w // sum(self.WEIGHTS.values()) for w in self.WEIGHTS.values())
+
+    def test_unweighted_and_null_sources_dropped(self, spark):
+        from pfutil_spark.operators.sampling import mixture_resample
+
+        rows = [(1, "a"), (2, "a"), (3, "b"), (4, None)]
+        df = spark.createDataFrame(rows, "k int, s string")
+        out = mixture_resample(df, "k", "s", {"a": 1}, total=4, seed=0).collect()
+        assert {r["s"] for r in out} == {"a"}
+        assert len(out) == 4  # both 'a' rows x 2 epochs
+
+    def test_validation(self, spark):
+        from pfutil_spark.operators.sampling import mixture_resample
+
+        d = docs(spark)
+        with pytest.raises(ValueError, match="exactly one"):
+            mixture_resample(d, "doc_id", "source", {"a": 1})
+        with pytest.raises(ValueError, match="exactly one"):
+            mixture_resample(d, "doc_id", "source", {"a": 1}, total=5, total_factor=1)
+        with pytest.raises(ValueError, match="positive ints"):
+            mixture_resample(d, "doc_id", "source", {"a": 0.5}, total=5)
+        with pytest.raises(ValueError, match="positive ints"):
+            mixture_resample(d, "doc_id", "source", {"a": 0}, total=5)
+        with pytest.raises(ValueError, match="positive ints"):
+            mixture_resample(d, "doc_id", "source", {"a": True}, total=5)
+        with pytest.raises(ValueError, match="non-empty"):
+            mixture_resample(d, "doc_id", "source", {}, total=5)
+        # floats must raise, not silently truncate (total_factor=0.5
+        # would otherwise become a 0 budget and an empty result)
+        with pytest.raises(ValueError, match="int"):
+            mixture_resample(d, "doc_id", "source", {"a": 1}, total_factor=0.5)
+        with pytest.raises(ValueError, match="int"):
+            mixture_resample(d, "doc_id", "source", {"a": 1}, total=777.9)
+
+    def test_quoted_source_names_in_sql_mirror(self, spark):
+        """A source containing a single quote must survive the VALUES
+        interpolation in the SQL mirror (doubled quotes)."""
+        import duckdb
+
+        from pfutil_spark.operators.sampling import mixture_resample, sql_mixture_select
+
+        rows = [(1, "o'reilly"), (2, "o'reilly"), (3, "plain")]
+        df = spark.createDataFrame(rows, "k int, s string")
+        w = {"o'reilly": 2, "plain": 1}
+        a = sorted(map(tuple, mixture_resample(df, "k", "s", w, total=6, seed=0)
+                       .select("k", "s", "epoch").collect()))
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t(k INT, s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        b = sorted(tuple(r) for r in con.sql(
+            sql_mixture_select("t", "k", "s", w, total=6, seed=0)).fetchall())
+        assert a == b and len(a) == 6
+
+    def test_sql_mirror_exact_rowset_both_budget_forms(self, spark):
+        import duckdb
+
+        from pfutil_spark.operators.sampling import mixture_resample, sql_mixture_select
+
+        d = docs(spark)
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS"
+            " SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+        )
+        for kwargs in ({"total_factor": 2}, {"total": 777}):
+            a = sorted(
+                map(tuple, mixture_resample(d, "doc_id", "source", self.WEIGHTS, seed=5, **kwargs)
+                    .select("doc_id", "source", "epoch").collect())
+            )
+            b = sorted(
+                tuple(r)
+                for r in con.sql(
+                    sql_mixture_select(
+                        "documents", "doc_id", "source", self.WEIGHTS, seed=5,
+                        key_alias="doc_id", source_alias="source", **kwargs)
+                ).fetchall()
+            )
+            assert a == b, kwargs
+
+    def test_pure_jvm_plan(self, spark):
+        """No Python evaluation anywhere in the mixture plan."""
+        from pfutil_spark.operators.sampling import mixture_resample
+
+        d = docs(spark)
+        plan = (
+            mixture_resample(d, "doc_id", "source", self.WEIGHTS, total_factor=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "mapInArrow" not in plan

@@ -815,3 +815,41 @@ class TestContainmentPairs:
         # shingles shared by all 31 docs leave the JOIN; the
         # boilerplate-only containments are the documented haircut
         assert capped.filter(F.col("id_a") == 99).count() == 0
+
+
+class TestClusterSizeStats:
+    def test_matches_brute_force_and_mass_conserved(self, spark):
+        """Histogram equals a hand count over an assigned-clusters frame;
+        n_docs sums to the corpus and frac_docs to 1.0 exactly (the
+        fractions share one denominator)."""
+        from collections import Counter
+
+        from pfutil_spark.operators.dedup import cluster_size_stats
+
+        rows = [(i, i % 7 if i < 70 else i) for i in range(100)]
+        clusters = spark.createDataFrame(rows, "doc_id int, cluster_id int")
+        got = {
+            r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["frac_docs"])
+            for r in cluster_size_stats(clusters).collect()
+        }
+        sizes = Counter(Counter(c for _, c in rows).values())
+        assert {k: v[0] for k, v in got.items()} == dict(sizes)
+        assert sum(v[1] for v in got.values()) == 100
+        assert sum(v[0] * k for k, v in got.items()) == 100
+        assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-12
+        for k, v in got.items():
+            assert v[2] == v[1] / 100  # the exact IEEE division
+
+    def test_partition_independent_and_pure_jvm(self, spark):
+        from pfutil_spark.operators.dedup import cluster_size_stats
+
+        rows = [(i, i % 13) for i in range(200)]
+        clusters = spark.createDataFrame(rows, "doc_id int, cluster_id int")
+        a = sorted(map(tuple, cluster_size_stats(clusters).collect()))
+        b = sorted(map(tuple, cluster_size_stats(clusters.repartition(17)).collect()))
+        assert a == b
+        plan = (
+            cluster_size_stats(clusters)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "mapInArrow" not in plan
