@@ -530,12 +530,21 @@ def fingerprint_col_df(df: DataFrame, text: str, id_col: str, k: int = 8) -> Dat
 # exact n-gram Jaccard (verification of candidate pairs)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
-    df: DataFrame, pairs: DataFrame, text: str, id_col: str, k: int = 5
+def _pair_shingle_scores(
+    df: DataFrame,
+    pairs: DataFrame,
+    text: str,
+    id_col: str,
+    k: int,
+    score,
+    out_name: str,
 ) -> DataFrame:
-    """Exact character-k-gram Jaccard for given (id_a, id_b) pairs.
-    Candidate sets are small by construction (post-LSH), so the per-pair
-    set intersection runs on the joined pair rows."""
+    """Shared verify-stage machinery: join candidate (id_a, id_b) pairs
+    back to their texts and score each pair's character-k-gram sets with
+    ``score(sx, sy) -> float`` (a plain-Python set function; empty-set
+    conventions live in the score fn). Candidate sets are small by
+    construction (post-LSH / post-candidate-join), so the per-pair loop
+    runs on joined pair rows only, never per corpus row."""
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text).alias("text_a"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text).alias("text_b"))
     joined = pairs.join(ta, "id_a").join(tb, "id_b")
@@ -543,16 +552,30 @@ def ngram_jaccard_pairs(
     from pyspark.sql.types import DoubleType
 
     @F.pandas_udf(DoubleType())
-    def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
+    def _score(a: pd.Series, b: pd.Series) -> pd.Series:
         out = np.empty(len(a))
-        for i, (x, y) in enumerate(zip(a, b)):  # per-PAIR (post-LSH), not per-row-of-corpus
+        for i, (x, y) in enumerate(zip(a, b)):  # per candidate PAIR only
             sx = {x[j : j + k] for j in range(max(len(x) - k + 1, 0))}
             sy = {y[j : j + k] for j in range(max(len(y) - k + 1, 0))}
-            u = len(sx | sy)
-            out[i] = (len(sx & sy) / u) if u else 1.0
+            out[i] = score(sx, sy)
         return pd.Series(out)
 
-    return joined.select("id_a", "id_b", _jac("text_a", "text_b").alias("jaccard"))
+    return joined.select(
+        "id_a", "id_b", _score("text_a", "text_b").alias(out_name)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Exact character-k-gram Jaccard for given (id_a, id_b) pairs
+    (the post-LSH verify stage; see :func:`_pair_shingle_scores`)."""
+
+    def jac(sx: set, sy: set) -> float:
+        u = len(sx | sy)
+        return (len(sx & sy) / u) if u else 1.0
+
+    return _pair_shingle_scores(df, pairs, text, id_col, k, jac, "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -734,9 +757,14 @@ def cluster_size_stats(
     ``sum((size-1) * n_clusters)`` rows removable by keep-one-per-cluster.
 
     Plan: two map-side-combinable aggregations (per-cluster size, then
-    per-size histogram) + a broadcast 1-row total — the histogram is at
-    most ``max cluster size`` rows, so each shuffle shrinks the data;
-    nothing is per-row Python and no raw text moves."""
+    per-size histogram), then the denominator as a global window SUM
+    over the histogram itself — the histogram is at most ``max cluster
+    size`` rows, so the single-partition window is trivial, and the
+    whole thing is ONE plan (a separate broadcast-total job would
+    re-evaluate the input lineage — corpus scan + components join —
+    twice); nothing is per-row Python and no raw text moves."""
+    from pyspark.sql.window import Window
+
     sizes = clusters.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -744,12 +772,13 @@ def cluster_size_stats(
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
     )
-    total = hist.agg(F.sum("n_docs").alias("__pf_total"))
-    return hist.crossJoin(F.broadcast(total)).select(
+    return hist.select(
         "cluster_size",
         "n_clusters",
         "n_docs",
-        (F.col("n_docs") / F.col("__pf_total")).alias("frac_docs"),
+        (
+            F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy())
+        ).alias("frac_docs"),
     )
 
 
@@ -823,26 +852,13 @@ def containment_exact_pairs(
     df: DataFrame, pairs: DataFrame, text: str, id_col: str, k: int = 5
 ) -> DataFrame:
     """EXACT containment |S_a ∩ S_b| / |S_a| for given (id_a, id_b)
-    pairs — the candidate-bounded verify stage (same shape as
-    ngram_jaccard_pairs; never runs per corpus row)."""
-    from pyspark.sql.types import DoubleType
+    pairs — the candidate-bounded verify stage (shared machinery:
+    :func:`_pair_shingle_scores`; never runs per corpus row)."""
 
-    ta = df.select(F.col(id_col).alias("id_a"), F.col(text).alias("text_a"))
-    tb = df.select(F.col(id_col).alias("id_b"), F.col(text).alias("text_b"))
-    joined = pairs.join(ta, "id_a").join(tb, "id_b")
+    def cont(sx: set, sy: set) -> float:
+        return (len(sx & sy) / len(sx)) if sx else 1.0
 
-    @F.pandas_udf(DoubleType())
-    def _cont(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = np.empty(len(a))
-        for i, (x, y) in enumerate(zip(a, b)):  # per candidate PAIR only
-            sx = {x[j : j + k] for j in range(max(len(x) - k + 1, 0))}
-            sy = {y[j : j + k] for j in range(max(len(y) - k + 1, 0))}
-            out[i] = (len(sx & sy) / len(sx)) if sx else 1.0
-        return pd.Series(out)
-
-    return joined.select(
-        "id_a", "id_b", _cont("text_a", "text_b").alias("containment")
-    )
+    return _pair_shingle_scores(df, pairs, text, id_col, k, cont, "containment")
 
 
 def containment_pairs(

@@ -203,14 +203,22 @@ def drift_matrix(
     ``(a, b, ks_est, err_bound, n_a, n_b)``.
 
     ``broadcast=False`` for stratum counts whose sketch table exceeds
-    the broadcast limits (L ~ 10^5 at k=200 is ~500MB): the self-join
-    falls back to a shuffle join — same results, one extra Exchange
-    (the r4 _snapshot_join hardening, applied to the matrix)."""
+    the broadcast limits (L ~ 10^5 at k=200 is ~500MB): same results,
+    no broadcast (the r4 _snapshot_join hardening, applied to the
+    matrix). The ``a < b`` condition has NO equi-keys, so a plain
+    non-broadcast join would let JoinSelection pick
+    BroadcastNestedLoopJoin whenever catalyst's size estimate of the
+    sketch table dips under the threshold — broadcasting the very table
+    the flag exists to keep off the driver. The
+    ``shuffle_replicate_nl`` hint pins the plan to the distributed
+    CartesianProduct (shuffle-and-replicate nested loop; plan-gated in
+    tests/test_plans.py)."""
     sk = kll_sketch(df, col, by=(by,), k=k)
     a = sk.select(F.col(by).alias("a"), F.col(SKETCH_COL).alias("__sa"))
     b = sk.select(F.col(by).alias("b"), F.col(SKETCH_COL).alias("__sb"))
     pairs = a.join(
-        F.broadcast(b) if broadcast else b, F.col("a") < F.col("b")
+        F.broadcast(b) if broadcast else b.hint("shuffle_replicate_nl"),
+        F.col("a") < F.col("b"),
     )
     return pairs.select(
         "a", "b", ks_drift_col("__sa", "__sb").alias("__d")

@@ -345,6 +345,14 @@ def mixture_resample(
         or total_factor <= 0
     ):
         raise ValueError(f"total_factor={total_factor!r}: must be an int >= 1")
+    # the quota join coerces keys through str() — colliding keys (e.g.
+    # {1: 2, '1': 3}) would fan the join out and silently DUPLICATE
+    # every output row of that source
+    if len({str(s) for s in weights}) != len(weights):
+        raise ValueError(
+            "weights keys collide after str() coercion: "
+            f"{sorted(map(str, weights))}"
+        )
     big_w = sum(weights.values())
     spark = df.sparkSession
     wdf = spark.createDataFrame(

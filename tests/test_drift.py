@@ -955,3 +955,21 @@ class TestDriftMatrixScale:
             for r in drift_matrix(df, "v", "s", broadcast=False).collect()
         }
         assert bc == sj and len(bc) == 28
+
+    def test_non_broadcast_matrix_never_broadcasts(self, spark):
+        """The a<b pair condition has no equi-keys, so without the
+        shuffle_replicate_nl hint JoinSelection could pick
+        BroadcastNestedLoopJoin whenever catalyst's size estimate of
+        the (tiny-looking) sketch table dips under the threshold —
+        broadcasting exactly the table broadcast=False exists to keep
+        off the driver. Gate the distributed CartesianProduct plan."""
+        from pfutil_spark.operators.drift import drift_matrix
+
+        df = spark.range(1000).selectExpr(
+            "concat('s', id % 4) AS s", "cast(id % 31 AS double) AS v"
+        )
+        out = drift_matrix(df, "v", "s", broadcast=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan

@@ -445,6 +445,10 @@ class TestMixtureResample:
             mixture_resample(d, "doc_id", "source", {"a": 1}, total_factor=0.5)
         with pytest.raises(ValueError, match="int"):
             mixture_resample(d, "doc_id", "source", {"a": 1}, total=777.9)
+        # keys that collide after str() coercion would fan the quota
+        # join out and silently duplicate every output row of the source
+        with pytest.raises(ValueError, match="collide"):
+            mixture_resample(d, "doc_id", "source", {1: 2, "1": 3}, total=5)
 
     def test_quoted_source_names_in_sql_mirror(self, spark):
         """A source containing a single quote must survive the VALUES

@@ -853,3 +853,12 @@ class TestClusterSizeStats:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "mapInArrow" not in plan
+        # ONE plan, ONE pass over the input: the frac denominator is a
+        # window over the tiny histogram, not a broadcast-total branch
+        # that would re-evaluate the input lineage a second time
+        n_scans = sum(
+            ln.lstrip().startswith(("Scan ", "LocalTableScan", "FileScan"))
+            or "Scan ExistingRDD" in ln
+            for ln in plan.splitlines()
+        )
+        assert n_scans == 1, plan
