@@ -2401,6 +2401,53 @@ def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary statistics
+    (functions/text.py::build_vocab + oov_stats): a top-50 corpus
+    vocabulary (min_count=3, cutoff ties broken by term ASC — the
+    vocabulary SET is deterministic cross-engine) and each document's
+    token count, OOV token count, and OOV fraction — the fastText-style
+    "does this doc look like the corpus?" quality proxy. All-integer
+    counts + ONE bigint/bigint division (unrounded) -> EXACT DuckDB
+    parity; zero-token docs survive with a NULL fraction."""
+    from pfutil_spark.functions.text import build_vocab, oov_stats
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, top_v=50, min_count=3)
+    return oov_stats(d, vocab).orderBy("doc_id")
+
+
+def _q_script_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script character mix per language
+    (functions/text.py::script_counts): per-lang sums of
+    latin/digit/CJK/cyrillic/arabic/whitespace/other character counts
+    from explicit BMP code-point ranges (identical semantics in Java
+    regex and RE2 — \\p{Han}-style named classes are NOT engine-stable)
+    plus the latin fraction (one division, unrounded). The mojibake /
+    wrong-language monitor. Map-only profile + one aggregate; EXACT
+    DuckDB parity."""
+    from pfutil_spark.functions.text import script_counts
+
+    d = _t(spark, sf_dir, "documents")
+    prof = script_counts(d, extra_cols=("lang",))
+    agg = prof.groupBy("lang").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_latin").alias("latin_chars"),
+        F.sum("n_digit").alias("digit_chars"),
+        F.sum("n_cjk").alias("cjk_chars"),
+        F.sum("n_cyrillic").alias("cyrillic_chars"),
+        F.sum("n_arabic").alias("arabic_chars"),
+        F.sum("n_whitespace").alias("ws_chars"),
+        F.sum("n_other").alias("other_chars"),
+    )
+    return agg.select(
+        "*",
+        (
+            F.col("latin_chars") / F.nullif(F.col("total_chars"), F.lit(0))
+        ).alias("latin_frac"),
+    ).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2464,6 +2511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap_sample": _q_source_cap_sample,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "boilerplate_clean": _q_boilerplate_clean,
+        "doc_oov_stats": _q_doc_oov_stats,
+        "script_mix_by_lang": _q_script_mix_by_lang,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -2860,6 +2909,70 @@ def oracle_sql() -> dict[str, str]:
             " LEFT JOIN tot t ON d.doc_id = t.doc_id"
             " LEFT JOIN agg a ON d.doc_id = a.doc_id"
             " ORDER BY d.doc_id"
+        ),
+        "doc_oov_stats": (
+            "WITH toks AS (SELECT doc_id,"
+            "  unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+            "  FROM documents"
+            "  WHERE length(trim(coalesce(text, ''))) > 0),"
+            " vocab AS (SELECT tok AS term FROM toks GROUP BY tok"
+            "  HAVING count(*) >= 3"
+            "  ORDER BY count(*) DESC, term ASC LIMIT 50),"
+            " agg AS (SELECT t.doc_id,"
+            "  CAST(count(*) AS BIGINT) AS n_tokens,"
+            "  CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT)"
+            "   AS n_oov"
+            "  FROM toks t LEFT JOIN vocab v ON t.tok = v.term"
+            "  GROUP BY t.doc_id)"
+            " SELECT d.doc_id,"
+            " CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,"
+            " CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,"
+            # same single IEEE division as the Spark side; NULL when a
+            # doc has zero tokens
+            " CAST(coalesce(a.n_oov, 0) AS DOUBLE)"
+            "  / NULLIF(CAST(coalesce(a.n_tokens, 0) AS BIGINT), 0)"
+            "  AS oov_frac"
+            " FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+            " ORDER BY d.doc_id"
+        ),
+        "script_mix_by_lang": (
+            # explicit BMP ranges: identical semantics in RE2 and Java
+            # regex; DuckDB regexp_replace needs the 'g' flag (Spark's
+            # replaces all matches by default)
+            "WITH per AS (SELECT lang,"
+            "  length(coalesce(text, '')) AS n_chars,"
+            "  length(coalesce(text, '')) - length(regexp_replace("
+            "   coalesce(text, ''), '[A-Za-z]', '', 'g')) AS n_latin,"
+            "  length(coalesce(text, '')) - length(regexp_replace("
+            "   coalesce(text, ''), '[0-9]', '', 'g')) AS n_digit,"
+            "  length(coalesce(text, '')) - length(regexp_replace("
+            "   coalesce(text, ''),"
+            "   '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]',"
+            "   '', 'g')) AS n_cjk,"
+            "  length(coalesce(text, '')) - length(regexp_replace("
+            "   coalesce(text, ''), '[\\x{0400}-\\x{04FF}]', '', 'g'))"
+            "   AS n_cyrillic,"
+            "  length(coalesce(text, '')) - length(regexp_replace("
+            "   coalesce(text, ''), '[\\x{0600}-\\x{06FF}]', '', 'g'))"
+            "   AS n_arabic,"
+            "  length(coalesce(text, '')) - length(regexp_replace("
+            "   coalesce(text, ''), '[ \\t\\n\\r\\x{000B}\\x{000C}]',"
+            "   '', 'g')) AS n_ws"
+            "  FROM documents)"
+            " SELECT lang,"
+            " CAST(sum(n_chars) AS BIGINT) AS total_chars,"
+            " CAST(sum(n_latin) AS BIGINT) AS latin_chars,"
+            " CAST(sum(n_digit) AS BIGINT) AS digit_chars,"
+            " CAST(sum(n_cjk) AS BIGINT) AS cjk_chars,"
+            " CAST(sum(n_cyrillic) AS BIGINT) AS cyrillic_chars,"
+            " CAST(sum(n_arabic) AS BIGINT) AS arabic_chars,"
+            " CAST(sum(n_ws) AS BIGINT) AS ws_chars,"
+            " CAST(sum(n_chars) - sum(n_latin) - sum(n_digit)"
+            "  - sum(n_cjk) - sum(n_cyrillic) - sum(n_arabic)"
+            "  - sum(n_ws) AS BIGINT) AS other_chars,"
+            " CAST(sum(n_latin) AS DOUBLE)"
+            "  / NULLIF(CAST(sum(n_chars) AS BIGINT), 0) AS latin_frac"
+            " FROM per GROUP BY lang ORDER BY lang"
         ),
         "sampled_customer_orders": (
             "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,"

@@ -254,3 +254,167 @@ def term_profile(
         by, F.row_number().over(w).alias("term_rank"), "term",
         "term_count", "doc_freq",
     ).filter(F.col("term_rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary + out-of-vocabulary statistics (r5): the fastText-style
+# "does this document look like the corpus?" quality proxy. A fixed
+# top-V vocabulary is the index; per-document OOV fraction is the
+# signal (high OOV = boilerplate/garbled/wrong-language content).
+# ---------------------------------------------------------------------------
+
+def build_vocab(
+    df: DataFrame,
+    text: str = "text",
+    top_v: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: ``(term, term_count)`` for the ``top_v`` most
+    frequent whitespace tokens with ``term_count >= min_count``
+    (same tokenization as :func:`term_profile`: split on ``\\s+`` after
+    trim; blank/NULL text contributes nothing). Ties at the cutoff
+    break deterministically by ``term`` ascending — the selected SET is
+    reproducible cross-engine, which is what makes :func:`oov_stats`
+    exactly oracle-able.
+
+    Plan: one explode into a map-side-combined ``groupBy(term)`` (ONE
+    corpus-sized shuffle); ``top_v`` lands as TakeOrderedAndProject —
+    distributed per-partition top-V, never a global sort of the
+    vocabulary. The result is index-sized (V rows): broadcast it into
+    :func:`oov_stats`, or persist it as the corpus's vocabulary
+    artifact. For V beyond driver comfort (~10^7) pass ``top_v=None``
+    and cut by ``min_count`` alone — pure aggregation, nothing ever
+    collects."""
+    if top_v is not None and top_v < 1:
+        raise ValueError(f"top_v={top_v}: must be >= 1 or None")
+    if min_count < 1:
+        raise ValueError(f"min_count={min_count}: must be >= 1")
+    toks = df.filter(F.length(F.trim(F.col(text))) > 0).select(
+        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    if min_count > 1:
+        counts = counts.filter(F.col("term_count") >= min_count)
+    if top_v is not None:
+        counts = counts.orderBy(
+            F.col("term_count").desc(), F.col("term").asc()
+        ).limit(top_v)
+    return counts
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-document out-of-vocabulary statistics against a
+    :func:`build_vocab` table (or any ``(term, ...)`` frame):
+    ``(id_col, n_tokens, n_oov, oov_frac)``. ``oov_frac`` is ONE
+    bigint/bigint IEEE division (exact cross-engine, emitted
+    unrounded); zero-token documents (blank/NULL text) survive with
+    ``n_tokens = 0`` and ``oov_frac`` NULL — a doc with no tokens is
+    signal, not a row to drop.
+
+    Plan: ONE corpus scan — ``explode_outer`` keeps zero-token docs as
+    a NULL-token row (never counted as OOV), the vocab term set joins
+    LEFT (broadcast by default; ``broadcast=False`` shuffles for
+    vocabularies past the broadcast limits), and one
+    map-side-combinable ``groupBy(id)`` closes it. Zero Python
+    anywhere (plan-gated)."""
+    t = F.trim(F.col(text))
+    base = df.select(
+        F.col(id_col),
+        F.when(
+            t.isNull() | (F.length(t) == 0), F.array().cast("array<string>")
+        ).otherwise(F.split(t, r"\s+")).alias("__pf_toks"),
+    )
+    toks = base.select(
+        id_col, F.explode_outer("__pf_toks").alias("__pf_tok")
+    )
+    vset = vocab.select(F.col("term").alias("__pf_term")).distinct()
+    joined = toks.join(
+        F.broadcast(vset) if broadcast else vset,
+        toks["__pf_tok"] == vset["__pf_term"],
+        "left",
+    )
+    n_tok = F.count(F.col("__pf_tok"))  # count() skips the NULL token row
+    n_oov = F.count(
+        F.when(F.col("__pf_tok").isNotNull() & F.col("__pf_term").isNull(), 1)
+    )
+    return joined.groupBy(id_col).agg(
+        n_tok.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov") / F.nullif(F.col("n_tokens"), F.lit(0))).alias(
+            "oov_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unicode script profile (r5): per-document character-class counts via
+# EXPLICIT BMP code-point ranges — identical semantics in Java regex
+# (Spark) and RE2 (DuckDB), unlike \p{Han}-style script classes whose
+# names and unicode tables differ per engine.
+# ---------------------------------------------------------------------------
+
+_SCRIPT_RANGES = {
+    # class -> character-class body (explicit ranges only; BMP)
+    "latin": "A-Za-z",
+    "digit": "0-9",
+    "cjk": "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}",
+    "cyrillic": "\\x{0400}-\\x{04FF}",
+    "arabic": "\\x{0600}-\\x{06FF}",
+    "whitespace": " \\t\\n\\r\\x{000B}\\x{000C}",
+}
+
+
+def script_counts(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document unicode-script character profile:
+    ``(id_col, n_chars, n_latin, n_digit, n_cjk, n_cyrillic, n_arabic,
+    n_whitespace, n_other, latin_frac, cjk_frac)`` — the
+    script-mix / mojibake / wrong-language signal that complements
+    :func:`lang_id_col`'s stopword heuristic. Counts are
+    length-minus-replaced (Spark ``regexp_replace`` replaces ALL
+    matches; the DuckDB mirror needs the ``'g'`` flag); classes use
+    explicit BMP code-point ranges so Java and RE2 agree by
+    construction. CJK = unified ideographs + kana + hangul syllables.
+    Fractions are single bigint/bigint divisions over NULLIF(n_chars,0)
+    (exact cross-engine; NULL for empty/NULL text). Astral-plane chars
+    (emoji etc.) fall into ``n_other`` and count as their UTF-16 length
+    on Spark vs 1 on engines counting code points — keep oracle inputs
+    BMP. ``extra_cols`` pass through untouched (group keys for a
+    downstream aggregate — per-lang/per-source script mix from the same
+    single scan). Map-only, zero shuffles, zero Python (plan-gated)."""
+    c = F.coalesce(F.col(text), F.lit(""))
+    n_chars = F.length(c).cast("long").alias("n_chars")
+    counts = [
+        (F.length(c) - F.length(F.regexp_replace(c, f"[{body}]", "")))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, body in _SCRIPT_RANGES.items()
+    ]
+    known = None
+    for name in _SCRIPT_RANGES:
+        col = F.col(f"n_{name}")
+        known = col if known is None else known + col
+    keep = [F.col(x) for x in (id_col, *extra_cols)]
+    out = df.select(*keep, n_chars, *counts).select(
+        "*", (F.col("n_chars") - known).alias("n_other")
+    )
+    denom = F.nullif(F.col("n_chars"), F.lit(0))
+    return out.select(
+        "*",
+        (F.col("n_latin") / denom).alias("latin_frac"),
+        (F.col("n_cjk") / denom).alias("cjk_frac"),
+    )

@@ -862,3 +862,145 @@ class TestClusterSizeStats:
             for ln in plan.splitlines()
         )
         assert n_scans == 1, plan
+
+
+class TestBuildVocab:
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "the dog and the cat"),
+                (3, ""),
+                (4, None),
+                (5, "   "),
+                (6, "zz yy xx the"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_counts_min_count_and_cutoff_ties(self, spark):
+        """Counts match a hand tally; min_count filters; the top_v
+        cutoff breaks count ties by term ASC (deterministic SET, the
+        property oov_stats' exact oracle rests on)."""
+        from pfutil_spark.functions.text import build_vocab
+
+        d = self.docs(spark)
+        got = {r["term"]: r["term_count"] for r in build_vocab(d).collect()}
+        assert got == {
+            "the": 5, "cat": 2, "sat": 1, "on": 1, "mat": 1, "dog": 1,
+            "and": 1, "zz": 1, "yy": 1, "xx": 1,
+        }
+        assert {
+            r["term"] for r in build_vocab(d, min_count=2).collect()
+        } == {"the", "cat"}
+        # top_v=3 cuts inside the count=1 tie band: 'and' < 'dog' < ...
+        assert {
+            r["term"] for r in build_vocab(d, top_v=3).collect()
+        } == {"the", "cat", "and"}
+
+    def test_partition_independent_and_validation(self, spark):
+        from pfutil_spark.functions.text import build_vocab
+
+        d = self.docs(spark)
+        a = sorted(map(tuple, build_vocab(d, top_v=4).collect()))
+        b = sorted(map(tuple, build_vocab(d.repartition(7), top_v=4).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="top_v"):
+            build_vocab(d, top_v=0)
+        with pytest.raises(ValueError, match="min_count"):
+            build_vocab(d, min_count=0)
+
+
+class TestOovStats:
+    def test_hand_counts_and_zero_token_docs(self, spark):
+        """n_tokens counts every occurrence; n_oov counts occurrences
+        outside the vocab; blank/NULL docs survive with n_tokens=0 and
+        a NULL fraction (never counted as OOV)."""
+        from pfutil_spark.functions.text import oov_stats
+
+        d = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "the dog"),
+                (3, ""),
+                (4, None),
+                (5, "zz yy xx"),
+            ],
+            "doc_id long, text string",
+        )
+        # duplicate vocab rows must not fan the join out (distinct inside)
+        v = spark.createDataFrame(
+            [("the",), ("cat",), ("dog",), ("the",)], "term string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_frac"])
+            for r in oov_stats(d, v).collect()
+        }
+        assert got == {
+            1: (6, 3, 0.5),
+            2: (2, 0, 0.0),
+            3: (0, 0, None),
+            4: (0, 0, None),
+            5: (3, 3, 1.0),
+        }
+
+    def test_shuffle_join_parity_and_plan(self, spark):
+        from pfutil_spark.functions.text import build_vocab, oov_stats
+
+        d = spark.createDataFrame(
+            [(i, f"w{i % 7} w{i % 3} filler{i % 11}") for i in range(200)],
+            "doc_id long, text string",
+        )
+        v = build_vocab(d, top_v=8)
+        bc = sorted(map(tuple, oov_stats(d, v).collect()))
+        sj = sorted(map(tuple, oov_stats(d, v, broadcast=False).collect()))
+        assert bc == sj and len(bc) == 200
+        plan = (
+            oov_stats(d, v)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "mapInArrow" not in plan
+        assert "BroadcastHashJoin" in plan, plan
+
+
+class TestScriptCounts:
+    def test_curated_scripts(self, spark):
+        from pfutil_spark.functions.text import script_counts
+
+        d = spark.createDataFrame(
+            [
+                (1, "abc 123"),
+                (2, "汉字かなハングル한"),
+                (3, "Привет мир"),
+                (4, "مرحبا"),
+                (5, ""),
+                (6, None),
+                (7, "a.b,c!?"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_chars"], r["n_latin"], r["n_digit"], r["n_cjk"],
+                r["n_cyrillic"], r["n_arabic"], r["n_whitespace"],
+                r["n_other"], r["latin_frac"], r["cjk_frac"],
+            )
+            for r in script_counts(d).collect()
+        }
+        assert got[1] == (7, 3, 3, 0, 0, 0, 1, 0, 3 / 7, 0.0)
+        assert got[2] == (9, 0, 0, 9, 0, 0, 0, 0, 0.0, 1.0)
+        assert got[3] == (10, 0, 0, 0, 9, 0, 1, 0, 0.0, 0.0)
+        assert got[4] == (5, 0, 0, 0, 0, 5, 0, 0, 0.0, 0.0)
+        assert got[5] == (0, 0, 0, 0, 0, 0, 0, 0, None, None)
+        assert got[6] == (0, 0, 0, 0, 0, 0, 0, 0, None, None)
+        # punctuation falls into n_other; classes stay disjoint
+        assert got[7] == (7, 3, 0, 0, 0, 0, 0, 4, 3 / 7, 0.0)
+
+    def test_map_only_plan(self, spark):
+        from pfutil_spark.functions.text import script_counts
+
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (
+            script_counts(d)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan and "mapInArrow" not in plan
