@@ -2448,6 +2448,33 @@ def _q_script_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level duplication matrix
+    (operators/dedup.py::cross_source_dup_matrix): the exact-verified
+    near-dup pairs (same candidate+verify pipeline as
+    minhash_lsh_pairs, jaccard >= 0.8) rolled up per unordered source
+    combination — "which sources leak into which" for dataset-mixing
+    and eval-contamination decisions. Counts are integers; pair_frac
+    is ONE bigint/bigint division (unrounded) -> EXACT DuckDB parity
+    vs the all-pairs ground truth with the same source join."""
+    from pfutil_spark.operators.dedup import (
+        cross_source_dup_matrix,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.filter(F.length("text") >= 5)
+    cand = minhash_lsh_pairs(d, "text", "doc_id", 64, 16, 5, min_jaccard=0.5)
+    verified = ngram_jaccard_pairs(
+        d, cand.select("id_a", "id_b"), "text", "doc_id", k=5
+    )
+    pairs = verified.filter(F.col("jaccard") >= 0.8)
+    return cross_source_dup_matrix(
+        docs, pairs, "doc_id", "source"
+    ).orderBy("source_a", "source_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2513,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_clean": _q_boilerplate_clean,
         "doc_oov_stats": _q_doc_oov_stats,
         "script_mix_by_lang": _q_script_mix_by_lang,
+        "cross_source_dups": _q_cross_source_dups,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -2973,6 +3001,37 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(n_latin) AS DOUBLE)"
             "  / NULLIF(CAST(sum(n_chars) AS BIGINT), 0) AS latin_frac"
             " FROM per GROUP BY lang ORDER BY lang"
+        ),
+        "cross_source_dups": (
+            # same all-pairs ground truth as minhash_lsh_pairs, rolled
+            # up per unordered source combination
+            "WITH g AS (SELECT unnest(range(1,"
+            "  (SELECT max(length(text)) + 1 FROM documents))) AS i),"
+            " sh AS ("
+            " SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS s"
+            " FROM documents d JOIN g ON g.i <= length(d.text) - 4),"
+            " cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+            " inter AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            "  GROUP BY a.doc_id, b.doc_id),"
+            " p AS (SELECT id_a, id_b FROM inter"
+            "  JOIN cnt ca ON ca.doc_id = id_a"
+            "  JOIN cnt cb ON cb.doc_id = id_b"
+            "  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),"
+            " m AS (SELECT"
+            "  CASE WHEN da.source <= db.source THEN da.source"
+            "   ELSE db.source END AS source_a,"
+            "  CASE WHEN da.source <= db.source THEN db.source"
+            "   ELSE da.source END AS source_b"
+            "  FROM p JOIN documents da ON p.id_a = da.doc_id"
+            "  JOIN documents db ON p.id_b = db.doc_id)"
+            " SELECT source_a, source_b,"
+            " CAST(count(*) AS BIGINT) AS n_pairs,"
+            " CAST(count(*) AS DOUBLE)"
+            "  / (SELECT CAST(count(*) AS BIGINT) FROM m) AS pair_frac"
+            " FROM m GROUP BY source_a, source_b"
+            " ORDER BY source_a, source_b"
         ),
         "sampled_customer_orders": (
             "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,"

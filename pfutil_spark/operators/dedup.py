@@ -782,6 +782,65 @@ def cluster_size_stats(
     )
 
 
+def cross_source_dup_matrix(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    source: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Source-level duplication/leakage matrix: given near-dup pairs
+    (any candidate+verify pipeline's output) and the corpus's
+    ``(id, source)`` mapping, count pairs per UNORDERED source
+    combination — "how much of source A is duplicated in source B" is
+    the dataset-mixing and eval-leakage question the pair list itself
+    doesn't answer. Output per (source_a, source_b) with
+    ``source_a <= source_b``: ``(source_a, source_b, n_pairs,
+    pair_frac)``; ``pair_frac`` = fraction of all near-dup pairs (one
+    bigint/bigint division, exact cross-engine). A NULL source
+    normalizes to the ``source_b`` slot (both-NULL pairs group
+    together); diagonal rows (A, A) are within-source duplication.
+
+    Plan: two hash joins of the PAIR table (near-dup-pair-sized, far
+    smaller than the corpus) against the 2-column (id, source)
+    projection, one shrinking groupBy, and the total as a window sum
+    over the tiny matrix (ONE plan, no broadcast-total re-evaluation).
+    Zero Python."""
+    from pyspark.sql.window import Window
+
+    s = df.select(F.col(id_col), F.col(source))
+    sa = s.select(
+        F.col(id_col).alias(src), F.col(source).alias("__pf_sa")
+    )
+    sb = s.select(
+        F.col(id_col).alias(dst), F.col(source).alias("__pf_sb")
+    )
+    joined = pairs.select(src, dst).join(sa, src).join(sb, dst)
+    # null-safe unordered normalization: NULL always lands in the
+    # source_b slot (sa<=sb is NULL-valued when either side is NULL,
+    # so the bare comparison alone would send NULLs to different
+    # slots depending on which side they arrive in)
+    a_first = (
+        F.col("__pf_sb").isNull() & F.col("__pf_sa").isNotNull()
+    ) | (F.col("__pf_sa") <= F.col("__pf_sb"))
+    lo = F.when(a_first, F.col("__pf_sa")).otherwise(F.col("__pf_sb"))
+    hi = F.when(a_first, F.col("__pf_sb")).otherwise(F.col("__pf_sa"))
+    agg = (
+        joined.select(lo.alias("source_a"), hi.alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        (
+            F.col("n_pairs") / F.sum("n_pairs").over(Window.partitionBy())
+        ).alias("pair_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # asymmetric containment near-dups (r5): C(A in B) = |S_A ∩ S_B| / |S_A|.
 # Symmetric Jaccard LSH structurally MISSES a small doc quoted inside a

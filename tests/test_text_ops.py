@@ -1004,3 +1004,54 @@ class TestScriptCounts:
         )
         assert "Exchange" not in plan, plan
         assert "Python" not in plan and "mapInArrow" not in plan
+
+
+class TestCrossSourceDupMatrix:
+    def test_hand_counts_null_sources_and_frac(self, spark):
+        """Unordered normalization (one row per source combination),
+        NULL sources land in the source_b slot regardless of arrival
+        side, diagonal = within-source dups, fracs share one exact
+        denominator."""
+        from pfutil_spark.operators.dedup import cross_source_dup_matrix
+
+        docs = spark.createDataFrame(
+            [(1, "A"), (2, "B"), (3, "A"), (4, None), (5, "B"), (6, "A")],
+            "doc_id long, source string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 5), (1, 3), (4, 1), (6, 4)],
+            "id_a long, id_b long",
+        )
+        got = {
+            (r["source_a"], r["source_b"]): (r["n_pairs"], r["pair_frac"])
+            for r in cross_source_dup_matrix(
+                docs, pairs, "doc_id", "source"
+            ).collect()
+        }
+        # (1,2)=(A,B) (3,5)=(A,B) (1,3)=(A,A) (4,1)=NULL,A -> (A,NULL)
+        # (6,4)=(A,NULL) — both NULL-pairs group together
+        assert got == {
+            ("A", "B"): (2, 0.4),
+            ("A", "A"): (1, 0.2),
+            ("A", None): (2, 0.4),
+        }
+
+    def test_partition_independent_zero_python(self, spark):
+        from pfutil_spark.operators.dedup import cross_source_dup_matrix
+
+        docs = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, (i * 7) % 60) for i in range(0, 60, 2) if i != (i * 7) % 60],
+            "id_a long, id_b long",
+        )
+        a = sorted(map(tuple, cross_source_dup_matrix(docs, pairs, "doc_id", "source").collect()))
+        b = sorted(map(tuple, cross_source_dup_matrix(
+            docs.repartition(7), pairs.repartition(5), "doc_id", "source").collect()))
+        assert a == b
+        plan = (
+            cross_source_dup_matrix(docs, pairs, "doc_id", "source")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "mapInArrow" not in plan
