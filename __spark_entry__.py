@@ -2475,6 +2475,31 @@ def _q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def _q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-vs-table exact k-NN join
+    (operators/similarity.py::knn_join): for each of 5 query vectors,
+    the 5 nearest base embeddings by cosine with self-matches excluded
+    — the batched retrieval / semantic-dedup primitive. Rank order is
+    the (cosine desc, base_id asc) total order both engines share;
+    cosine rounded to 4 (the embedding_topk precedent — ULP-level
+    engine differences in the dot-product fold sit far below 1e-4 at
+    this data)."""
+    from pfutil_spark.operators.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return (
+        knn_join(e, q, k=5, exclude_same_id=True)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("knn_rank"),
+            "base_id",
+            F.round("cosine", 4).alias("cosine_r"),
+        )
+        .orderBy("query_id", "knn_rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2541,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_stats": _q_doc_oov_stats,
         "script_mix_by_lang": _q_script_mix_by_lang,
         "cross_source_dups": _q_cross_source_dups,
+        "knn_join_topk": _q_knn_join_topk,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3032,6 +3058,19 @@ def oracle_sql() -> dict[str, str]:
             "  / (SELECT CAST(count(*) AS BIGINT) FROM m) AS pair_frac"
             " FROM m GROUP BY source_a, source_b"
             " ORDER BY source_a, source_b"
+        ),
+        "knn_join_topk": (
+            "WITH s AS (SELECT q.vec_id AS query_id, b.vec_id AS base_id,"
+            "  list_cosine_similarity(q.embedding::DOUBLE[],"
+            "   b.embedding::DOUBLE[]) AS c"
+            "  FROM embeddings q JOIN embeddings b"
+            "  ON b.vec_id <> q.vec_id WHERE q.vec_id < 5),"
+            " r AS (SELECT query_id, base_id, c,"
+            "  row_number() OVER (PARTITION BY query_id"
+            "   ORDER BY c DESC, base_id ASC) AS knn_rank FROM s)"
+            " SELECT query_id, CAST(knn_rank AS BIGINT) AS knn_rank,"
+            " base_id, round(c, 4) AS cosine_r"
+            " FROM r WHERE knn_rank <= 5 ORDER BY query_id, knn_rank"
         ),
         "sampled_customer_orders": (
             "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,"

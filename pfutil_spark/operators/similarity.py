@@ -253,3 +253,167 @@ def all_pairs_above(
     if cache is None:
         out._pfutil_cache_scope = scope
     return out
+
+
+# ---------------------------------------------------------------------------
+# table-vs-table k-NN join (r5): for EVERY row of a query table, the k
+# nearest base rows by cosine — the batched retrieval / semantic-dedup
+# primitive (cosine_topk answers one driver-side vector; this answers a
+# DataFrame of them).
+# ---------------------------------------------------------------------------
+
+def _pair_cosine(qv: str, bv: str) -> Column:
+    """Exact cosine between two array columns: sequential left-fold dot
+    and norms (deterministic float order — array order, both engines)."""
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(qv), F.col(bv), lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+    )
+    return dot / (norm(qv) * norm(bv))
+
+
+def knn_join(
+    base: DataFrame,
+    queries: DataFrame,
+    emb: str = "embedding",
+    base_id: str = "vec_id",
+    query_id: str = "vec_id",
+    k: int = 10,
+    exclude_same_id: bool = False,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """EXACT k-NN join: for each query row, the ``k`` highest-cosine
+    base rows. Output ``(query_id, rank, base_id, cosine)`` with
+    ``rank`` 1-based over (cosine desc, base_id asc) — a total order,
+    deterministic under ties. ``exclude_same_id`` drops base rows whose
+    id equals the query's (self-match suppression when both frames
+    share an id space).
+
+    Plan: with ``broadcast_queries`` (the probe-batch regime — Q small,
+    base huge) the cross join is a BroadcastNestedLoopJoin: ONE
+    distributed scan of base, cosines computed map-side in whole-stage
+    codegen, then one shuffle by query_id for the top-k window over
+    |Q|x|B| candidate rows. Cost is inherently |Q|x|B| — this is the
+    exact BASELINE; use :func:`knn_join_lsh` when Q is corpus-sized."""
+    if k < 1:
+        raise ValueError(f"k={k}: must be >= 1")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(emb).alias("__pf_qv")
+    )
+    b = base.select(
+        F.col(base_id).alias("base_id"), F.col(emb).alias("__pf_bv")
+    )
+    joined = b.crossJoin(F.broadcast(q) if broadcast_queries else q)
+    if exclude_same_id:
+        joined = joined.filter(F.col("query_id") != F.col("base_id"))
+    scored = joined.select(
+        "query_id",
+        "base_id",
+        _pair_cosine("__pf_qv", "__pf_bv").alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("base_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "base_id", "cosine")
+    )
+
+
+def knn_join_lsh(
+    base: DataFrame,
+    queries: DataFrame,
+    emb: str = "embedding",
+    base_id: str = "vec_id",
+    query_id: str = "vec_id",
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_tables: int = 4,
+    multi_probe: bool = True,
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Approximate k-NN join at corpus scale: ``n_tables`` independent
+    hyperplane tables bucket BOTH sides; the query side probes its own
+    bucket plus (with ``multi_probe``) every Hamming-distance-1 bucket;
+    candidates come from a bucket EQUI-join (never a cross join), are
+    deduped across tables, and the survivors re-rank by exact cosine
+    with the same (cosine desc, base_id asc) total order as
+    :func:`knn_join`. Same output schema. Candidate count per query
+    ~ n_tables * (p+1) * |B| / 2^p instead of |B|.
+
+    Plan: one union-of-tables pass per side (map-only bucket exprs),
+    one shuffle equi-join on (table, bucket), a distinct on
+    (query_id, base_id), two id-joins back to the vectors, one top-k
+    window. Zero Python."""
+    if k < 1:
+        raise ValueError(f"k={k}: must be >= 1")
+    if dim is None:
+        dim = len(base.select(emb).first()[0])
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(emb).alias("__pf_qv")
+    )
+    b = base.select(
+        F.col(base_id).alias("base_id"), F.col(emb).alias("__pf_bv")
+    )
+    b_sides, q_sides = [], []
+    for t in range(n_tables):
+        bucket = lsh_bucket_col("__pf_bv", dim, n_planes, seed + t)
+        b_sides.append(
+            b.select("base_id", F.lit(t).alias("__pf_t"), bucket.alias("__pf_bkt"))
+        )
+        qsig = lsh_bucket_col("__pf_qv", dim, n_planes, seed + t)
+        probes = [qsig]
+        if multi_probe:
+            probes += [
+                qsig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+            ]
+        q_sides.append(
+            q.select(
+                "query_id",
+                F.lit(t).alias("__pf_t"),
+                F.explode(F.array(*probes)).alias("__pf_bkt"),
+            )
+        )
+    from functools import reduce
+
+    b_all = reduce(DataFrame.unionByName, b_sides)
+    q_all = reduce(DataFrame.unionByName, q_sides)
+    cand = (
+        q_all.join(b_all, ["__pf_t", "__pf_bkt"])
+        .select("query_id", "base_id")
+        .distinct()
+    )
+    if exclude_same_id:
+        cand = cand.filter(F.col("query_id") != F.col("base_id"))
+    scored = (
+        cand.join(q, "query_id")
+        .join(b, "base_id")
+        .select(
+            "query_id",
+            "base_id",
+            _pair_cosine("__pf_qv", "__pf_bv").alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("base_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "base_id", "cosine")
+    )
