@@ -1278,7 +1278,7 @@ def _contam_oracle_sql(extra_cols: str) -> str:
     ``extra_cols`` so the two oracles cannot drift)."""
     return (
         "WITH lab AS (SELECT doc_id, lang,"
-        "  regexp_split_to_array(trim(text), '\\s+') AS words,"
+        "  regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+') AS words,"
         f"  {_sampling.sql_split_expr('doc_id', _CONTAM_SPLITS, seed=13)}"
         "   AS split FROM documents),"
         " g AS (SELECT unnest(range(1,"
@@ -1358,9 +1358,9 @@ def _chunk_pack_manifest_oracle_sql() -> str:
     return (
         "WITH base AS (SELECT doc_id, trim(text) AS t FROM documents"
         "  WHERE doc_id IS NOT NULL AND text IS NOT NULL),"
-        " tok AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w,"
+        " tok AS (SELECT doc_id, regexp_split_to_array(t, '[ \\t\\n\\r\\x{000B}\\x{000C}]+') AS w,"
         "  CASE WHEN len(t) = 0 THEN 0"
-        "   ELSE len(regexp_split_to_array(t, '\\s+')) END AS n FROM base),"
+        "   ELSE len(regexp_split_to_array(t, '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END AS n FROM base),"
         " g AS (SELECT unnest(range(0,"
         "  (SELECT coalesce(max(n), 0) FROM tok), 16)) AS s),"
         " chunks AS (SELECT doc_id, s // 16 AS chunk_idx,"
@@ -1960,7 +1960,7 @@ def _token_shard_packing_oracle_sql() -> str:
         "WITH base AS ("
         f" SELECT doc_id, {draw} AS d, {bucket} AS b,"
         "  CASE WHEN len(trim(text)) = 0 THEN 0"
-        "   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok"
+        "   ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END AS tok"
         " FROM documents"
         # mirror pack_token_shards' NULL exclusion (tok is NULL iff text is)
         " WHERE doc_id IS NOT NULL AND text IS NOT NULL),"
@@ -2697,7 +2697,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": (
             "SELECT doc_id,"
             " CASE WHEN length(trim(text)) = 0 THEN 0"
-            "      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,"
+            "      ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END AS n_tokens,"
             " length(text) - length(regexp_replace(text, '[.,;:!?\"''`]', '', 'g'))"
             "   AS n_punct,"
             " length(text) AS n_chars_calc"
@@ -2855,7 +2855,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinctive_terms": (
             "WITH toks AS (SELECT doc_id,"
-            "  unnest(regexp_split_to_array(trim(text), '\\s+')) AS term"
+            "  unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) AS term"
             "  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL"
             "  AND len(trim(text)) > 0),"
             " tf AS (SELECT doc_id, term, count(*) AS tf"
@@ -2874,9 +2874,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": (
             "WITH base AS (SELECT doc_id, trim(text) AS t FROM documents"
             "  WHERE doc_id IS NOT NULL AND text IS NOT NULL),"
-            " tok AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w,"
+            " tok AS (SELECT doc_id, regexp_split_to_array(t, '[ \\t\\n\\r\\x{000B}\\x{000C}]+') AS w,"
             "  CASE WHEN len(t) = 0 THEN 0"
-            "   ELSE len(regexp_split_to_array(t, '\\s+')) END AS n FROM base),"
+            "   ELSE len(regexp_split_to_array(t, '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END AS n FROM base),"
             " g AS (SELECT unnest(range(0,"
             "  (SELECT coalesce(max(n), 0) FROM tok), 16)) AS s)"
             " SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_idx,"
@@ -2887,7 +2887,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "top_terms_by_lang": (
             "WITH toks AS (SELECT lang, doc_id,"
-            "  unnest(regexp_split_to_array(trim(text), '\\s+')) AS term"
+            "  unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) AS term"
             "  FROM documents WHERE len(trim(text)) > 0),"
             " tf AS (SELECT lang, term, count(*) AS tc"
             "  FROM toks GROUP BY 1, 2),"
@@ -2966,7 +2966,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_oov_stats": (
             "WITH toks AS (SELECT doc_id,"
-            "  unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+            "  unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) AS tok"
             "  FROM documents"
             "  WHERE length(trim(coalesce(text, ''))) > 0),"
             " vocab AS (SELECT tok AS term FROM toks GROUP BY tok"
@@ -3045,10 +3045,16 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN cnt ca ON ca.doc_id = id_a"
             "  JOIN cnt cb ON cb.doc_id = id_b"
             "  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),"
+            # null-safe normalization mirrors the operator exactly:
+            # NULL always lands in source_b, whichever side it arrives
+            # on (a bare <= CASE would send a NULL db.source to
+            # source_a via the ELSE branch)
             " m AS (SELECT"
-            "  CASE WHEN da.source <= db.source THEN da.source"
+            "  CASE WHEN (db.source IS NULL AND da.source IS NOT NULL)"
+            "   OR da.source <= db.source THEN da.source"
             "   ELSE db.source END AS source_a,"
-            "  CASE WHEN da.source <= db.source THEN db.source"
+            "  CASE WHEN (db.source IS NULL AND da.source IS NOT NULL)"
+            "   OR da.source <= db.source THEN db.source"
             "   ELSE da.source END AS source_b"
             "  FROM p JOIN documents da ON p.id_a = da.doc_id"
             "  JOIN documents db ON p.id_b = db.doc_id)"
@@ -3109,9 +3115,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_funnel": (
             "WITH f AS (SELECT length(text) AS n_chars,"
             "  CASE WHEN length(trim(text)) = 0 THEN 0"
-            "   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,"
+            "   ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END AS n_tokens,"
             "  CASE WHEN length(trim(text)) = 0 THEN 0"
-            "   ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))"
+            "   ELSE len(list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+')))"
             "   END AS n_distinct"
             "  FROM documents),"
             " a AS (SELECT CAST(count(*) AS BIGINT) AS c0,"
@@ -3137,7 +3143,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_boilerplate": (
             "WITH lab AS (SELECT doc_id,"
-            "  regexp_split_to_array(trim(text), '\\s+') AS words"
+            "  regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+') AS words"
             "  FROM documents),"
             " g AS (SELECT unnest(range(1,"
             "   (SELECT max(len(words)) + 1 FROM lab))) AS i),"
@@ -3159,7 +3165,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_kll_bound": (
             "SELECT lang,"
             " CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0"
-            "   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+            "   ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END)"
             "  AS BIGINT) AS total_tokens,"
             " TRUE AS within_bound"
             " FROM documents GROUP BY lang ORDER BY lang"
@@ -3422,7 +3428,7 @@ def oracle_sql() -> dict[str, str]:
             # so the oracle states that closed form directly)
             "WITH f AS (SELECT doc_id, text, length(text) AS n_chars,"
             " CASE WHEN length(trim(text)) = 0 THEN 0"
-            "  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok"
+            "  ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END AS n_tok"
             " FROM documents)"
             " SELECT doc_id,"
             " len(regexp_extract_all(text, '[A-Za-z0-9]+'))"

@@ -391,9 +391,10 @@ def script_counts(
     construction. CJK = unified ideographs + kana + hangul syllables.
     Fractions are single bigint/bigint divisions over NULLIF(n_chars,0)
     (exact cross-engine; NULL for empty/NULL text). Astral-plane chars
-    (emoji etc.) fall into ``n_other`` and count as their UTF-16 length
-    on Spark vs 1 on engines counting code points — keep oracle inputs
-    BMP. ``extra_cols`` pass through untouched (group keys for a
+    (emoji etc.) fall into ``n_other`` — both Spark's and DuckDB's
+    ``length`` count code points, so they agree there too; the classes
+    themselves are BMP ranges only. ``extra_cols`` pass through
+    untouched (group keys for a
     downstream aggregate — per-lang/per-source script mix from the same
     single scan). Map-only, zero shuffles, zero Python (plan-gated)."""
     c = F.coalesce(F.col(text), F.lit(""))

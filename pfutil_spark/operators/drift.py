@@ -212,7 +212,7 @@ def drift_matrix(
     the flag exists to keep off the driver. The
     ``shuffle_replicate_nl`` hint pins the plan to the distributed
     CartesianProduct (shuffle-and-replicate nested loop; plan-gated in
-    tests/test_plans.py)."""
+    tests/test_drift.py::TestDriftMatrixScale)."""
     sk = kll_sketch(df, col, by=(by,), k=k)
     a = sk.select(F.col(by).alias("a"), F.col(SKETCH_COL).alias("__sa"))
     b = sk.select(F.col(by).alias("b"), F.col(SKETCH_COL).alias("__sb"))

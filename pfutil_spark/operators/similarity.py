@@ -222,7 +222,7 @@ def all_pairs_above(
     persisted (both join sides read it); pass ``cache=CacheScope()`` and
     release after the action, or call ``release_cached(result)``."""
     if dim is None:
-        dim = len(df.select(emb).first()[0])
+        dim = _infer_dim(df, emb)
     scope = cache if cache is not None else CacheScope()
     bucketed = scope.persist(df.select(
         F.col(id_col), F.col(emb), lsh_bucket_col(emb, dim, n_planes, seed).alias("__b")
@@ -234,18 +234,11 @@ def all_pairs_above(
         (F.col("l.__b") == F.col("r.__b"))
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col(f"l.{emb}"), F.col(f"r.{emb}"), lambda a, b: a.cast("double") * b),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.{emb}"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
-    )
     out = (
         pairs.select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            (dot / (norm("l") * norm("r"))).alias("cosine"),
+            _pair_cosine(f"l.{emb}", f"r.{emb}").alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
         .distinct()
@@ -261,6 +254,20 @@ def all_pairs_above(
 # primitive (cosine_topk answers one driver-side vector; this answers a
 # DataFrame of them).
 # ---------------------------------------------------------------------------
+
+def _infer_dim(df: DataFrame, emb: str) -> int:
+    """Embedding dimensionality from the first row (an eager tiny job
+    at construction time — pass ``dim=`` to stay fully lazy). Raises a
+    clear error on an empty frame / NULL embedding instead of the
+    opaque ``'NoneType' is not subscriptable``."""
+    row = df.select(emb).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim from {emb!r} (empty frame or "
+            "NULL first embedding); pass dim= explicitly"
+        )
+    return len(row[0])
+
 
 def _pair_cosine(qv: str, bv: str) -> Column:
     """Exact cosine between two array columns: sequential left-fold dot
@@ -354,14 +361,17 @@ def knn_join_lsh(
     :func:`knn_join`. Same output schema. Candidate count per query
     ~ n_tables * (p+1) * |B| / 2^p instead of |B|.
 
-    Plan: one union-of-tables pass per side (map-only bucket exprs),
-    one shuffle equi-join on (table, bucket), a distinct on
-    (query_id, base_id), two id-joins back to the vectors, one top-k
-    window. Zero Python."""
+    Plan: one union-of-tables pass per side (map-only: the bucket
+    signatures are the library's Arrow-batched pandas-UDF
+    ``lsh_bucket_col``, vectorized numpy per batch — not zero-Python,
+    but never per-row Python), one shuffle equi-join on
+    (table, bucket), a distinct on (query_id, base_id), two id-joins
+    back to the vectors, one top-k window whose cosine re-rank is pure
+    codegen."""
     if k < 1:
         raise ValueError(f"k={k}: must be >= 1")
     if dim is None:
-        dim = len(base.select(emb).first()[0])
+        dim = _infer_dim(base, emb)
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(emb).alias("__pf_qv")
     )

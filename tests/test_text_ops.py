@@ -1123,3 +1123,10 @@ class TestKnnJoin:
         assert ann == again  # deterministic buckets, partition-independent
         with pytest.raises(ValueError, match="k="):
             knn_join(e, q, k=0)
+
+    def test_infer_dim_empty_base_raises_clearly(self, spark):
+        from pfutil_spark.operators.similarity import knn_join_lsh
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="pass dim="):
+            knn_join_lsh(empty, empty, k=1)
