@@ -2500,6 +2500,75 @@ def _q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary churn monitor (operators/drift.py::topk_drift over
+    exploded terms): which terms entered / exited / stayed in the
+    token-frequency top-10 between the two halves of a deterministic
+    hash split on doc_id — the "new words are entering the corpus"
+    signal from two constant-size SpaceSaving summaries, no historical
+    raw rows. The synthetic corpus has ~31 distinct terms < m=256, so
+    both summaries are EXACT frequency tables and every churn row is
+    graded at EXACT DuckDB parity (above m the query degrades to the
+    documented upper-bound guarantees, pytest-gated)."""
+    from pfutil_spark.operators.drift import topk_drift
+    from pfutil_spark.operators.sampling import hash_split_col
+    from pfutil_spark.operators.sketch_agg import spacesaving_sketch
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & (F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+    )
+    toks = d.select(
+        hash_split_col("doc_id", (("a", 0.5), ("b", 0.5)), seed=0).alias(
+            "__half"
+        ),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    ref = spacesaving_sketch(
+        toks.filter(F.col("__half") == "b"), "term", m=256
+    )
+    return topk_drift(
+        toks.filter(F.col("__half") == "a"), "term", ref, k=10, m=256
+    ).orderBy("value")
+
+
+def _q_corpus_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card one-stop: corpus-level counts from ONE
+    aggregation (docs, distinct sources/langs/texts, total chars,
+    total whitespace tokens, blank docs) unpivoted to (metric, value)
+    rows via stack. Multiple count-distincts share one scan (Spark
+    plans them through a single Expand); all values bigint -> EXACT
+    DuckDB parity."""
+    from pfutil_spark.functions.text import token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    blank = F.when(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(token_count_col("text")).alias("total_tokens"),
+        F.sum(blank).cast("long").alias("n_blank_docs"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(7,"
+            " 'n_docs', n_docs,"
+            " 'n_sources', n_sources,"
+            " 'n_langs', n_langs,"
+            " 'n_distinct_texts', n_distinct_texts,"
+            " 'total_chars', total_chars,"
+            " 'total_tokens', total_tokens,"
+            " 'n_blank_docs', n_blank_docs) AS (metric, value)"
+        )
+    ).orderBy("metric")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2567,6 +2636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix_by_lang": _q_script_mix_by_lang,
         "cross_source_dups": _q_cross_source_dups,
         "knn_join_topk": _q_knn_join_topk,
+        "vocab_churn": _q_vocab_churn,
+        "corpus_summary_report": _q_corpus_summary_report,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3077,6 +3148,52 @@ def oracle_sql() -> dict[str, str]:
             " SELECT query_id, CAST(knn_rank AS BIGINT) AS knn_rank,"
             " base_id, round(c, 4) AS cosine_r"
             " FROM r WHERE knn_rank <= 5 ORDER BY query_id, knn_rank"
+        ),
+        "vocab_churn": (
+            "WITH s AS (SELECT "
+            + _sampling.sql_split_expr(
+                "doc_id", (("a", 0.5), ("b", 0.5)), seed=0
+            )
+            + " AS half,"
+            "  unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+'))"
+            "   AS v"
+            "  FROM documents WHERE doc_id IS NOT NULL"
+            "  AND length(trim(coalesce(text, ''))) > 0),"
+            " c AS (SELECT half, v, count(*) AS cnt FROM s GROUP BY 1, 2),"
+            " r AS (SELECT half, v, cnt, row_number() OVER ("
+            "   PARTITION BY half ORDER BY cnt DESC, v ASC) AS rk FROM c),"
+            " ta AS (SELECT v, cnt FROM r WHERE half = 'a' AND rk <= 10),"
+            " tb AS (SELECT v, cnt FROM r WHERE half = 'b' AND rk <= 10)"
+            " SELECT coalesce(ta.v, tb.v) AS value,"
+            "  CASE WHEN ta.v IS NOT NULL AND tb.v IS NOT NULL THEN 'stayed'"
+            "   WHEN ta.v IS NOT NULL THEN 'entered' ELSE 'exited' END"
+            "   AS status,"
+            "  CAST(ta.cnt AS BIGINT) AS est_cur,"
+            "  CAST(tb.cnt AS BIGINT) AS est_ref"
+            " FROM ta FULL OUTER JOIN tb ON ta.v = tb.v ORDER BY value"
+        ),
+        "corpus_summary_report": (
+            "WITH a AS (SELECT"
+            "  CAST(count(*) AS BIGINT) AS n_docs,"
+            "  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,"
+            "  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,"
+            "  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,"
+            "  CAST(sum(n_chars) AS BIGINT) AS total_chars,"
+            "  CAST(sum(CASE WHEN text IS NULL THEN NULL"
+            "   WHEN length(trim(text)) = 0 THEN 0"
+            "   ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+'))"
+            "   END) AS BIGINT) AS total_tokens,"
+            "  CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_docs"
+            "  FROM documents)"
+            " SELECT 'n_docs' AS metric, n_docs AS value FROM a"
+            " UNION ALL SELECT 'n_sources', n_sources FROM a"
+            " UNION ALL SELECT 'n_langs', n_langs FROM a"
+            " UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM a"
+            " UNION ALL SELECT 'total_chars', total_chars FROM a"
+            " UNION ALL SELECT 'total_tokens', total_tokens FROM a"
+            " UNION ALL SELECT 'n_blank_docs', n_blank_docs FROM a"
+            " ORDER BY metric"
         ),
         "sampled_customer_orders": (
             "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,"
