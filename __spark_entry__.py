@@ -2569,6 +2569,22 @@ def _q_corpus_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric")
 
 
+def _q_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal
+    (operators/contamination.py::dedup_lines_within_doc): keep only
+    the first occurrence of each distinct line per doc, reassembled in
+    order — the C4 self-repetition cleanup. Graded at delim=' ' on the
+    single-line word-soup corpus (lines = words, the
+    degenerate-but-exact case; real multi-line behavior is
+    pytest-gated). EXACT parity including the reassembled text."""
+    from pfutil_spark.operators.contamination import dedup_lines_within_doc
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_lines_within_doc(d, "text", "doc_id", delim=" ").orderBy(
+        "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2638,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_topk": _q_knn_join_topk,
         "vocab_churn": _q_vocab_churn,
         "corpus_summary_report": _q_corpus_summary_report,
+        "line_dedup_clean": _q_line_dedup_clean,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3194,6 +3211,30 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT 'total_tokens', total_tokens FROM a"
             " UNION ALL SELECT 'n_blank_docs', n_blank_docs FROM a"
             " ORDER BY metric"
+        ),
+        "line_dedup_clean": (
+            "WITH lab AS (SELECT doc_id, string_split(text, ' ') AS ws"
+            " FROM documents),"
+            " g AS (SELECT unnest(range(1,"
+            "  (SELECT max(len(ws)) + 1 FROM lab))) AS i),"
+            " ln AS (SELECT l.doc_id, g.i AS pos,"
+            "  list_extract(l.ws, g.i::INT) AS line"
+            "  FROM lab l JOIN g ON g.i <= len(l.ws)),"
+            " kept AS (SELECT doc_id, line, min(pos) AS pos"
+            "  FROM ln GROUP BY doc_id, line),"
+            " agg AS (SELECT doc_id,"
+            "  string_agg(line, ' ' ORDER BY pos) AS clean_text,"
+            "  count(*) AS n_kept FROM kept GROUP BY doc_id),"
+            " tot AS (SELECT doc_id, count(*) AS n_lines"
+            "  FROM ln GROUP BY doc_id)"
+            " SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,"
+            " CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,"
+            " CAST(coalesce(t.n_lines, 0) - coalesce(a.n_kept, 0) AS BIGINT)"
+            "  AS n_lines_removed"
+            " FROM documents d"
+            " LEFT JOIN tot t ON d.doc_id = t.doc_id"
+            " LEFT JOIN agg a ON d.doc_id = a.doc_id"
+            " ORDER BY d.doc_id"
         ),
         "sampled_customer_orders": (
             "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,"

@@ -270,6 +270,50 @@ def remove_boilerplate_lines(
     )
 
 
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Within-document repeated-line removal (the C4 self-repetition
+    cleanup, complementing :func:`remove_boilerplate_lines`' CROSS-doc
+    rule): keep only the FIRST occurrence of each distinct line inside
+    each document, reassembled in original order. Same output schema
+    as the boilerplate remover: ``(id_col, clean_text, n_lines_kept,
+    n_lines_removed)``; NULL ``text`` counts zero lines and cleans to
+    ``''``.
+
+    Plan (all JVM, no Python): split + posexplode per document, then
+    ``groupBy(doc, line).min(pos)`` — map-side-combinable (no
+    window/sort over the corpus line stream) — and the same
+    struct-sort reassembly; per-task memory bounded by the largest
+    single document."""
+    base, lines = _doc_lines(df, text, id_col, delim)
+    kept = lines.groupBy(id_col, "__pf_line").agg(
+        F.min("__pf_pos").alias("__pf_pos")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pf_pos", "__pf_line"))),
+                lambda x: x["__pf_line"],
+            ),
+        ).alias("__pf_clean"),
+        F.count(F.lit(1)).alias("__pf_kept"),
+    )
+    totals = base.select(id_col, F.size("__pf_lines").alias("__pf_n_lines"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("__pf_clean", F.lit("")).alias("clean_text"),
+        F.coalesce("__pf_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("__pf_n_lines") - F.coalesce("__pf_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )
+
+
 def bloom_contaminated_ids(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -418,3 +418,42 @@ class TestBoilerplateClean:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "mapInArrow" not in plan
+
+
+class TestDedupLinesWithinDoc:
+    def test_first_occurrence_kept_order_preserved(self, spark):
+        from pfutil_spark.operators.contamination import dedup_lines_within_doc
+
+        d = spark.createDataFrame(
+            [
+                (1, "a\nb\na\nc\nb\na"),   # repeats of a and b
+                (2, "x\ny\nz"),             # all unique: identity
+                (3, None),                   # NULL: zero lines
+                (4, "q\nq\nq"),             # collapses to one line
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_removed"])
+            for r in dedup_lines_within_doc(d).collect()
+        }
+        assert got[1] == ("a\nb\nc", 3, 3)
+        assert got[2] == ("x\ny\nz", 3, 0)
+        assert got[3] == ("", 0, 0)
+        assert got[4] == ("q", 1, 2)
+
+    def test_partition_independent_zero_python(self, spark):
+        from pfutil_spark.operators.contamination import dedup_lines_within_doc
+
+        d = spark.createDataFrame(
+            [(i, " ".join(f"w{j % 5}" for j in range(i % 11))) for i in range(100)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, dedup_lines_within_doc(d, delim=" ").collect()))
+        b = sorted(map(tuple, dedup_lines_within_doc(d.repartition(9), delim=" ").collect()))
+        assert a == b
+        plan = (
+            dedup_lines_within_doc(d, delim=" ")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "mapInArrow" not in plan
