@@ -2585,6 +2585,51 @@ def _q_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day user retention (operators/retention.py): for each
+    active calendar day, how many of its users return the NEXT day —
+    exact counts from ONE distinct over (user, day) (the only
+    corpus-scale shuffle; the day-shifted probe re-joins on the same
+    keys), plus a boolean gating the HLL-SNAPSHOT estimate — retention
+    answered from checkpointed per-day sketches with no historical raw
+    rows — against the exact count within the union-relative
+    inclusion-exclusion bound (the priority_customer_overlap floors).
+    Dates stay naive end-to-end (TIMESTAMP_NTZ -> DATE, no session tz
+    — the events_temporal_drift trap class) and the day is emitted as
+    a formatted string (the shipping_priority precedent). All-integer
+    counts + ONE bigint/bigint IEEE division -> EXACT DuckDB parity;
+    est_ok literal TRUE on the oracle side."""
+    from pfutil_spark.operators.retention import (
+        cohort_retention,
+        retention_estimates,
+        retention_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    exact = cohort_retention(ev, "user_id", "ts")
+    est = retention_estimates(retention_sketches(ev, "user_id", "ts"))
+    nxt = exact.select(
+        F.date_sub("day", 1).alias("day"),
+        F.col("active_users").alias("__next_active"),
+    )
+    j = exact.join(est, "day").join(nxt, "day", "left")
+    union_ub = (
+        F.col("active_users")
+        + F.coalesce("__next_active", F.lit(0))
+        - F.col("retained_next")
+    )
+    est_ok = F.abs(F.col("retained_est") - F.col("retained_next")) <= F.greatest(
+        0.35 * F.col("retained_next"), 0.08 * union_ub, F.lit(3.0)
+    )
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "active_users",
+        "retained_next",
+        "retention_rate",
+        est_ok.alias("est_ok"),
+    ).orderBy("day_s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2655,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_churn": _q_vocab_churn,
         "corpus_summary_report": _q_corpus_summary_report,
         "line_dedup_clean": _q_line_dedup_clean,
+        "user_retention": _q_user_retention,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3235,6 +3281,26 @@ def oracle_sql() -> dict[str, str]:
             " LEFT JOIN tot t ON d.doc_id = t.doc_id"
             " LEFT JOIN agg a ON d.doc_id = a.doc_id"
             " ORDER BY d.doc_id"
+        ),
+        "user_retention": (
+            # naive-timestamp -> DATE both sides (no session tz); BIGINT
+            # counts; retention_rate is the same single bigint/bigint
+            # IEEE division Spark emits (DuckDB `/` on integers is float
+            # division); est_ok is the bound boolean, literal TRUE here
+            "WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d"
+            "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+            " c AS (SELECT d, CAST(count(*) AS BIGINT) AS n"
+            "  FROM a GROUP BY d),"
+            " r AS (SELECT x.d AS d, CAST(count(*) AS BIGINT) AS rn"
+            "  FROM a x JOIN a y ON y.u = x.u AND y.d = x.d + 1"
+            "  GROUP BY x.d)"
+            " SELECT strftime(c.d, '%Y-%m-%d') AS day_s,"
+            " c.n AS active_users,"
+            " CAST(coalesce(r.rn, 0) AS BIGINT) AS retained_next,"
+            " CAST(coalesce(r.rn, 0) AS BIGINT) / c.n AS retention_rate,"
+            " TRUE AS est_ok"
+            " FROM c LEFT JOIN r ON r.d = c.d"
+            " ORDER BY day_s"
         ),
         "sampled_customer_orders": (
             "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,"

@@ -22,6 +22,12 @@ from pfutil_spark.operators.rollup import (  # noqa: F401
     pf_rollup,
     pf_time_rollup,
 )
+from pfutil_spark.operators.retention import (  # noqa: F401
+    activity_days,
+    cohort_retention,
+    retention_estimates,
+    retention_sketches,
+)
 from pfutil_spark.operators.drift import (  # noqa: F401
     cardinality_drift,
     drift_against_reference,

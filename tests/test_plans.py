@@ -157,3 +157,26 @@ def test_drift_matrix_single_shuffle_reused_sketch(spark):
     assert len(real_exchanges) == 1, final
     assert final.count("FileScan") == 1, final
     assert "BroadcastExchange" in final, final
+
+
+def test_retention_plan_no_cartesian_broadcast_sketch_pairs(spark):
+    """user_retention: the exact path's one corpus-scale shuffle is the
+    (user, day) distinct; the sketch-pair join broadcasts the tiny
+    per-day sketch table; no CartesianProduct / nested-loop join
+    anywhere; no Python in the EXACT path."""
+    from pfutil_spark.operators.retention import (
+        cohort_retention,
+        retention_estimates,
+        retention_sketches,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact_plan = plan_of(cohort_retention(ev), "simple")
+    assert "CartesianProduct" not in exact_plan, exact_plan
+    assert "BroadcastNestedLoopJoin" not in exact_plan, exact_plan
+    assert "Python" not in exact_plan, exact_plan
+
+    est = retention_estimates(retention_sketches(ev))
+    est_plan = plan_of(est, "simple")
+    assert "BroadcastExchange" in est_plan, est_plan
+    assert "CartesianProduct" not in est_plan, est_plan

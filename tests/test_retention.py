@@ -1,0 +1,141 @@
+"""Cohort retention: exact operator semantics, HLL-snapshot parity at
+small cardinality (sparse regime => exact), and partition invariance."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, h, 0, 0)) for (u, d, h) in rows],
+        "user_id long, ts timestamp_ntz",
+    )
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    # day 1: users 1,2,3  day 2: users 2,3  day 3: user 3
+    # plus duplicate events within a day (must not double-count)
+    return _events(
+        spark,
+        [
+            (1, 1, 0),
+            (1, 1, 5),
+            (2, 1, 1),
+            (3, 1, 2),
+            (2, 2, 3),
+            (3, 2, 4),
+            (3, 2, 23),
+            (3, 3, 9),
+        ],
+    )
+
+
+def test_cohort_retention_exact(spark, small):
+    from pfutil_spark.operators.retention import cohort_retention
+
+    rows = {
+        r["day"].isoformat(): (
+            r["active_users"],
+            r["retained_next"],
+            r["retention_rate"],
+        )
+        for r in cohort_retention(small).collect()
+    }
+    assert rows == {
+        "2024-01-01": (3, 2, 2 / 3),
+        "2024-01-02": (2, 1, 0.5),
+        "2024-01-03": (1, 0, 0.0),
+    }
+
+
+def test_nulls_dropped(spark, small):
+    from pfutil_spark.operators.retention import cohort_retention
+
+    withnull = small.union(
+        spark.createDataFrame(
+            [(None, dt.datetime(2024, 1, 1)), (9, None)],
+            small.schema,
+        )
+    )
+    assert sorted(cohort_retention(withnull).collect()) == sorted(
+        cohort_retention(small).collect()
+    )
+
+
+def test_retention_estimates_exact_in_sparse_regime(spark, small):
+    """At tens of users the HLL stays sparse => estimates are EXACT, so
+    the snapshot path must reproduce the exact counts including the
+    no-successor day (empty-sketch coalesce => retained_est 0)."""
+    from pfutil_spark.operators.retention import (
+        cohort_retention,
+        retention_estimates,
+        retention_sketches,
+    )
+
+    est = {
+        r["day"].isoformat(): (r["active_est"], r["retained_est"])
+        for r in retention_estimates(retention_sketches(small)).collect()
+    }
+    exact = {
+        r["day"].isoformat(): (r["active_users"], r["retained_next"])
+        for r in cohort_retention(small).collect()
+    }
+    assert est == exact
+
+
+def test_partition_invariance(spark, small):
+    from pfutil_spark.operators.retention import (
+        cohort_retention,
+        retention_estimates,
+        retention_sketches,
+    )
+
+    base = sorted(map(tuple, cohort_retention(small).collect()))
+    for n in (1, 7):
+        rep = small.repartition(n)
+        assert sorted(map(tuple, cohort_retention(rep).collect())) == base
+        est = sorted(
+            map(tuple, retention_estimates(retention_sketches(rep)).collect())
+        )
+        assert est == sorted(
+            map(tuple, retention_estimates(retention_sketches(small)).collect())
+        )
+
+
+def test_gap_days_are_not_retention(spark):
+    """A user active on day 1 and day 3 (skipping day 2) is churn for
+    day 1's next-day metric."""
+    from pfutil_spark.operators.retention import cohort_retention
+
+    df = _events(spark, [(1, 1, 0), (1, 3, 0)])
+    rows = {
+        r["day"].isoformat(): r["retained_next"]
+        for r in cohort_retention(df).collect()
+    }
+    assert rows == {"2024-01-01": 0, "2024-01-03": 0}
+
+
+def test_estimates_within_bound_at_sf(spark, sf_dir):
+    """At the test scale factor the per-day sets are ~10^2 users: the
+    union-relative bound must hold on every day (and in the sparse
+    regime it holds with equality)."""
+    from pfutil_spark.operators.retention import (
+        cohort_retention,
+        retention_estimates,
+        retention_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = cohort_retention(ev)
+    est = retention_estimates(retention_sketches(ev))
+    j = exact.join(est, "day").collect()
+    assert len(j) > 0
+    for r in j:
+        union_ub = 2 * r["active_users"]
+        assert abs(r["retained_est"] - r["retained_next"]) <= max(
+            0.35 * r["retained_next"], 0.08 * union_ub, 3.0
+        )
