@@ -2630,6 +2630,22 @@ def _q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_s")
 
 
+def _q_top_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 bigrams (functions/text.py::ngram_profile):
+    the phrase-level collocation profile — stop-phrase lists,
+    boilerplate candidates, BPE-merge diagnostics. Shingle generation
+    is the decontamination suite's pure-JVM word_shingles_col; ONE
+    scan, one map-side-combined aggregate, one vocabulary-sized top-k
+    window. All-integer counts with a (count desc, ngram asc) total
+    order -> EXACT DuckDB parity."""
+    from pfutil_spark.functions.text import ngram_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_profile(d, "text", "lang", n=2, k=10).orderBy(
+        "lang", "ngram_rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2701,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_summary_report": _q_corpus_summary_report,
         "line_dedup_clean": _q_line_dedup_clean,
         "user_retention": _q_user_retention,
+        "top_bigrams_by_lang": _q_top_bigrams_by_lang,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3033,6 +3050,26 @@ def oracle_sql() -> dict[str, str]:
             " SELECT lang, CAST(term_rank AS BIGINT) AS term_rank, term,"
             "  CAST(tc AS BIGINT) AS term_count, CAST(dfc AS BIGINT) AS doc_freq"
             " FROM r WHERE term_rank <= 8 ORDER BY lang, term_rank"
+        ),
+        "top_bigrams_by_lang": (
+            # tokenizer = the Java-\s-equivalent explicit class (the
+            # RE2-vs-Java \x0B trap); bigram join with a single space
+            # mirrors word_shingles_col's array_join
+            "WITH toks AS (SELECT lang,"
+            "  regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+') AS ws"
+            "  FROM documents WHERE len(trim(coalesce(text, ''))) > 0),"
+            " grams AS (SELECT lang,"
+            "  unnest(list_transform(range(1, len(ws)),"
+            "   i -> ws[i] || ' ' || ws[i+1])) AS ngram"
+            "  FROM toks),"
+            " counts AS (SELECT lang, ngram, count(*) AS nc"
+            "  FROM grams GROUP BY 1, 2),"
+            " r AS (SELECT lang, row_number() OVER (PARTITION BY lang"
+            "   ORDER BY nc DESC, ngram ASC) AS ngram_rank, ngram, nc"
+            "  FROM counts)"
+            " SELECT lang, CAST(ngram_rank AS BIGINT) AS ngram_rank,"
+            "  ngram, CAST(nc AS BIGINT) AS ngram_count"
+            " FROM r WHERE ngram_rank <= 10 ORDER BY lang, ngram_rank"
         ),
         "pii_scan_report": _pii_scan_report_oracle_sql(),
         "lang_mix_sample": (

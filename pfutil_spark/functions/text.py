@@ -419,3 +419,53 @@ def script_counts(
         (F.col("n_latin") / denom).alias("latin_frac"),
         (F.col("n_cjk") / denom).alias("cjk_frac"),
     )
+
+
+def ngram_profile(
+    df: DataFrame,
+    text: str = "text",
+    by: str = "lang",
+    n: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group top-``k`` word ``n``-grams (collocations): the
+    phrase-level companion of :func:`term_profile` — per-language
+    bigram/trigram frequency profiles feed stop-phrase lists,
+    boilerplate candidates, and tokenizer-merge (BPE pair) diagnostics.
+
+    Output: ``by``, ``ngram_rank`` (1-based over (count desc, ngram
+    asc) — a total order, deterministic under ties), ``ngram`` (the
+    ``n`` tokens space-rejoined), ``ngram_count``. All-integer ->
+    EXACT cross-engine parity.
+
+    Plan shape (zero Python, ONE corpus scan): shingle generation is
+    the same pure-JVM expression the decontamination suite uses
+    (``word_shingles_col`` — codegen ``split``/``sequence``/``slice``,
+    documents with fewer than ``n`` tokens contribute nothing), the
+    explode feeds one map-side-combined groupBy(by, ngram), and the
+    final top-k window partitions by ``by`` over vocabulary-sized
+    input. The n-gram key space is larger than the term space but the
+    shuffle carries (group, ngram, partial-count) rows, never raw
+    documents."""
+    from pfutil_spark.operators.contamination import word_shingles_col
+
+    if k < 1:
+        raise ValueError(f"k={k}: must be >= 1")
+    if n < 1:
+        raise ValueError(f"n={n}: must be >= 1")
+    grams = df.select(
+        F.col(by),
+        F.explode(word_shingles_col(F.col(text), n)).alias("ngram"),
+    )
+    counts = grams.groupBy(by, "ngram").agg(
+        F.count(F.lit(1)).alias("ngram_count")
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.col("ngram_count").desc(), F.col("ngram").asc()
+    )
+    return counts.select(
+        by,
+        F.row_number().over(w).alias("ngram_rank"),
+        "ngram",
+        "ngram_count",
+    ).filter(F.col("ngram_rank") <= k)

@@ -1130,3 +1130,68 @@ class TestKnnJoin:
         empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
         with pytest.raises(ValueError, match="pass dim="):
             knn_join_lsh(empty, empty, k=1)
+
+
+class TestNgramProfile:
+    def test_known_bigrams(self, spark):
+        from pfutil_spark.functions.text import ngram_profile
+
+        df = spark.createDataFrame(
+            [
+                ("en", "a b a b c"),
+                ("en", "a b"),
+                ("fr", "x y"),
+                ("fr", ""),
+                ("fr", None),
+            ],
+            "lang string, text string",
+        )
+        rows = [
+            (r["lang"], r["ngram_rank"], r["ngram"], r["ngram_count"])
+            for r in ngram_profile(df, "text", "lang", n=2, k=3)
+            .orderBy("lang", "ngram_rank")
+            .collect()
+        ]
+        # en bigrams: "a b" x3 ("a b a b c" has a-b, b-a, a-b + "a b"),
+        # "b a" x1, "b c" x1 -> ties broken by ngram asc
+        assert rows == [
+            ("en", 1, "a b", 3),
+            ("en", 2, "b a", 1),
+            ("en", 3, "b c", 1),
+            ("fr", 1, "x y", 1),
+        ]
+
+    def test_short_docs_contribute_nothing(self, spark):
+        from pfutil_spark.functions.text import ngram_profile
+
+        df = spark.createDataFrame(
+            [("en", "solo"), ("en", "two words here")],
+            "lang string, text string",
+        )
+        rows = ngram_profile(df, n=3, k=5).collect()
+        assert [(r["ngram"], r["ngram_count"]) for r in rows] == [
+            ("two words here", 1)
+        ]
+
+    def test_validation(self, spark):
+        from pfutil_spark.functions.text import ngram_profile
+
+        df = spark.createDataFrame([("en", "a b")], "lang string, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ngram_profile(df, k=0)
+        with _pytest.raises(ValueError):
+            ngram_profile(df, n=0)
+
+    def test_partition_invariance(self, spark, sf_dir):
+        from pfutil_spark.functions.text import ngram_profile
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = sorted(
+            map(tuple, ngram_profile(d, n=2, k=5).collect())
+        )
+        rep = sorted(
+            map(tuple, ngram_profile(d.repartition(7), n=2, k=5).collect())
+        )
+        assert base == rep
