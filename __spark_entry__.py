@@ -2646,6 +2646,34 @@ def _q_top_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus
+    (operators/contamination.py::ngram_novelty_stats): for each probe
+    document (hash-split half of documents), the fraction of its
+    DISTINCT word 3-grams absent from the reference half's n-gram set
+    — the incremental-crawl "is this new content?" curation score, the
+    per-document inverse of the decontamination any-overlap boolean.
+    Both sides deduplicate before ONE left equi-join; graded with
+    on_hash=False (raw-string keys) so the oracle is exact; all-integer
+    counts + ONE IEEE division (NULL for sub-3-token docs) -> EXACT
+    DuckDB parity."""
+    from pfutil_spark.operators.contamination import ngram_novelty_stats
+    from pfutil_spark.operators.sampling import hash_split_col
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "split",
+        hash_split_col("doc_id", (("probe", 0.5), ("ref", 0.5)), seed=29),
+    )
+    return ngram_novelty_stats(
+        d.filter(F.col("split") == "probe"),
+        d.filter(F.col("split") == "ref"),
+        "text",
+        "doc_id",
+        n=3,
+        on_hash=False,
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2718,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_clean": _q_line_dedup_clean,
         "user_retention": _q_user_retention,
         "top_bigrams_by_lang": _q_top_bigrams_by_lang,
+        "ngram_novelty": _q_ngram_novelty,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3070,6 +3099,37 @@ def oracle_sql() -> dict[str, str]:
             " SELECT lang, CAST(ngram_rank AS BIGINT) AS ngram_rank,"
             "  ngram, CAST(nc AS BIGINT) AS ngram_count"
             " FROM r WHERE ngram_rank <= 10 ORDER BY lang, ngram_rank"
+        ),
+        "ngram_novelty": (
+            "WITH lab AS (SELECT doc_id,"
+            "  regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}\\x{000C}]+') AS words,"
+            f"  {_sampling.sql_split_expr('doc_id', (('probe', 0.5), ('ref', 0.5)), seed=29)}"
+            "   AS split FROM documents),"
+            " g AS (SELECT unnest(range(1,"
+            "   (SELECT max(len(words)) + 1 FROM lab))) AS i),"
+            " refs AS (SELECT DISTINCT"
+            "   array_to_string(l.words[g.i::INT : g.i::INT + 2], ' ') AS sh"
+            "   FROM lab l JOIN g ON g.i + 2 <= len(l.words)"
+            "   WHERE l.split = 'ref'),"
+            " prs AS (SELECT DISTINCT l.doc_id,"
+            "   array_to_string(l.words[g.i::INT : g.i::INT + 2], ' ') AS sh"
+            "   FROM lab l JOIN g ON g.i + 2 <= len(l.words)"
+            "   WHERE l.split = 'probe'),"
+            " per AS (SELECT p.doc_id,"
+            "   CAST(count(*) AS BIGINT) AS n_ngrams,"
+            "   CAST(count(*) FILTER (WHERE r.sh IS NULL) AS BIGINT)"
+            "    AS n_novel"
+            "   FROM prs p LEFT JOIN refs r ON p.sh = r.sh"
+            "   GROUP BY p.doc_id)"
+            " SELECT l.doc_id,"
+            " CAST(coalesce(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,"
+            " CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,"
+            # same single IEEE division as try_divide; NULL for docs
+            # with fewer than 3 tokens
+            " per.n_novel / NULLIF(per.n_ngrams, 0) AS novelty_frac"
+            " FROM (SELECT DISTINCT doc_id FROM lab WHERE split = 'probe') l"
+            " LEFT JOIN per ON l.doc_id = per.doc_id"
+            " ORDER BY l.doc_id"
         ),
         "pii_scan_report": _pii_scan_report_oracle_sql(),
         "lang_mix_sample": (

@@ -135,6 +135,65 @@ def shared_ngram_stats(
     )
 
 
+def ngram_novelty_stats(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    on_hash: bool = True,
+    broadcast_reference: bool = False,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: of each
+    probe document's DISTINCT word ``n``-grams, how many are absent
+    from the reference's n-gram set — the incremental-crawl curation
+    signal ("is this newly crawled document new content, or a remix of
+    what we already have?"); the per-document inverse of
+    :func:`contaminated_ids`' any-overlap boolean.
+
+    Output ``(id_col, n_ngrams, n_novel, novelty_frac)`` — all-integer
+    counts plus ONE IEEE division; documents with fewer than ``n``
+    tokens survive with zero counts and a NULL fraction (the
+    :func:`shared_ngram_stats` convention).
+
+    Scale posture: both sides deduplicate BEFORE the join (the probe
+    side to distinct ``(doc, key)`` pairs, the reference to its
+    distinct key set — fixed-width longs when ``on_hash``); the
+    novelty test is one left join on the key followed by a map-side
+    combinable per-document count, so hot reference n-grams never
+    amplify (each probe pair matches at most one reference row).
+    ``broadcast_reference=True`` ships the deduplicated reference key
+    set to every executor — the no-probe-shuffle path when the
+    reference fits the broadcast limit. With ``on_hash`` a collision
+    can only mark a genuinely novel n-gram as seen (novelty is
+    UNDER-counted, the conservative direction for "what is new");
+    ``on_hash=False`` joins raw strings for exactness."""
+    ref = _shingle_keys(reference, text, n, on_hash, []).distinct()
+    if broadcast_reference:
+        ref = F.broadcast(ref)
+    pairs = _shingle_keys(corpus, text, n, on_hash, [id_col]).distinct()
+    j = pairs.join(ref.withColumn("__pf_seen", F.lit(1)), _SH, "left")
+    per_doc = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.when(F.col("__pf_seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    )
+    return (
+        corpus.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.try_divide(F.col("n_novel"), F.col("n_ngrams")).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

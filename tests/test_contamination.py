@@ -457,3 +457,75 @@ class TestDedupLinesWithinDoc:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "mapInArrow" not in plan
+
+
+class TestNgramNovelty:
+    def _frames(self, spark):
+        probe = spark.createDataFrame(
+            [
+                (1, "a b c d"),      # grams: "a b c","b c d" - both seen
+                (2, "a b c x y z"),  # 4 grams, "x y z" + "c x y"+"b c x" novel
+                (3, "xx"),           # < 3 tokens -> NULL frac
+            ],
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame(
+            [(10, "a b c d e")],  # grams: "a b c","b c d","c d e"
+            "doc_id long, text string",
+        )
+        return probe, ref
+
+    def test_known_answer(self, spark):
+        from pfutil_spark.operators.contamination import ngram_novelty_stats
+
+        probe, ref = self._frames(spark)
+        rows = {
+            r["doc_id"]: (r["n_ngrams"], r["n_novel"], r["novelty_frac"])
+            for r in ngram_novelty_stats(probe, ref, n=3).collect()
+        }
+        assert rows[1] == (2, 0, 0.0)
+        assert rows[2] == (4, 3, 0.75)
+        assert rows[3] == (0, 0, None)
+
+    def test_hash_and_raw_agree(self, spark):
+        from pfutil_spark.operators.contamination import ngram_novelty_stats
+
+        probe, ref = self._frames(spark)
+        h = sorted(map(tuple, ngram_novelty_stats(probe, ref, n=3, on_hash=True).collect()))
+        s = sorted(map(tuple, ngram_novelty_stats(probe, ref, n=3, on_hash=False).collect()))
+        assert h == s
+
+    def test_broadcast_reference_parity_and_invariance(self, spark):
+        from pfutil_spark.operators.contamination import ngram_novelty_stats
+
+        probe, ref = self._frames(spark)
+        base = sorted(map(tuple, ngram_novelty_stats(probe, ref, n=3).collect()))
+        bc = sorted(
+            map(
+                tuple,
+                ngram_novelty_stats(
+                    probe, ref, n=3, broadcast_reference=True
+                ).collect(),
+            )
+        )
+        rep = sorted(
+            map(
+                tuple,
+                ngram_novelty_stats(
+                    probe.repartition(5), ref.repartition(3), n=3
+                ).collect(),
+            )
+        )
+        assert base == bc == rep
+
+    def test_duplicate_ngrams_counted_once(self, spark):
+        from pfutil_spark.operators.contamination import ngram_novelty_stats
+
+        probe = spark.createDataFrame(
+            [(1, "q w q w q w")],  # "q w q","w q w" repeat; distinct = 2
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame([(9, "nothing shared here")],
+                                    "doc_id long, text string")
+        r = ngram_novelty_stats(probe, ref, n=3).collect()[0]
+        assert (r["n_ngrams"], r["n_novel"], r["novelty_frac"]) == (2, 2, 1.0)
