@@ -2674,6 +2674,24 @@ def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline in one call
+    (operators/curation.py::curate_corpus): exact dedup (smallest-id
+    wins) -> token-count quality gate (20..80 tokens) -> deterministic
+    per-source cap (15 docs, sha-draw selection) -> the kept-document
+    manifest. Every stage is an existing audited operator; the whole
+    plan is two shuffles (content-sha dedup, per-source rank window).
+    All-integer columns -> EXACT DuckDB parity on the exact row set."""
+    from pfutil_spark.operators.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        curate_corpus(d, min_tokens=20, max_tokens=80, cap=15, seed=3)
+        .select("doc_id", "source", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2747,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retention": _q_user_retention,
         "top_bigrams_by_lang": _q_top_bigrams_by_lang,
         "ngram_novelty": _q_ngram_novelty,
+        "curation_manifest": _q_curation_manifest,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3146,6 +3165,28 @@ def oracle_sql() -> dict[str, str]:
                 key_alias="doc_id", source_alias="source",
             )
             + " ORDER BY k, epoch"
+        ),
+        "curation_manifest": (
+            "WITH tok AS (SELECT doc_id, source, lang,"
+            "  CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0"
+            "   ELSE len(regexp_split_to_array(trim(text),"
+            "    '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END AS n_tokens"
+            "  FROM documents),"
+            " keepers AS (SELECT min(doc_id) AS keep_id"
+            "  FROM documents GROUP BY sha256(text)),"
+            " gated AS (SELECT t.* FROM tok t"
+            "  JOIN keepers k ON t.doc_id = k.keep_id"
+            "  WHERE t.n_tokens >= 20 AND t.n_tokens <= 80),"
+            " capped AS ("
+            + _sampling.sql_cap_select(
+                "gated", "doc_id", "source", 15, seed=3,
+                key_alias="doc_id", group_alias="source",
+            )
+            + ")"
+            " SELECT g.doc_id, g.source, g.lang,"
+            " CAST(g.n_tokens AS BIGINT) AS n_tokens"
+            " FROM gated g JOIN capped c ON g.doc_id = c.doc_id"
+            " ORDER BY g.doc_id"
         ),
         "source_cap_sample": (
             _sampling.sql_cap_select(

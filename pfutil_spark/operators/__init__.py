@@ -22,6 +22,9 @@ from pfutil_spark.operators.rollup import (  # noqa: F401
     pf_rollup,
     pf_time_rollup,
 )
+from pfutil_spark.operators.curation import (  # noqa: F401
+    curate_corpus,
+)
 from pfutil_spark.operators.retention import (  # noqa: F401
     activity_days,
     cohort_retention,
