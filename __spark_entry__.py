@@ -2692,6 +2692,26 @@ def _q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_retention_within_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d7 retention (operators/retention.py::retention_within_k): for
+    each active day, how many of its users return within the next 7
+    days — computed from the per-user gap-to-next-activity series
+    (window lead over each user's OWN days; one shuffle on user after
+    the activity distinct), so the cost is k-independent (no 7-way
+    join family). All-integer counts + ONE bigint/bigint division ->
+    EXACT DuckDB parity (sum CAST to BIGINT, the HUGEINT trap)."""
+    from pfutil_spark.operators.retention import retention_within_k
+
+    ev = _t(spark, sf_dir, "events")
+    out = retention_within_k(ev, 7, "user_id", "ts")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "active_users",
+        "retained_within_k",
+        "retention_rate",
+    ).orderBy("day_s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2766,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams_by_lang": _q_top_bigrams_by_lang,
         "ngram_novelty": _q_ngram_novelty,
         "curation_manifest": _q_curation_manifest,
+        "retention_within_7": _q_retention_within_7,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3439,6 +3460,20 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS est_ok"
             " FROM c LEFT JOIN r ON r.d = c.d"
             " ORDER BY day_s"
+        ),
+        "retention_within_7": (
+            "WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d"
+            "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+            " g AS (SELECT u, d,"
+            "  lead(d) OVER (PARTITION BY u ORDER BY d) AS nd FROM a)"
+            " SELECT strftime(d, '%Y-%m-%d') AS day_s,"
+            " CAST(count(*) AS BIGINT) AS active_users,"
+            " CAST(sum(CASE WHEN date_diff('day', d, nd) <= 7"
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS retained_within_k,"
+            " CAST(sum(CASE WHEN date_diff('day', d, nd) <= 7"
+            "  THEN 1 ELSE 0 END) AS BIGINT)"
+            "  / CAST(count(*) AS BIGINT) AS retention_rate"
+            " FROM g GROUP BY d ORDER BY day_s"
         ),
         "sampled_customer_orders": (
             "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,"

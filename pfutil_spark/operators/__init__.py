@@ -30,6 +30,8 @@ from pfutil_spark.operators.retention import (  # noqa: F401
     cohort_retention,
     retention_estimates,
     retention_sketches,
+    retention_within_k,
+    return_gaps,
 )
 from pfutil_spark.operators.drift import (  # noqa: F401
     cardinality_drift,

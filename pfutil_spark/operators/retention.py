@@ -35,6 +35,8 @@ from pfutil_spark.operators.rollup import pf_intersect_estimate_col
 __all__ = [
     "activity_days",
     "cohort_retention",
+    "return_gaps",
+    "retention_within_k",
     "retention_sketches",
     "retention_estimates",
 ]
@@ -91,6 +93,58 @@ def cohort_retention(
         ).alias("retention_rate"),
     )
     return out
+
+
+def return_gaps(
+    df: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-(user, active-day) gap to the user's NEXT active day:
+    ``(user, day, next_day, gap_days)`` — ``gap_days`` is NULL on each
+    user's last active day (an open interval, not churn-of-known
+    length). The row set is the activity distinct, so the window sorts
+    each user's OWN days only (per-user partitions, never a global
+    sort); one shuffle on ``user`` after the distinct."""
+    from pyspark.sql.window import Window
+
+    act = activity_days(df, user_col, ts_col)
+    w = Window.partitionBy("user").orderBy("day")
+    nxt = F.lead("day").over(w)
+    return act.select(
+        "user",
+        "day",
+        nxt.alias("next_day"),
+        F.datediff(nxt, F.col("day")).alias("gap_days"),
+    )
+
+
+def retention_within_k(
+    df: DataFrame,
+    k: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """k-day retention: for each active day, how many of its users are
+    active again within the NEXT ``k`` days (classic d1/d7/d30
+    retention; ``k=1`` matches :func:`cohort_retention`). Computed from
+    the per-user gap series — ``gap_days <= k`` — so the cost does not
+    grow with ``k`` (no k-way join family). Columns: ``(day,
+    active_users, retained_within_k, retention_rate)``."""
+    if k < 1:
+        raise ValueError(f"k={k}: must be >= 1")
+    gaps = return_gaps(df, user_col, ts_col)
+    return gaps.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum(F.when(F.col("gap_days") <= k, 1).otherwise(0))
+        .cast("long")
+        .alias("retained_within_k"),
+    ).select(
+        "day",
+        "active_users",
+        "retained_within_k",
+        (F.col("retained_within_k") / F.col("active_users")).alias(
+            "retention_rate"
+        ),
+    )
 
 
 def retention_sketches(

@@ -139,3 +139,52 @@ def test_estimates_within_bound_at_sf(spark, sf_dir):
         assert abs(r["retained_est"] - r["retained_next"]) <= max(
             0.35 * r["retained_next"], 0.08 * union_ub, 3.0
         )
+
+
+def test_return_gaps(spark):
+    from pfutil_spark.operators.retention import return_gaps
+
+    df = _events(spark, [(1, 1, 0), (1, 3, 0), (1, 10, 0), (2, 5, 0)])
+    rows = {
+        (r["user"], r["day"].isoformat()): r["gap_days"]
+        for r in return_gaps(df).collect()
+    }
+    assert rows == {
+        (1, "2024-01-01"): 2,
+        (1, "2024-01-03"): 7,
+        (1, "2024-01-10"): None,
+        (2, "2024-01-05"): None,
+    }
+
+
+def test_retention_within_k(spark):
+    from pfutil_spark.operators.retention import (
+        cohort_retention,
+        retention_within_k,
+    )
+
+    df = _events(spark, [(1, 1, 0), (1, 3, 0), (2, 1, 0), (2, 2, 0)])
+    d7 = {
+        r["day"].isoformat(): (r["active_users"], r["retained_within_k"])
+        for r in retention_within_k(df, 7).collect()
+    }
+    # day 1: user 1 returns day 3 (gap 2 <= 7), user 2 day 2 -> 2/2
+    assert d7["2024-01-01"] == (2, 2)
+    assert d7["2024-01-02"] == (1, 0)
+    assert d7["2024-01-03"] == (1, 0)
+
+    # k=1 must agree with cohort_retention
+    d1 = sorted(
+        (r["day"], r["active_users"], r["retained_within_k"])
+        for r in retention_within_k(df, 1).collect()
+    )
+    c = sorted(
+        (r["day"], r["active_users"], r["retained_next"])
+        for r in cohort_retention(df).collect()
+    )
+    assert d1 == c
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retention_within_k(df, 0)
