@@ -188,3 +188,38 @@ def test_retention_within_k(spark):
 
     with _pytest.raises(ValueError):
         retention_within_k(df, 0)
+
+
+def test_retention_from_streaming_state(spark, tmp_path):
+    """Composition: per-day HLL snapshots built INCREMENTALLY by the
+    streaming state store (two micro-batches, replay-idempotent merges)
+    feed retention_estimates unchanged — retention over a live corpus
+    without ever re-reading historical raw rows. Sparse regime =>
+    estimates equal the exact counts."""
+    from pfutil_spark.operators.retention import (
+        cohort_retention,
+        retention_estimates,
+    )
+    from pfutil_spark.streaming import StreamingHllState
+
+    ev = _events(
+        spark,
+        [(1, 1, 0), (2, 1, 1), (3, 1, 2), (2, 2, 3), (3, 2, 4), (3, 3, 9)],
+    )
+    base = ev.select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.to_date("ts").alias("day"),
+    )
+    state = StreamingHllState(spark, str(tmp_path / "ret_state"), "uid", by=("day",))
+    state.update(base.filter(F.col("uid").isin("1", "2")), batch_id=0)
+    state.update(base.filter(~F.col("uid").isin("1", "2")), batch_id=1)
+
+    est = {
+        r["day"].isoformat(): (r["active_est"], r["retained_est"])
+        for r in retention_estimates(state.current()).collect()
+    }
+    exact = {
+        r["day"].isoformat(): (r["active_users"], r["retained_next"])
+        for r in cohort_retention(ev).collect()
+    }
+    assert est == exact
