@@ -2712,6 +2712,53 @@ def _q_retention_within_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_s")
 
 
+def _q_source_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-mixing dashboard: docs, distinct texts, exact
+    duplicate fraction, token mass, blank docs — the numbers a mixture
+    weight decision reads, from ONE aggregation over one scan (the
+    count-distinct shares the scan via Spark's Expand, the
+    corpus_summary_report precedent). All-bigint + one bigint/bigint
+    division -> EXACT DuckDB parity."""
+    from pfutil_spark.functions.text import token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    blank = F.when(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.sum(token_count_col("text")).alias("total_tokens"),
+        F.sum(blank).cast("long").alias("n_blank_docs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct_texts",
+        (
+            (F.col("n_docs") - F.col("n_distinct_texts")) / F.col("n_docs")
+        ).alias("dup_frac"),
+        "total_tokens",
+        "n_blank_docs",
+    ).orderBy("source")
+
+
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/funnel.py::funnel_counts):
+    users reaching view -> click -> purchase with their FIRST
+    occurrences in strictly increasing time order. ONE shuffle (the
+    per-user conditional-min groupBy, map-side combinable, pre-filtered
+    to funnel types); counts monotone by construction; frac_of_first is
+    one bigint/bigint division -> EXACT DuckDB parity."""
+    from pfutil_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"]).orderBy(
+        "step_rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2787,6 +2834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "curation_manifest": _q_curation_manifest,
         "retention_within_7": _q_retention_within_7,
+        "source_profile_report": _q_source_profile_report,
+        "event_funnel": _q_event_funnel,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3460,6 +3509,45 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS est_ok"
             " FROM c LEFT JOIN r ON r.d = c.d"
             " ORDER BY day_s"
+        ),
+        "event_funnel": (
+            "WITH f AS (SELECT user_id AS u,"
+            "  min(ts) FILTER (WHERE event_type = 'view') AS t0,"
+            "  min(ts) FILTER (WHERE event_type = 'click') AS t1,"
+            "  min(ts) FILTER (WHERE event_type = 'purchase') AS t2"
+            "  FROM events"
+            "  WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+            "   AND event_type IN ('view', 'click', 'purchase')"
+            "  GROUP BY user_id),"
+            " tot AS (SELECT"
+            "  CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n0,"
+            "  CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 > t0"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n1,"
+            "  CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n2"
+            "  FROM f)"
+            " SELECT 1 AS step_rank, 'view' AS step, n0 AS n_users,"
+            "  n0 / NULLIF(n0, 0) AS frac_of_first FROM tot"
+            " UNION ALL SELECT 2, 'click', n1, n1 / NULLIF(n0, 0) FROM tot"
+            " UNION ALL SELECT 3, 'purchase', n2, n2 / NULLIF(n0, 0)"
+            "  FROM tot"
+            " ORDER BY step_rank"
+        ),
+        "source_profile_report": (
+            "SELECT source,"
+            " CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,"
+            " (CAST(count(*) AS BIGINT)"
+            "  - CAST(count(DISTINCT text) AS BIGINT))"
+            "  / CAST(count(*) AS BIGINT) AS dup_frac,"
+            " CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0"
+            "  ELSE len(regexp_split_to_array(trim(text),"
+            "   '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END) AS BIGINT)"
+            "  AS total_tokens,"
+            " CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0"
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_docs"
+            " FROM documents GROUP BY source ORDER BY source"
         ),
         "retention_within_7": (
             "WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d"

@@ -25,6 +25,9 @@ from pfutil_spark.operators.rollup import (  # noqa: F401
 from pfutil_spark.operators.curation import (  # noqa: F401
     curate_corpus,
 )
+from pfutil_spark.operators.funnel import (  # noqa: F401
+    funnel_counts,
+)
 from pfutil_spark.operators.retention import (  # noqa: F401
     activity_days,
     cohort_retention,

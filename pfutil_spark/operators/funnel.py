@@ -1,0 +1,101 @@
+"""Ordered conversion funnels over event streams: how many users reach
+each step of a journey IN ORDER (first-occurrence semantics) — the
+product-analytics companion of :mod:`pfutil_spark.operators.retention`.
+
+No reference-repo counterpart (the reference is the sketch primitive
+layer); provided Spark-side like SURVEY.md §2.3's gap categories.
+
+Scale posture: ONE shuffle — the groupBy(user) that computes each
+user's first timestamp per step as conditional ``min`` aggregates
+(map-side combinable; the pre-filter to funnel event types prunes the
+shuffle to relevant rows). Everything after is a single global
+reduction unpivoted to one row per step; no joins, no windows, no
+Python."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["funnel_counts"]
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-step ordered-funnel reach: for step ``i``, the number of
+    users whose FIRST occurrences of ``steps[0..i]`` happen in strictly
+    increasing time order (the standard first-touch funnel; a tie —
+    two steps first occurring at the same instant — does NOT advance,
+    so a user's reach is well-defined under event reordering within a
+    timestamp).
+
+    Columns: ``(step_rank, step, n_users, frac_of_first)`` —
+    ``frac_of_first`` is each step's reach relative to step 1 (one
+    bigint/bigint IEEE division; NULL when nobody reached step 1).
+    Counts are monotonically non-increasing by construction."""
+    steps = list(steps)
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"duplicate step names in {steps!r}")
+    ev = df.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isin(list(steps))
+    )
+    firsts = ev.groupBy(F.col(user_col).alias("__u")).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(
+                f"__t{i}"
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    reach_flags = []
+    cond = F.col("__t0").isNotNull()
+    reach_flags.append(cond)
+    for i in range(1, len(steps)):
+        # strict ordering on NTZ timestamps; NULL comparisons yield
+        # NULL -> the when() below treats them as not-reached
+        cond = cond & (F.col(f"__t{i}") > F.col(f"__t{i - 1}"))
+        reach_flags.append(cond)
+    totals = firsts.agg(
+        *[
+            F.sum(F.when(flag, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__n{i}")
+            for i, flag in enumerate(reach_flags)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(steps)
+    )
+    unpivoted = totals.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args})"
+            " AS (step_rank, step, n_users)"
+        )
+    )
+    first_n = F.first("n_users").over(
+        Window.orderBy("step_rank").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    # frac relative to step 1: join-free via a window over the
+    # steps-sized frame (len(steps) rows — driver-trivial)
+    return unpivoted.select(
+        "step_rank",
+        "step",
+        "n_users",
+        (F.col("n_users") / F.nullif(first_n, F.lit(0))).alias(
+            "frac_of_first"
+        ),
+    )
