@@ -2729,7 +2729,11 @@ def _q_source_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("text").alias("n_distinct_texts"),
-        F.sum(token_count_col("text")).alias("total_tokens"),
+        # token_count_col(NULL) is NULL, not 0 — coalesce so an
+        # all-NULL-text source sums to 0 like the oracle's CASE arm
+        F.sum(F.coalesce(token_count_col("text"), F.lit(0))).alias(
+            "total_tokens"
+        ),
         F.sum(blank).cast("long").alias("n_blank_docs"),
     )
     return agg.select(

@@ -110,15 +110,33 @@ def shared_ngram_stats(
     aggregations are map-side combinable; nothing is per-row Python."""
     pairs = _shingle_keys(corpus, text, n, on_hash, [id_col]).distinct()
     cnt = pairs.groupBy(_SH).agg(F.count(F.lit(1)).alias("__nd"))
-    per_doc = (
-        pairs.join(cnt, _SH)
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_shared"),
-        )
+    return _per_doc_ngram_fraction(
+        corpus,
+        pairs.join(cnt, _SH),
+        id_col,
+        F.col("__nd") >= 2,
+        "n_shared",
+        "shared_frac",
+    )
+
+
+def _per_doc_ngram_fraction(
+    corpus: DataFrame,
+    flagged_pairs: DataFrame,
+    id_col: str,
+    flag: Column,
+    count_col: str,
+    frac_col: str,
+) -> DataFrame:
+    """Shared tail of :func:`shared_ngram_stats` and
+    :func:`ngram_novelty_stats`: reduce one-row-per-distinct-(doc,
+    n-gram) ``flagged_pairs`` to per-document (total, flagged,
+    fraction) with the common conventions — map-side-combinable counts,
+    every corpus document kept (0/0 counts), short/blank docs get a
+    NULL fraction (``try_divide`` sees the pre-coalesce NULLs)."""
+    per_doc = flagged_pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(count_col),
     )
     return (
         corpus.select(id_col)
@@ -127,9 +145,9 @@ def shared_ngram_stats(
         .select(
             id_col,
             F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            F.try_divide(F.col("n_shared"), F.col("n_ngrams")).alias(
-                "shared_frac"
+            F.coalesce(count_col, F.lit(0)).alias(count_col),
+            F.try_divide(F.col(count_col), F.col("n_ngrams")).alias(
+                frac_col
             ),
         )
     )
@@ -173,24 +191,13 @@ def ngram_novelty_stats(
         ref = F.broadcast(ref)
     pairs = _shingle_keys(corpus, text, n, on_hash, [id_col]).distinct()
     j = pairs.join(ref.withColumn("__pf_seen", F.lit(1)), _SH, "left")
-    per_doc = j.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_ngrams"),
-        F.sum(F.when(F.col("__pf_seen").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_novel"),
-    )
-    return (
-        corpus.select(id_col)
-        .distinct()
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
-            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
-            F.try_divide(F.col("n_novel"), F.col("n_ngrams")).alias(
-                "novelty_frac"
-            ),
-        )
+    return _per_doc_ngram_fraction(
+        corpus,
+        j,
+        id_col,
+        F.col("__pf_seen").isNull(),
+        "n_novel",
+        "novelty_frac",
     )
 
 

@@ -68,12 +68,16 @@ def curate_corpus(
     if max_tokens is not None:
         cond = cond & (F.col("n_tokens") <= F.lit(max_tokens))
     if min_avg_token_len is not None or max_avg_token_len is not None:
-        # chars-per-token over the trimmed text; the min_tokens gate
-        # already guarantees a non-zero denominator on surviving rows,
-        # and AND short-circuit semantics are not relied on (the ratio
-        # is NULL-safe via the >= 1 token floor in the same conjunction)
-        avg = F.length(F.trim(F.coalesce(F.col(text), F.lit("")))) / F.col(
-            "n_tokens"
+        # chars-per-token over the trimmed text. try_divide, not `/`:
+        # SQL conjunctions do NOT short-circuit (Catalyst may reorder
+        # predicates), so a zero-token row can reach this expression
+        # before the min_tokens conjunct prunes it — under ANSI mode
+        # (default in Spark 4) a plain division would raise
+        # DIVIDE_BY_ZERO; try_divide yields NULL and the NULL
+        # comparison filters the row, same outcome as the token gate
+        avg = F.try_divide(
+            F.length(F.trim(F.coalesce(F.col(text), F.lit("")))),
+            F.col("n_tokens"),
         )
         if min_avg_token_len is not None:
             cond = cond & (avg >= F.lit(float(min_avg_token_len)))

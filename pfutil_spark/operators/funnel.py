@@ -75,14 +75,14 @@ def funnel_counts(
             for i, flag in enumerate(reach_flags)
         ]
     )
-    stack_args = ", ".join(
-        f"{i + 1}, '{s}', __n{i}" for i, s in enumerate(steps)
-    )
+    # Column-API stack with literal step names — never an F.expr SQL
+    # string, so step names containing quotes/backslashes are data,
+    # not syntax
+    stack_cols = [F.lit(len(steps))]
+    for i, s in enumerate(steps):
+        stack_cols += [F.lit(i + 1), F.lit(s), F.col(f"__n{i}")]
     unpivoted = totals.select(
-        F.expr(
-            f"stack({len(steps)}, {stack_args})"
-            " AS (step_rank, step, n_users)"
-        )
+        F.stack(*stack_cols).alias("step_rank", "step", "n_users")
     )
     first_n = F.first("n_users").over(
         Window.orderBy("step_rank").rowsBetween(

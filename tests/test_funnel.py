@@ -95,3 +95,12 @@ def test_plan_no_python(spark, sf_dir):
     )
     assert "Python" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_step_names_with_quotes_are_data_not_syntax(spark):
+    from pfutil_spark.operators.funnel import funnel_counts
+
+    df = _ev(spark, [(1, "don't", 1, 0), (1, "o'k", 2, 0)])
+    rows = {r["step"]: r["n_users"]
+            for r in funnel_counts(df, ["don't", "o'k"]).collect()}
+    assert rows == {"don't": 1, "o'k": 1}
