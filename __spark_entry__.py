@@ -2763,6 +2763,23 @@ def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users per day
+    (operators/retention.py::rolling_active_users) — the rolling-WAU
+    dashboard line, and the exact companion the HLL sliding window
+    (hll_sliding_window) approximates. Map-only integer-offset explode
+    (each activity pair feeds exactly 7 trailing days; no self-join
+    family) + ONE count-distinct shuffle; all-integer -> EXACT DuckDB
+    parity."""
+    from pfutil_spark.operators.retention import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_active_users(ev, 7, "user_id", "ts")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"), "active_users"
+    ).orderBy("day_s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2840,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_within_7": _q_retention_within_7,
         "source_profile_report": _q_source_profile_report,
         "event_funnel": _q_event_funnel,
+        "rolling_active_users": _q_rolling_active_users,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3513,6 +3531,20 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS est_ok"
             " FROM c LEFT JOIN r ON r.d = c.d"
             " ORDER BY day_s"
+        ),
+        "rolling_active_users": (
+            # integer-offset day expansion both sides (DATE + INT is a
+            # DATE in DuckDB; date_add(col, col) in Spark) — no
+            # generate_series/interval type drift
+            "WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d"
+            "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+            " mx AS (SELECT max(d) AS m FROM a),"
+            " c AS (SELECT a.u, a.d + o.i AS day"
+            "  FROM a, (SELECT unnest(range(7)) AS i) o)"
+            " SELECT strftime(day, '%Y-%m-%d') AS day_s,"
+            " CAST(count(DISTINCT u) AS BIGINT) AS active_users"
+            " FROM c WHERE day <= (SELECT m FROM mx)"
+            " GROUP BY day ORDER BY day_s"
         ),
         "event_funnel": (
             "WITH f AS (SELECT user_id AS u,"

@@ -35,6 +35,7 @@ from pfutil_spark.operators.retention import (  # noqa: F401
     retention_sketches,
     retention_within_k,
     return_gaps,
+    rolling_active_users,
 )
 from pfutil_spark.operators.drift import (  # noqa: F401
     cardinality_drift,

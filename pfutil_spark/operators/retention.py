@@ -37,6 +37,7 @@ __all__ = [
     "cohort_retention",
     "return_gaps",
     "retention_within_k",
+    "rolling_active_users",
     "retention_sketches",
     "retention_estimates",
 ]
@@ -144,6 +145,46 @@ def retention_within_k(
         (F.col("retained_within_k") / F.col("active_users")).alias(
             "retention_rate"
         ),
+    )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT trailing-``window_days`` active users per day (rolling
+    DAU/WAU/MAU): for each day ``d`` in the table's activity range, the
+    distinct users active in ``[d - window_days + 1, d]``. Emits every
+    day with at least one in-window active user, clipped at the global
+    max activity day (leading days report their partial windows — the
+    standard dashboard convention).
+
+    Plan: each distinct ``(user, day)`` activity pair contributes to
+    exactly ``window_days`` trailing days (map-only integer-offset
+    explode — no self-join family, no per-day range scan), then ONE
+    count-distinct shuffle keyed by day. The shuffle is ``window_days``
+    × the activity-pair count — the exact path's inherent cost; for
+    large windows at corpus scale use the constant-size sketch path
+    (:func:`pfutil_spark.operators.rollup.pf_sliding_distinct`), whose
+    estimates this operator's exact counts gate in tests."""
+    if window_days < 1:
+        raise ValueError(f"window_days={window_days}: must be >= 1")
+    act = activity_days(df, user_col, ts_col)
+    contrib = act.select(
+        "user",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days - 1))
+        ).alias("__off"),
+        F.col("day").alias("__d0"),
+    ).select("user", F.date_add("__d0", F.col("__off")).alias("day"))
+    mx = act.agg(F.max("day").alias("__mx"))
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("__mx"))
+        .groupBy("day")
+        .agg(F.countDistinct("user").alias("active_users"))
     )
 
 

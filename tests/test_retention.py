@@ -223,3 +223,66 @@ def test_retention_from_streaming_state(spark, tmp_path):
         for r in cohort_retention(ev).collect()
     }
     assert est == exact
+
+
+def test_rolling_active_users_known(spark):
+    from pfutil_spark.operators.retention import rolling_active_users
+
+    # user 1 on day 1; user 2 on day 3; user 1 again day 5
+    df = _events(spark, [(1, 1, 0), (2, 3, 0), (1, 5, 0)])
+    rows = {
+        r["day"].isoformat(): r["active_users"]
+        for r in rolling_active_users(df, window_days=3).collect()
+    }
+    # windows clipped at max day (Jan 5)
+    assert rows == {
+        "2024-01-01": 1,  # {1}
+        "2024-01-02": 1,  # {1}
+        "2024-01-03": 2,  # {1 (d1), 2 (d3)}
+        "2024-01-04": 1,  # {2}
+        "2024-01-05": 2,  # {2 (d3), 1 (d5)}
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_active_users(df, window_days=0)
+
+
+def test_rolling_window1_is_daily_active(spark, small):
+    from pfutil_spark.operators.retention import (
+        cohort_retention,
+        rolling_active_users,
+    )
+
+    daily = {
+        (r["day"], r["active_users"])
+        for r in cohort_retention(small).collect()
+    }
+    rolled = {
+        (r["day"], r["active_users"])
+        for r in rolling_active_users(small, window_days=1).collect()
+    }
+    assert daily == rolled
+
+
+def test_rolling_exact_gates_sliding_sketch(spark, sf_dir):
+    """On shared days, the HLL sliding-window estimate must sit within
+    the union-relative bound of the exact rolling count (the sketch
+    path is the scale form of the same question)."""
+    from pfutil_spark.operators.retention import rolling_active_users
+    from pfutil_spark.operators.rollup import pf_sliding_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "uid", F.col("user_id").cast("string")
+    )
+    exact = rolling_active_users(ev, window_days=7)
+    est = pf_sliding_distinct(
+        ev, "ts", "uid", bucket="1 day", window_buckets=7
+    ).select(F.to_date("window_end").alias("day"), "estimate")
+    j = exact.join(est, "day").collect()
+    assert len(j) > 0
+    for r in j:
+        assert abs(r["estimate"] - r["active_users"]) <= max(
+            0.05 * r["active_users"], 3.0
+        )
