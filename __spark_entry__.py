@@ -3539,7 +3539,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d"
             "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
             " mx AS (SELECT max(d) AS m FROM a),"
-            " c AS (SELECT a.u, a.d + o.i AS day"
+            # range() yields BIGINT; DATE + INTEGER only, so cast
+            " c AS (SELECT a.u, a.d + o.i::INT AS day"
             "  FROM a, (SELECT unnest(range(7)) AS i) o)"
             " SELECT strftime(day, '%Y-%m-%d') AS day_s,"
             " CAST(count(DISTINCT u) AS BIGINT) AS active_users"
