@@ -2780,6 +2780,34 @@ def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_s")
 
 
+def _q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property analytics: events.props is a JSON
+    string; parse it with a SCHEMA'D from_json (vectorized JVM Jackson
+    — the idiomatic Spark semi-structured scan, zero Python) and
+    aggregate the extracted integer field per event_type, counting
+    missing/unparseable values explicitly. All-bigint -> EXACT DuckDB
+    parity (oracle extracts with ->> + TRY_CAST; sum CAST to BIGINT,
+    the HUGEINT trap)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("__p")
+    )
+    k = F.col("__p.k")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_k"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+            F.sum(k).alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2858,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_profile_report": _q_source_profile_report,
         "event_funnel": _q_event_funnel,
         "rolling_active_users": _q_rolling_active_users,
+        "props_json_stats": _q_props_json_stats,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3531,6 +3560,17 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS est_ok"
             " FROM c LEFT JOIN r ON r.d = c.d"
             " ORDER BY day_s"
+        ),
+        "props_json_stats": (
+            "SELECT event_type,"
+            " CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(sum(CASE WHEN TRY_CAST(props->>'$.k' AS BIGINT)"
+            "  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,"
+            " min(TRY_CAST(props->>'$.k' AS BIGINT)) AS k_min,"
+            " max(TRY_CAST(props->>'$.k' AS BIGINT)) AS k_max,"
+            " CAST(sum(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT)"
+            "  AS k_sum"
+            " FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "rolling_active_users": (
             # integer-offset day expansion both sides (DATE + INT is a
