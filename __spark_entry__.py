@@ -2808,6 +2808,25 @@ def _q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing plan
+    (operators/sampling.py::mixture_token_plan): per-source corpus
+    inventory vs integer-weight targets and epoch structure for a 1M
+    token budget over sources src0/src1/src2 plus a deliberately
+    absent 'srcx' (zero presence -> NULL epoch columns, the "you asked
+    for data you don't have" row). One counting scan + a literal
+    weight table; all bigint product/div/mod -> EXACT DuckDB parity."""
+    from pfutil_spark.operators.sampling import mixture_token_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_token_plan(
+        d,
+        "source",
+        {"src0": 4, "src1": 3, "src2": 2, "srcx": 1},
+        total_tokens=1_000_000,
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2887,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "rolling_active_users": _q_rolling_active_users,
         "props_json_stats": _q_props_json_stats,
+        "mixture_token_plan": _q_mixture_token_plan,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3560,6 +3580,33 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS est_ok"
             " FROM c LEFT JOIN r ON r.d = c.d"
             " ORDER BY day_s"
+        ),
+        "mixture_token_plan": (
+            "WITH w(source, weight) AS (VALUES"
+            "  ('src0', CAST(4 AS BIGINT)), ('src1', CAST(3 AS BIGINT)),"
+            "  ('src2', CAST(2 AS BIGINT)), ('srcx', CAST(1 AS BIGINT))),"
+            " c AS (SELECT CAST(source AS VARCHAR) AS source,"
+            "  CAST(count(*) AS BIGINT) AS n_docs,"
+            "  CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0"
+            "   THEN 0 ELSE len(regexp_split_to_array(trim(text),"
+            "    '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END) AS BIGINT)"
+            "   AS n_tokens"
+            "  FROM documents"
+            "  WHERE CAST(source AS VARCHAR)"
+            "   IN ('src0', 'src1', 'src2', 'srcx')"
+            "  GROUP BY 1)"
+            " SELECT w.source,"
+            " CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs,"
+            " CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,"
+            " w.weight,"
+            " (1000000 * w.weight) // 10 AS target_tokens,"
+            " CASE WHEN coalesce(c.n_tokens, 0) > 0"
+            "  THEN ((1000000 * w.weight) // 10) // c.n_tokens END"
+            "  AS epochs_full,"
+            " CASE WHEN coalesce(c.n_tokens, 0) > 0"
+            "  THEN ((1000000 * w.weight) // 10) % c.n_tokens END"
+            "  AS extra_tokens"
+            " FROM w LEFT JOIN c USING (source) ORDER BY w.source"
         ),
         "props_json_stats": (
             "SELECT event_type,"

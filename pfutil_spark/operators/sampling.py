@@ -471,3 +471,88 @@ def stratified_hash_sample(
     for name, r in sorted(rates.items()):  # deterministic plan
         cond = F.when(s == F.lit(name), _keep_cond(frac, r)).otherwise(cond)
     return df.filter(cond)
+
+
+def mixture_token_plan(
+    df: DataFrame,
+    source: str,
+    weights: dict[str, int],
+    total_tokens: int,
+    text: str = "text",
+) -> DataFrame:
+    """The token-budget mixing PLAN: before launching a
+    :func:`mixture_resample`-style job, the per-source table a human
+    signs off on — corpus inventory (docs, whitespace tokens) against
+    the integer-weight targets ``t_s = floor(T * w_s / W)`` and the
+    epoch structure ``(t_s div n_tokens_s)`` full passes plus
+    ``(t_s mod n_tokens_s)`` remainder tokens.
+
+    Columns: ``(source, n_docs, n_tokens, weight, target_tokens,
+    epochs_full, extra_tokens)``. Every weighted source appears even
+    with zero corpus presence (n_docs/n_tokens 0, epoch columns NULL —
+    you cannot epoch an empty source; that row is the "you asked for
+    data you don't have" signal). All arithmetic is bigint
+    product/``div``/``mod`` — exact past 2^53, same reasoning as
+    :func:`mixture_resample` — so the plan matches what the resample
+    would actually emit on any engine.
+
+    Plan shape: one counting scan (map-side-combined groupBy source,
+    pre-filtered to weighted sources) joined against the tiny literal
+    weight table; everything downstream is weights-sized."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if not isinstance(w, int) or isinstance(w, bool) or w <= 0:
+            raise ValueError(
+                f"weights[{s!r}]={w!r}: weights must be positive ints"
+            )
+    if not isinstance(total_tokens, int) or isinstance(total_tokens, bool) \
+            or total_tokens < 0:
+        raise ValueError(f"total_tokens={total_tokens!r}: must be int >= 0")
+    if len({str(s) for s in weights}) != len(weights):
+        raise ValueError(
+            "weights keys collide after str() coercion: "
+            f"{sorted(map(str, weights))}"
+        )
+    from pfutil_spark.functions.text import token_count_col
+
+    big_w = sum(weights.values())
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted((str(s), int(w)) for s, w in weights.items()),
+        "source string, weight long",
+    )
+    counts = (
+        df.filter(
+            F.col(source).cast("string").isin([str(s) for s in weights])
+        )
+        .groupBy(F.col(source).cast("string").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(token_count_col(text), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    j = wdf.join(counts, "source", "left").select(
+        "source",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "weight",
+        F.expr(
+            f"(CAST({int(total_tokens)} AS BIGINT) * weight)"
+            f" div CAST({int(big_w)} AS BIGINT)"
+        ).alias("target_tokens"),
+    )
+    # explicit >0 guard: under ANSI mode div/mod by zero RAISE; the
+    # zero-presence row must plan to NULL, not crash the job
+    has = F.coalesce("n_tokens", F.lit(0)) > 0
+    return j.select(
+        "*",
+        F.when(has, F.expr("target_tokens div n_tokens")).alias(
+            "epochs_full"
+        ),
+        F.when(has, F.expr("target_tokens % n_tokens")).alias(
+            "extra_tokens"
+        ),
+    )

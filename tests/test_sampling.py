@@ -505,3 +505,63 @@ class TestMixtureResample:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "mapInArrow" not in plan
+
+
+class TestMixtureTokenPlan:
+    def test_known_plan(self, spark):
+        from pfutil_spark.operators.sampling import mixture_token_plan
+
+        df = spark.createDataFrame(
+            [
+                ("a", "one two three"),        # 3 tokens
+                ("a", "four five"),            # 2 tokens
+                ("b", "x"),                    # 1 token
+                ("c", "never weighted"),
+            ],
+            "source string, text string",
+        )
+        rows = {
+            r["source"]: (
+                r["n_docs"], r["n_tokens"], r["weight"],
+                r["target_tokens"], r["epochs_full"], r["extra_tokens"],
+            )
+            for r in mixture_token_plan(
+                df, "source", {"a": 3, "b": 1, "zz": 1}, total_tokens=100
+            ).collect()
+        }
+        # W=5; a: t=60, 5 tokens -> 12 epochs + 0; b: t=20, 1 token ->
+        # 20 epochs + 0; zz: absent -> zero inventory, NULL epochs
+        assert rows == {
+            "a": (2, 5, 3, 60, 12, 0),
+            "b": (1, 1, 1, 20, 20, 0),
+            "zz": (0, 0, 1, 20, None, None),
+        }
+        assert "c" not in rows
+
+    def test_remainder_tokens(self, spark):
+        from pfutil_spark.operators.sampling import mixture_token_plan
+
+        df = spark.createDataFrame(
+            [("a", "one two three")], "source string, text string"
+        )
+        r = mixture_token_plan(df, "source", {"a": 1}, total_tokens=10).collect()[0]
+        assert (r["target_tokens"], r["epochs_full"], r["extra_tokens"]) == (
+            10, 3, 1,
+        )
+
+    def test_validation(self, spark):
+        from pfutil_spark.operators.sampling import mixture_token_plan
+
+        df = spark.createDataFrame([("a", "x")], "source string, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            mixture_token_plan(df, "source", {}, total_tokens=10)
+        with _pytest.raises(ValueError):
+            mixture_token_plan(df, "source", {"a": 0}, total_tokens=10)
+        with _pytest.raises(ValueError):
+            mixture_token_plan(df, "source", {"a": 1.5}, total_tokens=10)
+        with _pytest.raises(ValueError):
+            mixture_token_plan(df, "source", {"a": 1}, total_tokens=-1)
+        with _pytest.raises(ValueError):
+            mixture_token_plan(df, "source", {1: 1, "1": 2}, total_tokens=10)
