@@ -3609,15 +3609,27 @@ def oracle_sql() -> dict[str, str]:
             " FROM w LEFT JOIN c USING (source) ORDER BY w.source"
         ),
         "props_json_stats": (
-            "SELECT event_type,"
+            # mirror from_json('k BIGINT') STRICTNESS, not just the happy
+            # path: malformed JSON and non-integer k (quoted "7", 87.5)
+            # are NULL on the Spark side, so the oracle gates on
+            # json_valid + an integer json_type before extracting —
+            # ->> with a bare TRY_CAST would coerce quoted numerics and
+            # raise on malformed rows
+            "WITH e AS (SELECT event_type,"
+            "  CASE WHEN props IS NOT NULL AND json_valid(props)"
+            "   AND json_type(json_extract(props, '$.k'))"
+            "    IN ('BIGINT', 'UBIGINT')"
+            "   THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
+            "   END AS k"
+            "  FROM events)"
+            " SELECT event_type,"
             " CAST(count(*) AS BIGINT) AS n_events,"
-            " CAST(sum(CASE WHEN TRY_CAST(props->>'$.k' AS BIGINT)"
-            "  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,"
-            " min(TRY_CAST(props->>'$.k' AS BIGINT)) AS k_min,"
-            " max(TRY_CAST(props->>'$.k' AS BIGINT)) AS k_max,"
-            " CAST(sum(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT)"
-            "  AS k_sum"
-            " FROM events GROUP BY event_type ORDER BY event_type"
+            " CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_missing_k,"
+            " min(k) AS k_min,"
+            " max(k) AS k_max,"
+            " CAST(sum(k) AS BIGINT) AS k_sum"
+            " FROM e GROUP BY event_type ORDER BY event_type"
         ),
         "rolling_active_users": (
             # integer-offset day expansion both sides (DATE + INT is a

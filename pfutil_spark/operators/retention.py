@@ -169,8 +169,12 @@ def rolling_active_users(
     large windows at corpus scale use the constant-size sketch path
     (:func:`pfutil_spark.operators.rollup.pf_sliding_distinct`), whose
     estimates this operator's exact counts gate in tests."""
-    if window_days < 1:
-        raise ValueError(f"window_days={window_days}: must be >= 1")
+    if (
+        not isinstance(window_days, int)
+        or isinstance(window_days, bool)
+        or window_days < 1
+    ):
+        raise ValueError(f"window_days={window_days!r}: must be an int >= 1")
     act = activity_days(df, user_col, ts_col)
     contrib = act.select(
         "user",

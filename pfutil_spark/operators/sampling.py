@@ -546,7 +546,8 @@ def mixture_token_plan(
     )
     # explicit >0 guard: under ANSI mode div/mod by zero RAISE; the
     # zero-presence row must plan to NULL, not crash the job
-    has = F.coalesce("n_tokens", F.lit(0)) > 0
+    # (j.n_tokens is already coalesced non-null above)
+    has = F.col("n_tokens") > 0
     return j.select(
         "*",
         F.when(has, F.expr("target_tokens div n_tokens")).alias(
