@@ -2827,6 +2827,27 @@ def _q_mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _q_length_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalized quality scoring: each document's length
+    percentile WITHIN its language (cume_dist over a per-lang window)
+    — the standard way to make a raw quality signal comparable across
+    languages before a global threshold ("keep the top 60% of every
+    language" instead of biasing against naturally-short-doc
+    languages). cume_dist is rows_leq/rows_total — an integer-ratio
+    division, bit-exact cross-engine including ties. One window over
+    one scan, zero Python."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.cume_dist().over(w).alias("length_pct"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2907,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": _q_rolling_active_users,
         "props_json_stats": _q_props_json_stats,
         "mixture_token_plan": _q_mixture_token_plan,
+        "length_percentile_by_lang": _q_length_percentile_by_lang,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3580,6 +3602,12 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS est_ok"
             " FROM c LEFT JOIN r ON r.d = c.d"
             " ORDER BY day_s"
+        ),
+        "length_percentile_by_lang": (
+            "SELECT doc_id, lang, n_chars,"
+            " cume_dist() OVER (PARTITION BY lang ORDER BY n_chars)"
+            "  AS length_pct"
+            " FROM documents ORDER BY doc_id"
         ),
         "mixture_token_plan": (
             "WITH w(source, weight) AS (VALUES"
