@@ -2848,6 +2848,72 @@ def _q_length_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between sources
+    (operators/rollup.py::kmv_similarity_matrix over exploded terms):
+    pairwise term-set union/intersection/Jaccard for every unordered
+    source pair from ONE token scan — "do these crawls speak the same
+    language?" for mixing and dedup-strategy decisions. Same sketch
+    machinery and bound constants as priority_customer_overlap (the
+    exact side is a distinct (source, term) self-join); exact integers
+    graded, estimate booleans TRUE both sides."""
+    from pfutil_spark.operators.rollup import kmv_similarity_matrix
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    )
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    est = kmv_similarity_matrix(toks, "term", "source", k=1024)
+    du = toks.select(F.col("source").alias("s"), "term").distinct()
+    c = du.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    ix = (
+        du.alias("x")
+        .join(du.alias("y"), "term")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    allp = c.select(F.col("s").alias("a"), F.col("c").alias("ca")).join(
+        c.select(F.col("s").alias("b"), F.col("c").alias("cb")),
+        F.col("a") < F.col("b"),
+    )
+    exact = allp.join(ix, ["a", "b"], "left").select(
+        "a",
+        "b",
+        (F.col("ca") + F.col("cb") - F.coalesce("ix", F.lit(0)))
+        .cast("long")
+        .alias("exact_union"),
+        F.coalesce("ix", F.lit(0)).cast("long").alias("exact_intersect"),
+    )
+    j = F.col("exact_intersect") / F.col("exact_union")
+    return (
+        est.join(exact, ["a", "b"])
+        .select(
+            "a",
+            "b",
+            "exact_union",
+            "exact_intersect",
+            (
+                F.abs(F.col("union_est") - F.col("exact_union"))
+                <= 0.16 * F.col("exact_union")
+            ).alias("union_ok"),
+            (
+                F.abs(F.col("intersect_est") - F.col("exact_intersect"))
+                <= F.greatest(
+                    0.35 * F.col("exact_intersect"),
+                    0.08 * F.col("exact_union"),
+                )
+            ).alias("intersect_ok"),
+            (F.abs(F.col("jaccard") - j) <= F.greatest(0.35 * j, F.lit(0.08)))
+            .alias("jaccard_ok"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2929,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_stats": _q_props_json_stats,
         "mixture_token_plan": _q_mixture_token_plan,
         "length_percentile_by_lang": _q_length_percentile_by_lang,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3602,6 +3669,27 @@ def oracle_sql() -> dict[str, str]:
             " TRUE AS est_ok"
             " FROM c LEFT JOIN r ON r.d = c.d"
             " ORDER BY day_s"
+        ),
+        "source_vocab_overlap": (
+            # the tokenizer class is the Java-\s-equivalent; exact side
+            # mirrors the priority_customer_overlap relational shape
+            "WITH toks AS (SELECT source AS s,"
+            "  unnest(regexp_split_to_array(trim(text),"
+            "   '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) AS term"
+            "  FROM documents"
+            "  WHERE length(trim(coalesce(text, ''))) > 0),"
+            " du AS (SELECT DISTINCT s, term FROM toks),"
+            " c AS (SELECT s, count(*) AS c FROM du GROUP BY s),"
+            " i AS (SELECT x.s AS a, y.s AS b, count(*) AS ix"
+            "  FROM du x JOIN du y USING (term) WHERE x.s < y.s"
+            "  GROUP BY 1, 2)"
+            " SELECT ca.s AS a, cb.s AS b,"
+            " CAST(ca.c + cb.c - coalesce(i.ix, 0) AS BIGINT) AS exact_union,"
+            " CAST(coalesce(i.ix, 0) AS BIGINT) AS exact_intersect,"
+            " TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS jaccard_ok"
+            " FROM c ca JOIN c cb ON ca.s < cb.s"
+            " LEFT JOIN i ON i.a = ca.s AND i.b = cb.s"
+            " ORDER BY a, b"
         ),
         "length_percentile_by_lang": (
             "SELECT doc_id, lang, n_chars,"
