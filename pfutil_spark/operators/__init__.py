@@ -37,6 +37,19 @@ from pfutil_spark.operators.retention import (  # noqa: F401
     return_gaps,
     rolling_active_users,
 )
+from pfutil_spark.operators.stats import (  # noqa: F401
+    daily_count_anomalies,
+    degree_distribution,
+    fixed_width_histogram,
+)
+from pfutil_spark.operators.search import (  # noqa: F401
+    keyword_search_topk,
+    word_pair_lift,
+)
+from pfutil_spark.operators.spans import (  # noqa: F401
+    repeated_spans,
+    span_coverage,
+)
 from pfutil_spark.operators.drift import (  # noqa: F401
     cardinality_drift,
     drift_against_reference,
