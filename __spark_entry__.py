@@ -2914,6 +2914,167 @@ def _q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_histogram_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense fixed-width length histogram per language
+    (operators/stats.py::fixed_width_histogram): 6 bins of width 100,
+    under/overflow clamped into the edge bins, zero bins emitted (the
+    plot-ready shape). Pure bigint clamp-and-divide binning -> EXACT
+    DuckDB parity."""
+    from pfutil_spark.operators.stats import fixed_width_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    return fixed_width_histogram(
+        d, "n_chars", 0, 100, 6, by="lang"
+    ).orderBy("lang", "bin")
+
+
+def _q_daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day volume-anomaly monitor per event type
+    (operators/stats.py::daily_count_anomalies, z2=4 = 2 sigma): the
+    integer-exact z-test (d*x - S)^2 > z2*(d*SS - S^2) — no float mean
+    or variance anywhere, so the flag booleans AND the diagnostic
+    integers are EXACT DuckDB parity, not bound-booleans."""
+    from pfutil_spark.operators.stats import daily_count_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return daily_count_anomalies(ev, z2=4).orderBy("event_type", "day_s")
+
+
+def _q_user_event_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the user -> active-day bipartite graph
+    (operators/stats.py::degree_distribution): how many users are
+    active on exactly k distinct days — the engagement-breadth
+    histogram. Day = naive DATE of the timestamp_ntz (no session tz).
+    All-integer -> EXACT DuckDB parity."""
+    from pfutil_spark.operators.stats import degree_distribution
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    return degree_distribution(ev, "user_id", "day").orderBy("degree")
+
+
+def _q_keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index bag-of-words retrieval
+    (operators/search.py::keyword_search_topk): top-10 documents for
+    the query {join, filter, window}, scored tf * (N - df) — linear
+    idf keeps every emitted value bigint, hence EXACT DuckDB parity
+    (the distinctive_terms precedent). One scan; the explode is
+    filtered to the query terms before any shuffle."""
+    from pfutil_spark.operators.search import keyword_search_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return keyword_search_topk(d, ["join", "filter", "window"], k=10)
+
+
+def _q_word_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence mining (operators/search.py::word_pair_lift):
+    the 15 most frequent co-occurring word pairs over the top-64
+    vocabulary, with the exact association score
+    lift = pair_docs*N / (docs_a*docs_b) (one bigint-product /
+    bigint-product IEEE division -> EXACT DuckDB parity; log-PMI would
+    be libm-specific). Candidate volume is vocabulary-bounded before
+    the per-doc pair join."""
+    from pfutil_spark.operators.search import word_pair_lift
+
+    d = _t(spark, sf_dir, "documents")
+    return word_pair_lift(d, top_v=64, min_pair_docs=2, k=15)
+
+
+def _q_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-passage detection
+    (operators/spans.py::repeated_spans, k=30 chars, min_count=2):
+    maximal character spans whose every 30-char window occurs at least
+    twice corpus-wide — the Lee et al. 2022 substring-dedup signal,
+    Spark-shaped as a sliding-gram stream + one count-over-window +
+    integer island merging. All-integer -> EXACT DuckDB parity
+    (oracle mirrors the gram/window/island pipeline on raw gram
+    strings; on_hash=True is the 8-byte-key scale path, differential-
+    gated in tests)."""
+    from pfutil_spark.operators.spans import repeated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_spans(d, k=30, min_count=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def _q_repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-character coverage
+    (operators/spans.py::span_coverage): how much of each document is
+    repeated corpus material. Every doc appears (clean docs are the
+    keep-list); dup_frac is one bigint/bigint division over
+    NULLIF(n_chars, 0) -> EXACT DuckDB parity."""
+    from pfutil_spark.operators.spans import span_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return span_coverage(d, k=30, min_count=2).orderBy("doc_id")
+
+
+def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-way join (lineitem |x| orders |x| customer
+    |x| supplier |x| nation |x| region) with the local-supplier
+    constraint (c_nationkey = s_nationkey), region + order-date
+    filters, revenue per nation. ALL four dimension sides broadcast
+    (customer/supplier/nation/region — plan-gated in tests), so the
+    only shuffle is the lineitem-orders join; revenue is a
+    decimal-exact sum cast to double (the lineitem_pricing precedent
+    — float sums would be partition-order-dependent). ntz literals
+    keep the date filter tz-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _q_token_mass_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted histogram (operators/stats.py::fixed_width_histogram
+    with weight=): documents bucketed by length, each bin carrying BOTH
+    the document count and the total token mass — "where do my
+    training tokens live on the length axis?", the shape that decides
+    chunking and packing parameters. Token weight = the house
+    whitespace token count (coalesced to 0 for blank/NULL text).
+    All-bigint -> EXACT DuckDB parity."""
+    from pfutil_spark.functions.text import token_count_col
+    from pfutil_spark.operators.stats import fixed_width_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    return fixed_width_histogram(
+        d,
+        "n_chars",
+        0,
+        100,
+        6,
+        weight=F.coalesce(token_count_col("text"), F.lit(0)),
+    ).orderBy("bin")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -2996,6 +3157,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_token_plan": _q_mixture_token_plan,
         "length_percentile_by_lang": _q_length_percentile_by_lang,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        # round-5 fifth session: stats / search / repeated-span surface
+        "length_histogram_by_lang": _q_length_histogram_by_lang,
+        "daily_event_anomalies": _q_daily_event_anomalies,
+        "user_event_degree_dist": _q_user_event_degree_dist,
+        "keyword_search_topk": _q_keyword_search_topk,
+        "word_pair_lift": _q_word_pair_lift,
+        "repeated_substring_spans": _q_repeated_substring_spans,
+        "repeated_span_coverage": _q_repeated_span_coverage,
+        "regional_revenue": _q_regional_revenue,
+        "token_mass_histogram": _q_token_mass_histogram,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3696,6 +3867,201 @@ def oracle_sql() -> dict[str, str]:
             " cume_dist() OVER (PARTITION BY lang ORDER BY n_chars)"
             "  AS length_pct"
             " FROM documents ORDER BY doc_id"
+        ),
+        "length_histogram_by_lang": (
+            # clamp-then-integer-div binning (dividend >= 0 after the
+            # clamp, so // == floor == Spark's floor(double-div) under
+            # the enforced 2^53 bound); dense axis = langs x range(6)
+            "WITH langs AS (SELECT DISTINCT lang FROM documents),"
+            " bins AS (SELECT unnest(range(6)) AS bin),"
+            " c AS (SELECT lang,"
+            "  GREATEST(0, LEAST(CAST(n_chars AS BIGINT), 599)) // 100"
+            "   AS bin,"
+            "  CAST(count(*) AS BIGINT) AS n"
+            "  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2)"
+            " SELECT l.lang, CAST(b.bin AS BIGINT) AS bin,"
+            " CAST(b.bin * 100 AS BIGINT) AS bin_lo,"
+            " CAST((b.bin + 1) * 100 AS BIGINT) AS bin_hi,"
+            " CAST(coalesce(c.n, 0) AS BIGINT) AS n"
+            " FROM langs l CROSS JOIN bins b"
+            " LEFT JOIN c ON c.lang = l.lang AND c.bin = b.bin"
+            " ORDER BY l.lang, bin"
+        ),
+        "daily_event_anomalies": (
+            # integer-exact z-test both sides: (d*x - S)^2 vs
+            # z2*(d*SS - S^2); sums CAST to BIGINT (the HUGEINT trap)
+            "WITH c AS (SELECT event_type, CAST(ts AS DATE) AS d,"
+            "  CAST(count(*) AS BIGINT) AS n"
+            "  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),"
+            " w AS (SELECT event_type, d, n,"
+            "  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)"
+            "   AS n_days,"
+            "  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)"
+            "   AS total,"
+            "  CAST(sum(n * n) OVER (PARTITION BY event_type) AS BIGINT)"
+            "   AS ss"
+            "  FROM c)"
+            " SELECT event_type, strftime(d, '%Y-%m-%d') AS day_s, n,"
+            " n_days, total,"
+            " CAST((n_days*n - total) * (n_days*n - total) AS BIGINT)"
+            "  AS dev_sq,"
+            " CAST(4 * (n_days*ss - total*total) AS BIGINT) AS var_scaled,"
+            " (n_days*n - total) * (n_days*n - total)"
+            "  > 4 * (n_days*ss - total*total) AS is_anomaly"
+            " FROM w ORDER BY event_type, day_s"
+        ),
+        "user_event_degree_dist": (
+            # naive DATE both sides (timestamp_ntz -> DATE, no tz)
+            "WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day"
+            "  FROM events"
+            "  WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+            " d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS degree"
+            "  FROM e GROUP BY 1)"
+            " SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes"
+            " FROM d GROUP BY degree ORDER BY degree"
+        ),
+        "keyword_search_topk": (
+            # linear idf: score = sum(tf * (N - df)), all bigint; the
+            # tokenizer class is the Java-\s equivalent
+            "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n"
+            "  FROM documents),"
+            " toks AS (SELECT doc_id,"
+            "  unnest(regexp_split_to_array(trim(text),"
+            "   '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) AS term"
+            "  FROM documents WHERE length(trim(text)) > 0),"
+            " f AS (SELECT doc_id, term FROM toks"
+            "  WHERE term IN ('join', 'filter', 'window')),"
+            " tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf"
+            "  FROM f GROUP BY 1, 2),"
+            " d AS (SELECT *, CAST(count(*) OVER (PARTITION BY term)"
+            "  AS BIGINT) AS dfreq FROM tf)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,"
+            " CAST(sum(tf * ((SELECT n FROM n) - dfreq)) AS BIGINT)"
+            "  AS score"
+            " FROM d GROUP BY doc_id"
+            " ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        "word_pair_lift": (
+            # vocabulary cutoff (term_docs desc, term asc) is a total
+            # order -> the selected set is reproducible; lift is one
+            # bigint-product / bigint-product division
+            "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n"
+            "  FROM documents),"
+            " dt AS (SELECT DISTINCT doc_id, term FROM ("
+            "  SELECT doc_id, unnest(regexp_split_to_array(trim(text),"
+            "   '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) AS term"
+            "  FROM documents WHERE length(trim(text)) > 0)),"
+            " v AS (SELECT term, CAST(count(*) AS BIGINT) AS term_docs"
+            "  FROM dt GROUP BY term"
+            "  ORDER BY term_docs DESC, term ASC LIMIT 64),"
+            " dv AS (SELECT dt.doc_id, dt.term, v.term_docs"
+            "  FROM dt JOIN v USING (term)),"
+            " p AS (SELECT a.term AS term_a, b.term AS term_b,"
+            "  CAST(count(*) AS BIGINT) AS pair_docs,"
+            "  a.term_docs AS docs_a, b.term_docs AS docs_b"
+            "  FROM dv a JOIN dv b"
+            "   ON a.doc_id = b.doc_id AND a.term < b.term"
+            "  GROUP BY 1, 2, 4, 5 HAVING count(*) >= 2)"
+            " SELECT term_a, term_b, pair_docs, docs_a, docs_b,"
+            " pair_docs * (SELECT n FROM n) / (docs_a * docs_b) AS lift"
+            " FROM p ORDER BY pair_docs DESC, term_a, term_b LIMIT 15"
+        ),
+        "repeated_substring_spans": (
+            # sliding 30-char grams -> corpus occurrence count (window
+            # over the gram) -> covered positions -> island merge
+            # (break when pos gap > k); mirrors repeated_spans exactly
+            "WITH g AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,"
+            "  substr(text, CAST(t.i + 1 AS INT), 30) AS gram"
+            "  FROM documents, unnest(range(length(text) - 29)) AS t(i)"
+            "  WHERE text IS NOT NULL AND length(text) >= 30),"
+            " c AS (SELECT doc_id, pos,"
+            "  count(*) OVER (PARTITION BY gram) AS cnt FROM g),"
+            " f AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),"
+            " w AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER"
+            "   (PARTITION BY doc_id ORDER BY pos) > 30"
+            "  THEN 1 ELSE 0 END AS brk FROM f),"
+            " i AS (SELECT doc_id, pos, sum(brk) OVER"
+            "  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)"
+            "  AS isl FROM w)"
+            " SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,"
+            " CAST(max(pos) + 30 AS BIGINT) AS span_end,"
+            " CAST(max(pos) + 30 - min(pos) AS BIGINT) AS span_len,"
+            " CAST(count(*) AS BIGINT) AS n_windows"
+            " FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"
+        ),
+        "regional_revenue": (
+            # decimal-exact revenue sum cast to double (identical IEEE
+            # value both engines); naive timestamps, no session tz
+            "SELECT n_name,"
+            " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+            "  AS revenue,"
+            " CAST(count(*) AS BIGINT) AS n_items"
+            " FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN supplier ON l_suppkey = s_suppkey"
+            "  AND c_nationkey = s_nationkey"
+            " JOIN nation ON s_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " WHERE r_name = 'ASIA'"
+            "  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            "  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+            " GROUP BY n_name ORDER BY n_name"
+        ),
+        "token_mass_histogram": (
+            # weight = house token count, 0 for blank/NULL text (the
+            # mixture_token_plan weight mirror); clamp-then-int-div bins
+            "WITH w AS (SELECT CAST(n_chars AS BIGINT) AS x,"
+            "  CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0"
+            "   THEN 0 ELSE len(regexp_split_to_array(trim(text),"
+            "    '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) END AS BIGINT) AS tk"
+            "  FROM documents WHERE n_chars IS NOT NULL),"
+            " bins AS (SELECT unnest(range(6)) AS bin),"
+            " c AS (SELECT GREATEST(0, LEAST(x, 599)) // 100 AS bin,"
+            "  CAST(count(*) AS BIGINT) AS n,"
+            "  CAST(sum(tk) AS BIGINT) AS mass"
+            "  FROM w GROUP BY 1)"
+            " SELECT CAST(b.bin AS BIGINT) AS bin,"
+            " CAST(b.bin * 100 AS BIGINT) AS bin_lo,"
+            " CAST((b.bin + 1) * 100 AS BIGINT) AS bin_hi,"
+            " CAST(coalesce(c.n, 0) AS BIGINT) AS n,"
+            " CAST(coalesce(c.mass, 0) AS BIGINT) AS mass"
+            " FROM bins b LEFT JOIN c ON c.bin = b.bin"
+            " ORDER BY bin"
+        ),
+        "repeated_span_coverage": (
+            # spans pipeline + per-doc rollup, LEFT-joined so clean and
+            # empty docs survive; dup_frac = one int/int division over
+            # NULLIF
+            "WITH g AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,"
+            "  substr(text, CAST(t.i + 1 AS INT), 30) AS gram"
+            "  FROM documents, unnest(range(length(text) - 29)) AS t(i)"
+            "  WHERE text IS NOT NULL AND length(text) >= 30),"
+            " c AS (SELECT doc_id, pos,"
+            "  count(*) OVER (PARTITION BY gram) AS cnt FROM g),"
+            " f AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),"
+            " w AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER"
+            "   (PARTITION BY doc_id ORDER BY pos) > 30"
+            "  THEN 1 ELSE 0 END AS brk FROM f),"
+            " i AS (SELECT doc_id, pos, sum(brk) OVER"
+            "  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)"
+            "  AS isl FROM w),"
+            " sp AS (SELECT doc_id,"
+            "  CAST(max(pos) + 30 - min(pos) AS BIGINT) AS span_len"
+            "  FROM i GROUP BY doc_id, isl),"
+            " s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,"
+            "  CAST(sum(span_len) AS BIGINT) AS dup_chars"
+            "  FROM sp GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            " CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,"
+            " CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,"
+            " CAST(coalesce(s.dup_chars, 0) AS BIGINT) AS dup_chars,"
+            " CAST(coalesce(s.dup_chars, 0) AS BIGINT)"
+            "  / NULLIF(CAST(length(coalesce(d.text, '')) AS BIGINT), 0)"
+            "  AS dup_frac"
+            " FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"
+            " ORDER BY d.doc_id"
         ),
         "mixture_token_plan": (
             "WITH w(source, weight) AS (VALUES"

@@ -26,9 +26,16 @@ def fixed_width_histogram(
     n_bins: int,
     by: str | None = None,
     dense: bool = True,
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """Fixed-width histogram of an integer column, optionally per group:
-    ``(by?, bin, bin_lo, bin_hi, n)``.
+    ``(by?, bin, bin_lo, bin_hi, n[, mass])``.
+
+    With ``weight`` (a column name or Column, cast to bigint) each bin
+    additionally carries ``mass`` = the sum of weights of its rows —
+    the "token mass by document length" shape. NULL weights contribute
+    0 to ``mass`` (the row still counts in ``n``); keep the weight
+    integer-valued for exact cross-engine parity.
 
     Binning is CLAMPED: values below ``lo`` land in bin 0, values at or
     above ``lo + width*n_bins`` land in bin ``n_bins-1`` (a histogram
@@ -67,30 +74,31 @@ def fixed_width_histogram(
     )
     bin_ = F.floor((clamped - F.lit(lo)) / F.lit(width)).cast("long")
     keys = ([F.col(by)] if by else []) + [bin_.alias("bin")]
-    counts = (
-        df.filter(F.col(col).isNotNull())
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if weight is not None:
+        w = (F.col(weight) if isinstance(weight, str) else weight).cast("long")
+        aggs.append(F.sum(F.coalesce(w, F.lit(0))).cast("long").alias("mass"))
+    counts = df.filter(F.col(col).isNotNull()).groupBy(*keys).agg(*aggs)
     edges = [
         (F.lit(lo) + F.col("bin") * F.lit(width)).cast("long").alias("bin_lo"),
         (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).cast("long").alias("bin_hi"),
     ]
+    vals = [F.coalesce("n", F.lit(0)).cast("long").alias("n")]
+    if weight is not None:
+        vals.append(F.coalesce("mass", F.lit(0)).cast("long").alias("mass"))
     if not dense:
-        cols = ([by] if by else []) + ["bin", *[e for e in edges], "n"]
+        cols = ([by] if by else []) + ["bin", *edges, "n"] + (
+            ["mass"] if weight is not None else []
+        )
         return counts.select(*cols)
     spark = df.sparkSession
     bins = spark.range(n_bins).select(F.col("id").cast("long").alias("bin"))
     if by:
         axis = df.select(by).distinct().crossJoin(F.broadcast(bins))
         joined = axis.join(counts, [by, "bin"], "left")
-        return joined.select(
-            by, "bin", *edges, F.coalesce("n", F.lit(0)).cast("long").alias("n")
-        )
+        return joined.select(by, "bin", *edges, *vals)
     joined = bins.join(counts, ["bin"], "left")
-    return joined.select(
-        "bin", *edges, F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
+    return joined.select("bin", *edges, *vals)
 
 
 def daily_count_anomalies(

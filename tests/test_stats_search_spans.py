@@ -52,6 +52,24 @@ def test_histogram_dense_by_group_and_sparse(spark):
     assert got_s == {("a", 0): 2, ("b", 1): 1}
 
 
+def test_histogram_weighted(spark):
+    from pfutil_spark.operators.stats import fixed_width_histogram
+
+    df = spark.createDataFrame(
+        [(5, 10), (7, 20), (15, 1), (25, None)], "x long, w long"
+    )
+    rows = {
+        r["bin"]: (r["n"], r["mass"])
+        for r in fixed_width_histogram(df, "x", 0, 10, 3, weight="w").collect()
+    }
+    # NULL weight contributes 0 mass but still counts the row
+    assert rows == {0: (2, 30), 1: (1, 1), 2: (1, 0)}
+    sparse = fixed_width_histogram(
+        df, "x", 0, 10, 3, weight="w", dense=False
+    ).collect()
+    assert {r["bin"]: (r["n"], r["mass"]) for r in sparse} == rows
+
+
 def test_histogram_validation(spark):
     from pfutil_spark.operators.stats import fixed_width_histogram
 
@@ -416,6 +434,18 @@ def test_spans_plan_no_python(spark, sf_dir):
         plan = _plan(df)
         assert "Python" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_regional_revenue_plan_broadcasts(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E._q_regional_revenue(spark, sf_dir)
+    plan = _plan(df)
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # all four dimension sides broadcast: the only hash-shuffled join
+    # is lineitem-orders
+    assert plan.count("BroadcastHashJoin") >= 4, plan
 
 
 def test_stats_plans_no_python(spark, sf_dir):
