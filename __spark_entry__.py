@@ -3884,7 +3884,8 @@ def oracle_sql() -> dict[str, str]:
             " CAST((b.bin + 1) * 100 AS BIGINT) AS bin_hi,"
             " CAST(coalesce(c.n, 0) AS BIGINT) AS n"
             " FROM langs l CROSS JOIN bins b"
-            " LEFT JOIN c ON c.lang = l.lang AND c.bin = b.bin"
+            " LEFT JOIN c ON c.lang IS NOT DISTINCT FROM l.lang"
+            "  AND c.bin = b.bin"
             " ORDER BY l.lang, bin"
         ),
         "daily_event_anomalies": (

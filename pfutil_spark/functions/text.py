@@ -11,6 +11,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def explode_terms(df: DataFrame, text: str, *keep: str | Column) -> DataFrame:
+    """The house tokenizer as a frame transform: one ``term`` row per
+    whitespace token of non-blank documents — trim, drop blank/NULL
+    text, ``split`` on ``\\s+``, explode. ``keep`` columns (names or
+    aliased Columns) pass through. This is THE tokenize contract every
+    term pipeline shares (term_profile / distinctive_terms /
+    build_vocab / search); its DuckDB mirror is
+    ``unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\x{000B}
+    \\x{000C}]+'))`` under ``length(trim(text)) > 0`` — the explicit
+    Java-\\s-equivalent class (RE2's \\s has no vertical tab)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in keep]
+    return df.filter(F.length(F.trim(F.col(text))) > 0).select(
+        *cols,
+        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("term"),
+    )
+
+
 def token_count_col(text: str | Column) -> Column:
     """Whitespace-token count (0 for empty/blank)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -177,10 +194,7 @@ def distinctive_terms(
     vocabulary. Blank/NULL text yields no rows."""
     if k < 1:
         raise ValueError(f"k={k}: must be >= 1")
-    toks = df.filter(F.length(F.trim(F.col(text))) > 0).select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("term"),
-    )
+    toks = explode_terms(df, text, id_col)
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     scored = tf.withColumn(
         "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
@@ -229,11 +243,7 @@ def term_profile(
     that splitting an empty string emits)."""
     if k < 1:
         raise ValueError(f"k={k}: must be >= 1")
-    toks = df.filter(F.length(F.trim(F.col(text))) > 0).select(
-        F.col(by),
-        F.col(id_col).alias("__id"),
-        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("term"),
-    )
+    toks = explode_terms(df, text, by, F.col(id_col).alias("__id"))
     pairs = toks.groupBy(by, "__id", "term").agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -289,9 +299,7 @@ def build_vocab(
         raise ValueError(f"top_v={top_v}: must be >= 1 or None")
     if min_count < 1:
         raise ValueError(f"min_count={min_count}: must be >= 1")
-    toks = df.filter(F.length(F.trim(F.col(text))) > 0).select(
-        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("term")
-    )
+    toks = explode_terms(df, text)
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
     if min_count > 1:
         counts = counts.filter(F.col("term_count") >= min_count)

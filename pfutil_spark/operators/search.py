@@ -19,10 +19,9 @@ from pyspark.sql.window import Window
 
 
 def _tokens(df: DataFrame, text: str, id_col: str) -> DataFrame:
-    return df.filter(F.length(F.trim(F.col(text))) > 0).select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text)), r"\s+")).alias("term"),
-    )
+    from pfutil_spark.functions.text import explode_terms
+
+    return explode_terms(df, text, id_col)
 
 
 def keyword_search_topk(

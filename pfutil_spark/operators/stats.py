@@ -94,8 +94,18 @@ def fixed_width_histogram(
     spark = df.sparkSession
     bins = spark.range(n_bins).select(F.col("id").cast("long").alias("bin"))
     if by:
+        # null-safe group equality: a NULL group key is a real group
+        # (dense must report its true counts, same as dense=False)
         axis = df.select(by).distinct().crossJoin(F.broadcast(bins))
-        joined = axis.join(counts, [by, "bin"], "left")
+        cnt = counts.withColumnRenamed(by, "__pf_by").withColumnRenamed(
+            "bin", "__pf_bin"
+        )
+        joined = axis.join(
+            cnt,
+            F.col(by).eqNullSafe(F.col("__pf_by"))
+            & (F.col("bin") == F.col("__pf_bin")),
+            "left",
+        )
         return joined.select(by, "bin", *edges, *vals)
     joined = bins.join(counts, ["bin"], "left")
     return joined.select("bin", *edges, *vals)

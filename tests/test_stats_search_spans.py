@@ -52,6 +52,21 @@ def test_histogram_dense_by_group_and_sparse(spark):
     assert got_s == {("a", 0): 2, ("b", 1): 1}
 
 
+def test_histogram_dense_null_group(spark):
+    from pfutil_spark.operators.stats import fixed_width_histogram
+
+    # a NULL group key is a real group: dense must report its true
+    # counts (the zero-fill join is null-safe), matching dense=False
+    df = spark.createDataFrame(
+        [("a", 1), (None, 15), (None, 16)], "g string, x long"
+    )
+    dense = {
+        (r["g"], r["bin"]): r["n"]
+        for r in fixed_width_histogram(df, "x", 0, 10, 2, by="g").collect()
+    }
+    assert dense == {("a", 0): 1, ("a", 1): 0, (None, 0): 0, (None, 1): 2}
+
+
 def test_histogram_weighted(spark):
     from pfutil_spark.operators.stats import fixed_width_histogram
 
