@@ -3075,6 +3075,60 @@ def _q_token_mass_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def _q_orders_customer_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit
+    (operators/audit.py::referential_audit): one-row orders.o_custkey
+    -> customer.c_custkey report (row/null/orphan accounting + match
+    fraction). Child aggregates to distinct keys BEFORE the join; the
+    dimension key set broadcasts. All-bigint + one division -> EXACT
+    DuckDB parity."""
+    from pfutil_spark.operators.audit import referential_audit
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return referential_audit(
+        o, c, "o_custkey", "c_custkey", broadcast_parent=True
+    )
+
+
+def _q_document_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff report (operators/audit.py::snapshot_diff_summary):
+    counts of added/removed/changed/unchanged documents between the
+    corpus and a deterministically mutated copy (doc_id%16 buckets:
+    bucket 2 removed, bucket 1 text upper-cased, bucket 0 re-added
+    under shifted ids) — the "what changed since the last crawl" audit.
+    Text comparison is null-safe; 'changed' requires the mutation to
+    actually change the value (upper of an already-upper/blank text is
+    unchanged — mirrored in the oracle CASE). ASCII corpus, so
+    upper() agrees cross-engine."""
+    from pfutil_spark.operators.audit import snapshot_diff_summary
+
+    d = _t(spark, sf_dir, "documents")
+    b = F.pmod(F.col("doc_id"), F.lit(16))
+    ref = d.select("doc_id", "text")
+    cur = d.filter(b != 2).select(
+        "doc_id",
+        F.when(b == 1, F.upper("text")).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        d.filter(b == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return snapshot_diff_summary(cur, ref, "doc_id", ["text"]).orderBy("status")
+
+
+def _q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix
+    (operators/funnel.py::event_transitions): consecutive-event pair
+    counts per user timeline with (ts, event_id) total order, plus the
+    per-from-event transition fraction (one bigint/bigint division).
+    EXACT DuckDB parity."""
+    from pfutil_spark.operators.funnel import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev).orderBy("from_event", "to_event")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -3167,6 +3221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_span_coverage": _q_repeated_span_coverage,
         "regional_revenue": _q_regional_revenue,
         "token_mass_histogram": _q_token_mass_histogram,
+        "orders_customer_integrity": _q_orders_customer_integrity,
+        "document_snapshot_diff": _q_document_snapshot_diff,
+        "event_transition_matrix": _q_event_transition_matrix,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3989,6 +4046,72 @@ def oracle_sql() -> dict[str, str]:
             " CAST(max(pos) + 30 - min(pos) AS BIGINT) AS span_len,"
             " CAST(count(*) AS BIGINT) AS n_windows"
             " FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"
+        ),
+        "orders_customer_integrity": (
+            # child aggregated to (fk, rows) first, LEFT join to the
+            # distinct parent key set — mirrors the operator plan
+            "WITH fk AS (SELECT o_custkey AS k,"
+            "  CAST(count(*) AS BIGINT) AS r FROM orders GROUP BY 1),"
+            " pk AS (SELECT DISTINCT c_custkey AS p FROM customer),"
+            " j AS (SELECT fk.k, fk.r, pk.p FROM fk"
+            "  LEFT JOIN pk ON fk.k = pk.p)"
+            " SELECT CAST(sum(r) AS BIGINT) AS child_rows,"
+            " CAST(sum(CASE WHEN k IS NULL THEN r ELSE 0 END) AS BIGINT)"
+            "  AS null_fk_rows,"
+            " CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS distinct_fk,"
+            " CAST(sum(CASE WHEN p IS NOT NULL THEN r ELSE 0 END)"
+            "  AS BIGINT) AS matched_rows,"
+            " CAST(sum(CASE WHEN k IS NOT NULL AND p IS NULL THEN r"
+            "  ELSE 0 END) AS BIGINT) AS orphan_rows,"
+            " CAST(sum(CASE WHEN k IS NOT NULL AND p IS NULL THEN 1"
+            "  ELSE 0 END) AS BIGINT) AS orphan_distinct_fk,"
+            " CAST(sum(CASE WHEN p IS NOT NULL THEN r ELSE 0 END)"
+            "  AS BIGINT) / NULLIF(CAST(sum(r) AS BIGINT)"
+            "  - CAST(sum(CASE WHEN k IS NULL THEN r ELSE 0 END)"
+            "   AS BIGINT), 0) AS match_frac"
+            " FROM j"
+        ),
+        "document_snapshot_diff": (
+            # mirrors the deterministic mutation: bucket 2 removed,
+            # bucket 1 upper-cased (changed only if the value actually
+            # changes — null-safe), bucket 0 re-added under new ids
+            "WITH d AS (SELECT doc_id, text, doc_id % 16 AS b"
+            "  FROM documents),"
+            " s AS ("
+            "  SELECT 'added' AS status, CAST(count(*) AS BIGINT) AS n"
+            "   FROM d WHERE b = 0"
+            "  UNION ALL SELECT 'removed', CAST(count(*) AS BIGINT)"
+            "   FROM d WHERE b = 2"
+            "  UNION ALL SELECT 'changed', CAST(count(*) AS BIGINT)"
+            "   FROM d WHERE b <> 2 AND NOT"
+            "   (CASE WHEN b = 1 THEN upper(text) ELSE text END"
+            "    IS NOT DISTINCT FROM text)"
+            "  UNION ALL SELECT 'unchanged', CAST(count(*) AS BIGINT)"
+            "   FROM d WHERE b <> 2 AND"
+            "   (CASE WHEN b = 1 THEN upper(text) ELSE text END"
+            "    IS NOT DISTINCT FROM text))"
+            " SELECT status, n FROM s ORDER BY status"
+        ),
+        "event_transition_matrix": (
+            # per-user lead with (ts, event_id) total order; from_total
+            # as a window over the |types|^2 aggregate; sums CAST to
+            # BIGINT (the HUGEINT trap)
+            "WITH e AS (SELECT event_id, user_id, event_type, ts"
+            "  FROM events WHERE user_id IS NOT NULL"
+            "   AND ts IS NOT NULL AND event_type IS NOT NULL),"
+            " s AS (SELECT event_type AS from_event,"
+            "  lead(event_type) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id) AS to_event FROM e),"
+            " t AS (SELECT from_event, to_event,"
+            "  CAST(count(*) AS BIGINT) AS n_transitions"
+            "  FROM s WHERE to_event IS NOT NULL GROUP BY 1, 2)"
+            " SELECT from_event, to_event, n_transitions,"
+            " CAST(sum(n_transitions) OVER (PARTITION BY from_event)"
+            "  AS BIGINT) AS from_total,"
+            " n_transitions / CAST(sum(n_transitions) OVER"
+            "  (PARTITION BY from_event) AS BIGINT) AS frac"
+            " FROM t ORDER BY from_event, to_event"
         ),
         "regional_revenue": (
             # decimal-exact revenue sum cast to double (identical IEEE

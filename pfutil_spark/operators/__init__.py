@@ -26,7 +26,13 @@ from pfutil_spark.operators.curation import (  # noqa: F401
     curate_corpus,
 )
 from pfutil_spark.operators.funnel import (  # noqa: F401
+    event_transitions,
     funnel_counts,
+)
+from pfutil_spark.operators.audit import (  # noqa: F401
+    referential_audit,
+    snapshot_diff,
+    snapshot_diff_summary,
 )
 from pfutil_spark.operators.retention import (  # noqa: F401
     activity_days,

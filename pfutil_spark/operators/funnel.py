@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["funnel_counts"]
+__all__ = ["funnel_counts", "event_transitions"]
 
 
 def funnel_counts(
@@ -98,4 +98,56 @@ def funnel_counts(
         (F.col("n_users") / F.nullif(first_n, F.lit(0))).alias(
             "frac_of_first"
         ),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order event-transition matrix: for every consecutive event
+    pair within a user's timeline, ``(from_event, to_event,
+    n_transitions, from_total, frac)`` — the Markov-chain view of user
+    behavior ("what follows a view?") that complements the ordered
+    funnel. ``frac = n_transitions / from_total`` is one bigint/bigint
+    IEEE division -> EXACT cross-engine.
+
+    The per-user order is (ts, tiebreak) — a TOTAL order, so the
+    transition multiset is deterministic under same-instant events
+    (the funnel tie lesson: never leave intra-user order to partition
+    luck). Rows with NULL user/ts/type are dropped (a transition needs
+    both endpoints attributed and ordered); each user's last event has
+    no successor and contributes nothing.
+
+    Plan: one ``lead`` window per user over the event scan (the only
+    corpus-scale shuffle — keyed by user, the natural key), a
+    map-side-combined groupBy(from, to) on the transition pairs, and
+    ``from_total`` as a window over that |types|^2-sized aggregate
+    (Window-on-aggregate skeleton). Zero Python.
+    """
+    e = df.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    seq = e.select(
+        F.col(type_col).alias("from_event"),
+        F.lead(type_col).over(w).alias("to_event"),
+    ).filter(F.col("to_event").isNotNull())
+    t = seq.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    tot = F.sum("n_transitions").over(Window.partitionBy("from_event"))
+    return t.select(
+        "from_event",
+        "to_event",
+        "n_transitions",
+        tot.cast("long").alias("from_total"),
+        (F.col("n_transitions") / tot).alias("frac"),
     )
