@@ -3129,6 +3129,57 @@ def _q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(ev).orderBy("from_event", "to_event")
 
 
+def _q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted daily event counts: one row per day, one column per
+    event type (the wide dashboard shape; exercises DataFrame.pivot).
+    The pivot value list is EXPLICIT — no hidden distinct job at plan
+    time and a stable output schema, which is what the driver contract
+    requires. Missing combinations coalesce to 0. All-bigint -> EXACT
+    DuckDB parity (oracle = conditional sums, the portable spelling)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day_s"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return wide.select(
+        "day_s",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+        sum(
+            [F.coalesce(F.col(t), F.lit(0)).cast("long") for t in types],
+            F.lit(0).cast("long"),
+        ).alias("total"),
+    ).orderBy("day_s")
+
+
+def _q_orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys (functions/layout.py::morton_key_col): the
+    Morton interleave of (customer key, order-day number) — the sort
+    key that makes min-max file skipping work for BOTH dimensions when
+    a 100-TB orders table is range-partitioned by it. Pure bigint
+    shift/mask codegen; the DuckDB oracle uses morton_sql_expr (the
+    same masks in the same order), so the 64-bit keys are EXACT
+    parity. Top 20 by (key, orderkey) — a total order."""
+    from pfutil_spark.functions.layout import morton_key_col
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            day.cast("long").alias("day_num"),
+            morton_key_col("o_custkey", day, bits=16).alias("zkey"),
+        )
+        .orderBy(F.col("zkey").asc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -3224,6 +3275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_customer_integrity": _q_orders_customer_integrity,
         "document_snapshot_diff": _q_document_snapshot_diff,
         "event_transition_matrix": _q_event_transition_matrix,
+        "daily_type_pivot": _q_daily_type_pivot,
+        "orders_zorder_keys": _q_orders_zorder_keys,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3285,6 +3338,13 @@ _CLUSTER_CTE = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from pfutil_spark.functions.layout import morton_sql_expr
+
+    _zkey = morton_sql_expr(
+        "o_custkey",
+        "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))",
+        16,
+    )
     return {
         "sha256_rows": (
             "SELECT doc_id, sha256(text) AS content_sha FROM documents"
@@ -4046,6 +4106,34 @@ def oracle_sql() -> dict[str, str]:
             " CAST(max(pos) + 30 - min(pos) AS BIGINT) AS span_len,"
             " CAST(count(*) AS BIGINT) AS n_windows"
             " FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"
+        ),
+        "orders_zorder_keys": (
+            # the SQL spelling of the same shift/mask spread
+            # (morton_sql_expr) — identical 64-bit arithmetic
+            "SELECT o_orderkey, o_custkey,"
+            " CAST(date_diff('day', DATE '1995-01-01',"
+            "  CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,"
+            " CAST(" + _zkey + " AS BIGINT) AS zkey"
+            " FROM orders ORDER BY zkey, o_orderkey LIMIT 20"
+        ),
+        "daily_type_pivot": (
+            # portable pivot spelling: conditional sums; naive DATE
+            "SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_s,"
+            " CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS click,"
+            " CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS error,"
+            " CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0"
+            "  END) AS BIGINT) AS purchase,"
+            " CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS signup,"
+            " CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS view,"
+            " CAST(sum(CASE WHEN event_type IN ('click', 'error',"
+            "  'purchase', 'signup', 'view') THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS total"
+            " FROM events WHERE ts IS NOT NULL"
+            " GROUP BY 1 ORDER BY day_s"
         ),
         "orders_customer_integrity": (
             # child aggregated to (fk, rows) first, LEFT join to the

@@ -3,3 +3,7 @@ from pfutil_spark.functions.text import (  # noqa: F401
     quality_features,
     token_count_col,
 )
+from pfutil_spark.functions.layout import (  # noqa: F401
+    morton_key_col,
+    morton_sql_expr,
+)
