@@ -3180,6 +3180,139 @@ def _q_orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shipping_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (operators/rangejoin.py::interval_join):
+    per order, the number of lineitems MARKET-WIDE (any order) whose
+    ship day falls in the 7-day half-open window starting at the order
+    date — the "how busy was the week I ordered in" activity join that
+    has no equi-key. The operator rewrites the band predicate as a
+    bucketed equi-join (bucket_width=7, so every interval spans <= 2
+    buckets) — no cartesian product in the plan; the oracle states the
+    same band as a plain non-equi LEFT JOIN. Orders with NULL dates or
+    zero window activity are kept at 0. Day arithmetic on naive DATEs
+    both engines; all-bigint -> EXACT."""
+    from pfutil_spark.operators.rangejoin import interval_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    day0 = F.lit("1992-01-01").cast("date")
+    iv = o.select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), day0).cast("long").alias("win_s"),
+    ).withColumn("win_e", F.col("win_s") + F.lit(7))
+    pts = li.select(
+        F.datediff(F.to_date("l_shipdate"), day0).cast("long").alias("ship_day")
+    )
+    matched = interval_join(
+        iv, pts, "win_s", "win_e", "ship_day", bucket_width=7
+    )
+    cnt = matched.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipped")
+    )
+    return (
+        o.select("o_orderkey")
+        .join(cnt, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n_shipped", F.lit(0)).cast("long").alias("n_shipped"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (operators/stats.py::triangle_count) of the
+    part co-purchase graph: parts are adjacent when some order contains
+    both (lineitem self-equi-join on orderkey, canonical a < b). The
+    operator runs the degree-ordered orientation (out-degree
+    O(sqrt(m)), each triangle closed exactly once); the oracle is the
+    textbook a<b<c triple self-join. One all-bigint row -> EXACT."""
+    from pfutil_spark.operators.stats import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("pa"), F.col("y.l_partkey").alias("pb")
+    )
+    return triangle_count(edges, "pa", "pb")
+
+
+def _q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists
+    (operators/search.py::build_postings): per term with df >= 2, the
+    doc frequency, integer-exact whole-list summaries (min/max/sum of
+    doc ids), and the first 16 sorted doc ids as the shipped index
+    head (bounded BEFORE collection via a rank window — a stopword
+    never materialises its full list in one task). House whitespace
+    tokenizer; DuckDB mirror via list_sort/list_slice. EXACT."""
+    from pfutil_spark.operators.search import build_postings
+
+    d = _t(spark, sf_dir, "documents")
+    return build_postings(d, min_df=2, head=16).orderBy(
+        F.col("doc_freq").desc(), "term"
+    )
+
+
+def _q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue delta: one row of
+    sum(l_extendedprice * l_discount) over a ship-year / discount-band
+    / quantity filter — the pushdown showcase (every predicate reaches
+    the scan; plan-gated in tests). Decimal-exact sum cast to double
+    (the lineitem_pricing precedent); date filter on naive DATEs."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.to_date("l_shipdate")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (d >= F.lit("1996-01-01").cast("date"))
+            & (d < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item revenue: customers ranked by
+    revenue of their returned lineitems (l_returnflag = 'R'), top 20
+    with (revenue desc, custkey) total order. The customer dimension
+    broadcasts; the lineitem-orders equi-join is the only shuffle.
+    Decimal-exact revenue cast to double -> EXACT."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -3277,6 +3410,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": _q_event_transition_matrix,
         "daily_type_pivot": _q_daily_type_pivot,
         "orders_zorder_keys": _q_orders_zorder_keys,
+        "shipping_window_activity": _q_shipping_window_activity,
+        "copurchase_triangles": _q_copurchase_triangles,
+        "term_postings": _q_term_postings,
+        "forecast_revenue": _q_forecast_revenue,
+        "top_return_customers": _q_top_return_customers,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -4134,6 +4272,85 @@ def oracle_sql() -> dict[str, str]:
             "  AS BIGINT) AS total"
             " FROM events WHERE ts IS NOT NULL"
             " GROUP BY 1 ORDER BY day_s"
+        ),
+        "shipping_window_activity": (
+            # the band predicate as a plain non-equi LEFT JOIN — the
+            # semantics the bucketed equi-join rewrite must reproduce;
+            # count(l_shipdate) counts only matched rows (0 for
+            # NULL-date / quiet-week orders)
+            "SELECT o_orderkey,"
+            " CAST(count(l_shipdate) AS BIGINT) AS n_shipped"
+            " FROM orders LEFT JOIN lineitem"
+            " ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)"
+            " AND CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)"
+            "  + 7"
+            " GROUP BY o_orderkey ORDER BY o_orderkey"
+        ),
+        "copurchase_triangles": (
+            # canonical a<b co-purchase edges; triangles via the
+            # textbook a<b<c triple self-join (each counted once) —
+            # orientation-independent, so it grades the degree-ordered
+            # Spark plan exactly
+            "WITH e AS (SELECT DISTINCT x.l_partkey AS a,"
+            "  y.l_partkey AS b FROM lineitem x JOIN lineitem y"
+            "  ON x.l_orderkey = y.l_orderkey"
+            "  AND x.l_partkey < y.l_partkey),"
+            " n AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_nodes"
+            "  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),"
+            " m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),"
+            " t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles"
+            "  FROM e e1 JOIN e e2 ON e1.b = e2.a"
+            "  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)"
+            " SELECT n_nodes, n_edges, n_triangles FROM n, m, t"
+        ),
+        "term_postings": (
+            # house tokenizer (Java-\s class), per-doc distinct terms,
+            # sorted posting head via list_sort/list_slice; integer
+            # whole-list summaries
+            "WITH toks AS (SELECT DISTINCT doc_id, term FROM ("
+            "  SELECT doc_id, unnest(regexp_split_to_array(trim(text),"
+            "   '[ \\t\\n\\r\\x{000B}\\x{000C}]+')) AS term"
+            "  FROM documents"
+            "  WHERE length(trim(coalesce(text, ''))) > 0)),"
+            " agg AS (SELECT term,"
+            "  CAST(count(*) AS BIGINT) AS doc_freq,"
+            "  CAST(min(doc_id) AS BIGINT) AS min_id,"
+            "  CAST(max(doc_id) AS BIGINT) AS max_id,"
+            "  CAST(sum(doc_id) AS BIGINT) AS sum_ids,"
+            "  array_to_string(list_slice(list_sort(list(doc_id)),"
+            "   1, 16), ',') AS postings_head"
+            "  FROM toks GROUP BY term)"
+            " SELECT term, doc_freq, min_id, max_id, sum_ids,"
+            " postings_head FROM agg WHERE doc_freq >= 2"
+            " ORDER BY doc_freq DESC, term"
+        ),
+        "forecast_revenue": (
+            # decimal-exact sum cast to double; every predicate is a
+            # scan-pushable conjunct
+            "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+            "  AS revenue,"
+            " CAST(count(*) AS BIGINT) AS n_items"
+            " FROM lineitem"
+            " WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'"
+            " AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'"
+            " AND l_discount >= 0.05 AND l_discount <= 0.07"
+            " AND l_quantity < 24"
+        ),
+        "top_return_customers": (
+            # decimal-exact returned revenue; (revenue desc, custkey)
+            # total order
+            "SELECT c_custkey, c_name, c_mktsegment,"
+            " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+            "  AS revenue,"
+            " CAST(count(*) AS BIGINT) AS n_items"
+            " FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " WHERE l_returnflag = 'R'"
+            " GROUP BY c_custkey, c_name, c_mktsegment"
+            " ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
         "orders_customer_integrity": (
             # child aggregated to (fk, rows) first, LEFT join to the

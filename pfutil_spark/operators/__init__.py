@@ -47,10 +47,15 @@ from pfutil_spark.operators.stats import (  # noqa: F401
     daily_count_anomalies,
     degree_distribution,
     fixed_width_histogram,
+    triangle_count,
 )
 from pfutil_spark.operators.search import (  # noqa: F401
+    build_postings,
     keyword_search_topk,
     word_pair_lift,
+)
+from pfutil_spark.operators.rangejoin import (  # noqa: F401
+    interval_join,
 )
 from pfutil_spark.operators.spans import (  # noqa: F401
     repeated_spans,

@@ -164,3 +164,61 @@ def word_pair_lift(
     return out.orderBy(
         F.col("pair_docs").desc(), F.col("term_a").asc(), F.col("term_b").asc()
     ).limit(k)
+
+
+def build_postings(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    head: int = 32,
+) -> DataFrame:
+    """Inverted-index posting lists: one row per term with
+    ``(term, doc_freq, min_id, max_id, sum_ids, postings_head)`` —
+    ``postings_head`` is the first ``head`` doc ids of the SORTED
+    posting list joined with commas (the index shard you'd ship to a
+    serving tier), and (min, max, sum, count) are integer-exact
+    summaries of the FULL list, so two engines agreeing on them agree
+    on the whole list with overwhelming probability without ever
+    materialising an unbounded string for stopword-grade terms.
+
+    Tokenization is the house whitespace contract (explode_terms);
+    a document contributes each distinct term once (posting lists are
+    sets). ``min_df`` prunes the hapax tail BEFORE any list is built.
+
+    Plan: one scan -> explode -> (term, id) distinct (map-side
+    combined; keyed by the near-unique pair, no hot-term skew) -> ONE
+    row_number window per term (rank ids ascending) -> one groupBy
+    that reuses the window's term partitioning. The collected head
+    list is bounded to ``head`` ids BEFORE collection (collect_list
+    skips the NULLed rank>head rows), so a stopword present in every
+    document never materialises its full posting list in one task.
+    All-bigint + strings -> EXACT cross-engine.
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df={min_df}: must be >= 1")
+    if head < 1:
+        raise ValueError(f"head={head}: must be >= 1")
+    pairs = _tokens(df, text, id_col).select("term", id_col).distinct()
+    w = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    ranked = pairs.withColumn("__pf_rn", F.row_number().over(w))
+    agg = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.min(id_col).cast("long").alias("min_id"),
+        F.max(id_col).cast("long").alias("max_id"),
+        F.sum(id_col).cast("long").alias("sum_ids"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__pf_rn") <= head, F.col(id_col))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings_head"),
+    )
+    if min_df > 1:
+        agg = agg.filter(F.col("doc_freq") >= min_df)
+    return agg

@@ -203,3 +203,74 @@ def degree_distribution(
     return degrees.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+def triangle_count(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Exact triangle count of the UNDIRECTED simple graph whose edges
+    are the (src, dst) rows: one row ``(n_nodes, n_edges,
+    n_triangles)``. Self-loops, NULL endpoints and duplicate /
+    reversed edges are collapsed first (simple-graph semantics), so
+    the answer is independent of input orientation and multiplicity.
+
+    Scale design — the degree-ordered orientation (the standard
+    distributed triangle algorithm, e.g. Cohen's MapReduce scheme /
+    GraphFrames, public technique): orient every edge from its
+    lower-(degree, id) endpoint to the higher one. Every node's
+    OUT-degree is then O(sqrt(m)), so the wedge self-join (pairs of
+    out-edges sharing their source) generates at most m^1.5 / hub-free
+    candidates instead of sum(deg^2) — the difference between a
+    power-law graph finishing and its hottest node exploding. Each
+    triangle appears as exactly ONE wedge (apex = its lowest-ranked
+    corner) closed by exactly ONE oriented edge, so the final
+    LEFT SEMI join counts each triangle once. All shuffles are
+    equi-joins on node / edge keys; all-bigint output -> EXACT
+    cross-engine.
+    """
+    a, b = F.col(src), F.col(dst)
+    edges = (
+        df.filter(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(
+            F.least(a, b).alias("__pf_a"), F.greatest(a, b).alias("__pf_b")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("__pf_a").alias("__pf_v"))
+        .unionAll(edges.select(F.col("__pf_b").alias("__pf_v")))
+        .groupBy("__pf_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__pf_deg"))
+    )
+    # rank = (degree, id): a TOTAL order over nodes, carried as a
+    # struct so the wedge inequality compares degree first
+    ranked = (
+        edges.join(deg.withColumnRenamed("__pf_v", "__pf_a"), "__pf_a")
+        .withColumnRenamed("__pf_deg", "__pf_da")
+        .join(deg.withColumnRenamed("__pf_v", "__pf_b"), "__pf_b")
+        .withColumnRenamed("__pf_deg", "__pf_db")
+    )
+    ra = F.struct(F.col("__pf_da").alias("d"), F.col("__pf_a").alias("v"))
+    rb = F.struct(F.col("__pf_db").alias("d"), F.col("__pf_b").alias("v"))
+    oriented = ranked.select(
+        F.when(ra < rb, F.col("__pf_a")).otherwise(F.col("__pf_b")).alias("u"),
+        F.when(ra < rb, F.col("__pf_b")).otherwise(F.col("__pf_a")).alias("v"),
+        F.when(ra < rb, rb).otherwise(ra).alias("rv"),
+    )
+    e1 = oriented.select(
+        F.col("u").alias("__pf_u"), F.col("v").alias("__pf_x"),
+        F.col("rv").alias("__pf_rx"),
+    )
+    e2 = oriented.select(
+        F.col("u").alias("__pf_u"), F.col("v").alias("__pf_y"),
+        F.col("rv").alias("__pf_ry"),
+    )
+    wedges = e1.join(e2, "__pf_u").filter(F.col("__pf_rx") < F.col("__pf_ry"))
+    closing = oriented.select(
+        F.col("u").alias("__pf_x"), F.col("v").alias("__pf_y")
+    )
+    tri = wedges.join(closing, ["__pf_x", "__pf_y"], "left_semi")
+    counts = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    return counts.crossJoin(
+        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    ).select("n_nodes", "n_edges", "n_triangles")

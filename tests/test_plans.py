@@ -180,3 +180,38 @@ def test_retention_plan_no_cartesian_broadcast_sketch_pairs(spark):
     est_plan = plan_of(est, "simple")
     assert "BroadcastExchange" in est_plan, est_plan
     assert "CartesianProduct" not in est_plan, est_plan
+
+
+def test_forecast_revenue_pushdown_and_codegen(spark):
+    df = entry_mod._q_forecast_revenue(spark, SF)
+    plan = plan_of(df)
+    # EVERY conjunct reaches the parquet scan — Catalyst rewrites even
+    # the to_date() comparisons into pushable NTZ timestamp bounds
+    assert re.search(r"PushedFilters: \[.*l_discount.*\]", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_quantity.*\]", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
+    # and the scan is pruned to exactly the four referenced columns
+    assert re.search(
+        r"ReadSchema: struct<l_quantity:[^,]+,l_extendedprice:[^,]+,"
+        r"l_discount:[^,]+,l_shipdate:[^>]+>",
+        plan,
+    ), plan
+    assert "Python" not in plan, plan
+
+
+def test_top_return_customers_broadcasts_customer(spark):
+    df = entry_mod._q_top_return_customers(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_shipping_window_activity_banded_equi_join(spark):
+    df = entry_mod._q_shipping_window_activity(spark, SF)
+    plan = plan_of(df, "simple")
+    # the band predicate must run as a hash equi-join on the bucket id,
+    # never a nested-loop/cartesian
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
