@@ -3313,6 +3313,38 @@ def _q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_dedup_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs
+    (operators/dedup.py::fuzzy_dedup_pairs): MinHash-LSH candidates ->
+    exact banded Levenshtein verify at max_edits=6 — so the result
+    equals the all-pairs ground truth the oracle computes directly
+    (lev <= 6 on >= 44-char docs implies 5-gram Jaccard ~0.88, LSH
+    miss probability ~4e-7 at 16 bands). The oracle prefilters on
+    |length diff| <= 6 (provably safe: lev >= |len_a - len_b|).
+    Spark levenshtein counts code points, DuckDB bytes — the corpus
+    is verified pure ASCII at every SF, where they agree. EXACT."""
+    from pfutil_spark.operators.dedup import fuzzy_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    return fuzzy_dedup_pairs(
+        d, "text", "doc_id", max_edits=6, min_jaccard=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _q_user_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion early warning
+    (operators/audit.py::join_skew_report): top 20 user_id keys of the
+    events self-join by exact output size left_rows * right_rows —
+    the report you run BEFORE sessionize/transition joins to find the
+    keys that need salting. Two map-side-combined aggregates + one
+    key join; the diagnosed join itself never runs. All-bigint ->
+    EXACT."""
+    from pfutil_spark.operators.audit import join_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return join_skew_report(ev, ev, "user_id", top=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -3415,6 +3447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_postings": _q_term_postings,
         "forecast_revenue": _q_forecast_revenue,
         "top_return_customers": _q_top_return_customers,
+        "fuzzy_dedup_edits": _q_fuzzy_dedup_edits,
+        "user_join_skew": _q_user_join_skew,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -4351,6 +4385,39 @@ def oracle_sql() -> dict[str, str]:
             " WHERE l_returnflag = 'R'"
             " GROUP BY c_custkey, c_name, c_mktsegment"
             " ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "fuzzy_dedup_edits": (
+            # all-pairs ground truth with the provably-safe length
+            # prefilter (lev >= |len diff|); byte-vs-codepoint
+            # levenshtein divergence is moot on the verified-ASCII
+            # corpus
+            "WITH d AS (SELECT doc_id, text, length(text) AS n"
+            "  FROM documents WHERE text IS NOT NULL"
+            "  AND length(text) >= 5),"
+            " p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "  a.text AS ta, b.text AS tb FROM d a JOIN d b"
+            "  ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= 6)"
+            " SELECT id_a, id_b,"
+            " CAST(levenshtein(ta, tb) AS BIGINT) AS edits"
+            " FROM p WHERE levenshtein(ta, tb) <= 6"
+            " ORDER BY id_a, id_b"
+        ),
+        "user_join_skew": (
+            # two pre-aggregations, full-outer key join, top-20 by
+            # exact join output size
+            "WITH l AS (SELECT user_id AS key,"
+            "  CAST(count(*) AS BIGINT) AS lr FROM events"
+            "  WHERE user_id IS NOT NULL GROUP BY 1),"
+            " r AS (SELECT user_id AS key,"
+            "  CAST(count(*) AS BIGINT) AS rr FROM events"
+            "  WHERE user_id IS NOT NULL GROUP BY 1)"
+            " SELECT coalesce(l.key, r.key) AS key,"
+            " CAST(coalesce(lr, 0) AS BIGINT) AS left_rows,"
+            " CAST(coalesce(rr, 0) AS BIGINT) AS right_rows,"
+            " CAST(coalesce(lr, 0) * coalesce(rr, 0) AS BIGINT)"
+            "  AS out_rows"
+            " FROM l FULL OUTER JOIN r ON l.key = r.key"
+            " ORDER BY out_rows DESC, key ASC LIMIT 20"
         ),
         "orders_customer_integrity": (
             # child aggregated to (fk, rows) first, LEFT join to the

@@ -30,6 +30,7 @@ from pfutil_spark.operators.funnel import (  # noqa: F401
     funnel_counts,
 )
 from pfutil_spark.operators.audit import (  # noqa: F401
+    join_skew_report,
     referential_audit,
     snapshot_diff,
     snapshot_diff_summary,

@@ -148,3 +148,49 @@ def snapshot_diff_summary(
     return statuses.join(counts, ["status"], "left").select(
         "status", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     )
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    top: int = 20,
+) -> DataFrame:
+    """Join-explosion early warning: per join key, the row count on
+    each side and the exact inner-equi-join output size
+    ``out_rows = left_rows * right_rows``, top ``top`` keys by
+    (out_rows desc, key asc) — run it BEFORE a big join to find the
+    hot keys that need salting / AQE skew handling, from two
+    aggregates instead of the join itself. NULL keys are excluded
+    (an inner equi-join never matches them); keys present on one side
+    only are kept with 0 opposite rows and out_rows 0 (they're the
+    other failure mode: a join that silently drops a source).
+
+    Plan: each side reduces to (key, rows) map-side-combined FIRST —
+    the join runs on distinct keys, the audit.referential_audit rule —
+    then one FULL OUTER key join and a top-k TakeOrdered. All-bigint
+    -> EXACT cross-engine.
+    """
+    if top < 1:
+        raise ValueError(f"top={top}: must be >= 1")
+    rk = right_key or left_key
+    l = (
+        left.filter(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("left_rows"))
+    )
+    r = (
+        right.filter(F.col(rk).isNotNull())
+        .groupBy(F.col(rk).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("right_rows"))
+    )
+    j = l.join(r, ["key"], "full_outer").select(
+        "key",
+        F.coalesce("left_rows", F.lit(0)).cast("long").alias("left_rows"),
+        F.coalesce("right_rows", F.lit(0)).cast("long").alias("right_rows"),
+        (
+            F.coalesce("left_rows", F.lit(0)) * F.coalesce("right_rows", F.lit(0))
+        ).cast("long").alias("out_rows"),
+    )
+    return j.orderBy(F.col("out_rows").desc(), F.col("key").asc()).limit(top)

@@ -782,6 +782,76 @@ def cluster_size_stats(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text: str,
+    id_col: str,
+    max_edits: int | None = None,
+) -> DataFrame:
+    """Exact Levenshtein edit distance for given (id_a, id_b) candidate
+    pairs — the character-level verify stage (the sibling of
+    :func:`ngram_jaccard_pairs`, but pure JVM codegen: Spark's builtin
+    ``levenshtein``, no Python). With ``max_edits`` set, the BANDED DP
+    runs in O(len * max_edits) instead of O(len^2) and pairs above the
+    threshold are DROPPED (Spark returns -1 for them) — the scale path
+    for long documents. Returns (id_a, id_b, edits).
+
+    Cross-engine caveat (tested): Spark counts CODE POINTS while
+    DuckDB's ``levenshtein`` counts UTF-8 BYTES — identical on ASCII
+    corpora only ('Ä'->'A' is 1 in Spark, 2 in DuckDB). The contract
+    query's corpus is verified pure ASCII at every SF.
+    """
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text).alias("__pf_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text).alias("__pf_tb"))
+    joined = pairs.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+    if max_edits is None:
+        edits = F.levenshtein("__pf_ta", "__pf_tb")
+    else:
+        if max_edits < 0:
+            raise ValueError(f"max_edits={max_edits}: must be >= 0")
+        edits = F.levenshtein("__pf_ta", "__pf_tb", max_edits)
+    out = joined.select(
+        "id_a", "id_b", edits.cast("long").alias("edits")
+    )
+    if max_edits is not None:
+        out = out.filter(F.col("edits") >= 0)
+    return out
+
+
+def fuzzy_dedup_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    max_edits: int,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    min_jaccard: float = 0.5,
+    cache: "CacheScope | None" = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs: MinHash-LSH candidate
+    generation (never all-pairs) followed by the exact banded
+    Levenshtein verify at ``max_edits`` — "same doc up to a few edits"
+    dedup, character-exact where Jaccard only bounds. Returns
+    (id_a, id_b, edits), id_a < id_b.
+
+    Recall contract: a pair at edit distance e shares all but at most
+    ``k*e`` of its character k-grams, so true near-dups at small
+    ``max_edits`` sit at high Jaccard — size ``min_jaccard`` /
+    ``bands`` so the LSH stage keeps them (the usual LSH recall
+    argument; the verify stage makes precision exact).
+    """
+    scope = cache if cache is not None else CacheScope()
+    cand = minhash_lsh_pairs(
+        df, text, id_col, num_hashes, bands, k, min_jaccard, cache=scope
+    )
+    out = edit_distance_pairs(df, cand, text, id_col, max_edits)
+    if cache is None:
+        out._pfutil_cache_scope = scope
+    return out
+
+
 def cross_source_dup_matrix(
     df: DataFrame,
     pairs: DataFrame,
