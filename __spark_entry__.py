@@ -3345,6 +3345,118 @@ def _q_user_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_skew_report(ev, ev, "user_id", top=20)
 
 
+def _q_unicode_normalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization ingest monitor
+    (functions/unicode.py::normalize_col / clean_whitespace_col): per
+    lang, code-point totals before/after NFC and whitespace cleanup,
+    plus how many raw documents NFC actually changes. To exercise the
+    normalizer on (possibly all-ASCII) synthetic text, each document is
+    decorated with a decomposed suffix ' Cafe'+U+0301+'  fin' — NFC
+    composes e+COMBINING ACUTE to a single code point (-1 per doc) and
+    the cleanup collapses the double space (-1 per doc), so the deltas
+    are structural, not data-dependent. All counts are integers; the
+    DuckDB mirror uses nfc_normalize() (same stability-guaranteed
+    UAX#15 result as Python's unicodedata) -> EXACT."""
+    from pfutil_spark.functions.unicode import clean_whitespace_col, normalize_col
+
+    d = _t(spark, sf_dir, "documents")
+    # explicit escape: e + U+0301 stays visibly DECOMPOSED (a pasted
+    # precomposed e-acute would make NFC a no-op and the test vacuous)
+    deco = F.concat(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" Cafe\u0301  fin")
+    )
+    per = d.select(
+        "lang",
+        F.length(deco).cast("long").alias("raw_len"),
+        F.length(normalize_col(deco)).cast("long").alias("nfc_len"),
+        F.length(clean_whitespace_col(deco)).cast("long").alias("clean_len"),
+        (
+            normalize_col(F.coalesce(F.col("text"), F.lit("")))
+            != F.coalesce(F.col("text"), F.lit(""))
+        )
+        .cast("long")
+        .alias("raw_changed"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("raw_len").alias("raw_chars"),
+            F.sum("nfc_len").alias("nfc_chars"),
+            F.sum("clean_len").alias("clean_chars"),
+            F.sum("raw_changed").alias("docs_nfc_changed"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped (large-volume customers): orders whose total
+    lineitem quantity exceeds 150, joined back to orders + customer,
+    top 100 by o_totalprice. The having-aggregate runs BEFORE the joins
+    (the only corpus-scale shuffle keys on l_orderkey; the survivors
+    are few, so both joins see a filtered build side). Quantity sums in
+    decimal(18,2) cast to double (the lineitem_pricing exactness
+    pattern); order (o_totalprice desc, o_orderkey asc) is a total
+    order so LIMIT is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_d"))
+        .filter(F.col("qty_d") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cst), orders.o_custkey == cst.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias(
+                "o_totalprice_d"
+            ),
+            F.col("qty_d").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice_d").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped (promotion effect): share of H1-1996 revenue
+    from parts of type 'PROMO'. Revenue terms are decimal(18,2)
+    products (scale-4 result, exact — the shipping_priority pattern),
+    summed exactly, and the final promo/total ratio is ONE division of
+    two decimal-exact doubles -> EXACT cross-engine. part is a
+    broadcast dimension; lineitem is filtered on shipdate at the scan
+    (pushed) before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01 00:00:00").cast("timestamp_ntz")
+    agg = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_frac"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -3449,6 +3561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_return_customers": _q_top_return_customers,
         "fuzzy_dedup_edits": _q_fuzzy_dedup_edits,
         "user_join_skew": _q_user_join_skew,
+        "unicode_normalization_stats": _q_unicode_normalization_stats,
+        "large_volume_customers": _q_large_volume_customers,
+        "promo_revenue": _q_promo_revenue,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -4418,6 +4533,62 @@ def oracle_sql() -> dict[str, str]:
             "  AS out_rows"
             " FROM l FULL OUTER JOIN r ON l.key = r.key"
             " ORDER BY out_rows DESC, key ASC LIMIT 20"
+        ),
+        "unicode_normalization_stats": (
+            # nfc_normalize = the same stability-guaranteed UAX#15 NFC
+            # as Python's unicodedata; chr(769) = U+0301 COMBINING
+            # ACUTE keeps the suffix visibly decomposed; whitespace
+            # class spelled explicitly (RE2 \\s has no VT) with the
+            # 'g' flag (Spark replaces all matches by default)
+            "WITH per AS (SELECT lang,"
+            "  coalesce(text, '') || ' Cafe' || chr(769) || '  fin'"
+            "   AS deco,"
+            "  coalesce(text, '') AS raw FROM documents)"
+            " SELECT lang, count(*) AS docs,"
+            " CAST(sum(length(deco)) AS BIGINT) AS raw_chars,"
+            " CAST(sum(length(nfc_normalize(deco))) AS BIGINT)"
+            "  AS nfc_chars,"
+            " CAST(sum(length(trim(regexp_replace(deco,"
+            "  '[ \\t\\n\\r\\x{000B}\\x{000C}]+', ' ', 'g'))))"
+            "  AS BIGINT) AS clean_chars,"
+            " CAST(sum(CASE WHEN nfc_normalize(raw) <> raw THEN 1"
+            "  ELSE 0 END) AS BIGINT) AS docs_nfc_changed"
+            " FROM per GROUP BY lang ORDER BY lang"
+        ),
+        "large_volume_customers": (
+            # having-aggregate before the joins; decimal-exact sums
+            # cast to double (lineitem_pricing pattern); total order
+            # (o_totalprice desc, o_orderkey asc) makes LIMIT stable
+            "WITH big AS (SELECT l_orderkey,"
+            "  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d"
+            "  FROM lineitem GROUP BY l_orderkey"
+            "  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)"
+            " SELECT c_name, c_custkey, o_orderkey,"
+            " strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,"
+            " CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)"
+            "  AS o_totalprice_d,"
+            " CAST(qty_d AS DOUBLE) AS total_qty"
+            " FROM big JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " ORDER BY o_totalprice_d DESC, o_orderkey ASC LIMIT 100"
+        ),
+        "promo_revenue": (
+            # decimal-exact revenue terms; final ratio = ONE division
+            # of two decimal-exact doubles
+            "SELECT promo_revenue, total_revenue,"
+            " promo_revenue / total_revenue AS promo_frac FROM ("
+            " SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN"
+            "   CAST(l_extendedprice AS DECIMAL(18,2))"
+            "   * (CAST(1 AS DECIMAL(18,2))"
+            "      - CAST(l_discount AS DECIMAL(18,2)))"
+            "  ELSE 0 END) AS DOUBLE) AS promo_revenue,"
+            "  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "   * (CAST(1 AS DECIMAL(18,2))"
+            "      - CAST(l_discount AS DECIMAL(18,2))))"
+            "   AS DOUBLE) AS total_revenue"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            "  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00')"
         ),
         "orders_customer_integrity": (
             # child aggregated to (fk, rows) first, LEFT join to the

@@ -7,3 +7,8 @@ from pfutil_spark.functions.layout import (  # noqa: F401
     morton_key_col,
     morton_sql_expr,
 )
+from pfutil_spark.functions.unicode import (  # noqa: F401
+    clean_whitespace_col,
+    normalize_col,
+    unicode_stats,
+)
