@@ -67,3 +67,61 @@ def write_table(
     if fmt == "csv":
         writer = writer.option("header", "true")
     writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: tuple[str, ...] | list[str],
+    num_buckets: int,
+    sort_by: tuple[str, ...] | list[str] = (),
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Persist ``df`` as a CATALOG table hash-bucketed on ``bucket_by``
+    — the shuffle-elimination layout for 100-TB fact tables. Every
+    downstream equi-join between two tables bucketed on the same keys
+    with the same ``num_buckets``, and every ``groupBy`` on the bucket
+    keys, runs with ZERO Exchange: Spark's scan reports the bucketed
+    ``HashPartitioning`` as its output partitioning, so the planner
+    drops the shuffle (plan-gated in tests/test_bucketed.py). Pay the
+    one layout shuffle at WRITE time, amortized over every query.
+
+    Sizing rule at scale: pick ``num_buckets`` so one bucket of the
+    LARGEST co-bucketed table is a few hundred MB (fits an executor
+    core's working set); co-located joins require equal bucket counts,
+    so choose once per key family. ``sort_by`` additionally orders
+    rows within each bucket file (cheaper merge-side sorts when each
+    bucket lands in one file).
+
+    Bucketing metadata lives in the session catalog (``saveAsTable``
+    is required — ``save(path)`` would silently drop the bucket spec;
+    on a real cluster the catalog is the shared metastore). Read back
+    with ``spark.table(table)``, never ``spark.read.parquet(path)``
+    (a path read loses the bucket metadata and re-shuffles).
+
+    Known limit: the SKETCH two-phase plans keep their one merge
+    Exchange even over a co-bucketed scan — the mapInArrow partial
+    stage emits new output attributes, so the scan's HashPartitioning
+    cannot propagate through the Python node (gated in
+    tests/test_bucketed.py). Bucketing buys the relational shell
+    (joins/aggs on the key family), and the sketch partial already
+    shrinks data to one row per (partition, group) before its shuffle.
+    """
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if not bucket_by:
+        raise ValueError("bucket_by must name at least one column")
+    fmt = fmt.lower()
+    if fmt not in _NATIVE:
+        raise ValueError(f"unsupported format: {fmt}")
+    writer = (
+        df.write.format(fmt)
+        .mode(mode)
+        .options(**options)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
