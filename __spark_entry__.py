@@ -3457,6 +3457,40 @@ def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.py::salted_join) graded
+    EXACTLY against the plain equi-join: orders joined to customer on
+    custkey with the top-3 hottest custkeys salted 4 ways (the
+    driver-known hot list a production job gets from
+    join_skew_report), then rolled up per nation. Salting only changes
+    PARTITIONING — the oracle is the unsalted SQL join, and all
+    outputs are bigint counts -> EXACT. The hot-key probe is a tiny
+    TakeOrdered collect (index-build precedent)."""
+    from pfutil_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    hot = [
+        r["o_custkey"]
+        for r in o.groupBy("o_custkey")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("o_custkey").asc())
+        .limit(3)
+        .collect()
+    ]
+    j = salted_join(
+        o, c, on="o_custkey", right_on="c_custkey", salt=4, hot_keys=hot
+    )
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -3564,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalization_stats": _q_unicode_normalization_stats,
         "large_volume_customers": _q_large_volume_customers,
         "promo_revenue": _q_promo_revenue,
+        "skew_salted_join": _q_skew_salted_join,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -4589,6 +4624,15 @@ def oracle_sql() -> dict[str, str]:
             " FROM lineitem JOIN part ON l_partkey = p_partkey"
             " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
             "  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00')"
+        ),
+        "skew_salted_join": (
+            # salting only changes partitioning: the oracle is the
+            # PLAIN equi-join, rolled up per nation; all-bigint EXACT
+            "SELECT c_nationkey,"
+            " CAST(count(*) AS BIGINT) AS n_orders,"
+            " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
         "orders_customer_integrity": (
             # child aggregated to (fk, rows) first, LEFT join to the

@@ -8,6 +8,7 @@ failure.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _NATIVE = {"parquet", "orc", "json", "csv"}
@@ -125,3 +126,46 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by,
+    num_files: int,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Write ``df`` range-CLUSTERED on ``cluster_by``: globally
+    range-partitioned into ``num_files`` tasks and sorted within each,
+    so every output file covers a narrow, pairwise-disjoint key range
+    (gated in tests/test_layout.py). This is the min-max data-skipping
+    layout: parquet file/row-group stats on the cluster key become
+    selective, so a later predicate on it prunes whole files instead
+    of scanning 100 TB. Pair with
+    :func:`pfutil_spark.functions.layout.morton_key_col` to make ONE
+    clustered axis serve TWO pruning dimensions (OPTIMIZE ZORDER).
+
+    Cost: one range Exchange (plus Spark's tiny boundary-sampling
+    pass) at write time — the same pay-once-at-layout trade as
+    :func:`write_bucketed_table`, but for RANGE predicates where
+    hash bucketing can't skip. ``cluster_by`` takes column names or
+    Column expressions (a Morton key is an expression). Range
+    partitioning keeps every occurrence of a key value in one file;
+    skew in the cluster key shows up as file-size skew, not wrong
+    ranges. ``num_files`` sizing at scale: total bytes / ~512 MB.
+    """
+    if num_files <= 0:
+        raise ValueError(f"num_files must be positive, got {num_files}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in cluster_by]
+    if not cols:
+        raise ValueError("cluster_by must name at least one column/expr")
+    fmt = fmt.lower()
+    if fmt not in _NATIVE:
+        raise ValueError(f"unsupported format: {fmt}")
+    out = df.repartitionByRange(num_files, *cols).sortWithinPartitions(*cols)
+    writer = out.write.format(fmt).mode(mode).options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)

@@ -87,3 +87,79 @@ def test_morton_plan_no_python(spark, sf_dir):
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "Python" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# write_clustered: the layout writer the morton key feeds
+# ---------------------------------------------------------------------------
+
+def test_write_clustered_files_cover_disjoint_ranges(spark, tmp_path):
+    from pfutil_spark.sources.io import write_clustered
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 10007).alias("k"),
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, cluster_by=["k"], num_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    # per-FILE key ranges are pairwise disjoint: every occurrence of a
+    # key value lands in exactly one file (range partitioner property),
+    # which is what makes min-max skipping selective
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) == 8
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 < lo2
+    # and the data is unchanged — clustering is layout, not semantics
+    got = sorted((r["k"], r["v"]) for r in back.collect())
+    want = sorted((r["k"], r["v"]) for r in df.collect())
+    assert got == want
+
+
+def test_write_clustered_accepts_morton_expression(spark, tmp_path):
+    from pfutil_spark.functions.layout import morton_key_col
+    from pfutil_spark.sources.io import write_clustered
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "zordered")
+    write_clustered(
+        df, out, cluster_by=[morton_key_col("x", "y", bits=6)], num_files=4
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    # per-file MORTON ranges are disjoint even though neither x nor y
+    # alone is sorted — the z-order property the layout buys
+    z = morton_key_col("x", "y", bits=6).alias("z")
+    ranges = (
+        back.select("*", z)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) == 4
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 < lo2
+
+
+def test_write_clustered_validation(spark, tmp_path):
+    from pfutil_spark.sources.io import write_clustered
+
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="num_files"):
+        write_clustered(df, str(tmp_path / "x"), ["k"], num_files=0)
+    with pytest.raises(ValueError, match="cluster_by"):
+        write_clustered(df, str(tmp_path / "x"), [], num_files=2)
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_clustered(df, str(tmp_path / "x"), ["k"], 2, fmt="avro")
