@@ -3491,6 +3491,38 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py::pagerank, 3 rounds,
+    damping 85%) over the symmetrized part co-purchase graph (the
+    copurchase_triangles edge set, dedup'd then mirrored). ALL-BIGINT
+    fixed-point arithmetic makes the iterative result bit-identical
+    across engines and partitionings, so the oracle is the literal
+    3x-unrolled CTE of the same update rule — EXACT, no tolerance.
+    Top 20 parts by (rank desc, node) total order."""
+    from pfutil_spark.operators.graph import pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    pr = pagerank(edges, "src", "dst", iters=3, damping_pct=85)
+    return pr.orderBy(F.col("rank_scaled").desc(), "node").limit(20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact, DuckDB-oracled
@@ -3599,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": _q_large_volume_customers,
         "promo_revenue": _q_promo_revenue,
         "skew_salted_join": _q_skew_salted_join,
+        "part_pagerank": _q_part_pagerank,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -4633,6 +4666,58 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "part_pagerank": (
+            # literal 3x unroll of the integer fixed-point update rule
+            # (scale 1e12, damping 85/100, contrib = r // outdeg); the
+            # symmetrized graph has no dangling nodes so the operator's
+            # dang term is exactly 0 and the oracle omits it. All
+            # bigint -> order-independent sums -> EXACT.
+            "WITH pairs AS ("
+            " SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b"
+            " FROM lineitem x JOIN lineitem y"
+            "  ON x.l_orderkey = y.l_orderkey"
+            "  AND x.l_partkey < y.l_partkey"
+            " WHERE x.l_orderkey IS NOT NULL"
+            "  AND x.l_partkey IS NOT NULL AND y.l_partkey IS NOT NULL),"
+            " e AS (SELECT a, b FROM pairs"
+            "  UNION ALL SELECT b AS a, a AS b FROM pairs),"
+            " nodes AS (SELECT DISTINCT a AS node FROM e),"
+            " cnt AS (SELECT count(*) AS n FROM nodes),"
+            " od AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d"
+            "  FROM e GROUP BY a),"
+            " r0 AS (SELECT node,"
+            "  CAST(1000000000000 // c.n AS BIGINT) AS r"
+            "  FROM nodes CROSS JOIN cnt c),"
+            " s1 AS (SELECT e.b AS node,"
+            "  CAST(sum(r.r // od.d) AS BIGINT) AS inc"
+            "  FROM e JOIN r0 r ON e.a = r.node"
+            "  JOIN od ON od.node = e.a GROUP BY e.b),"
+            " i1 AS (SELECT n.node,"
+            "  CAST((15 * (1000000000000 // c.n)) // 100"
+            "   + (85 * COALESCE(s1.inc, 0)) // 100 AS BIGINT) AS r"
+            "  FROM nodes n CROSS JOIN cnt c"
+            "  LEFT JOIN s1 ON s1.node = n.node),"
+            " s2 AS (SELECT e.b AS node,"
+            "  CAST(sum(r.r // od.d) AS BIGINT) AS inc"
+            "  FROM e JOIN i1 r ON e.a = r.node"
+            "  JOIN od ON od.node = e.a GROUP BY e.b),"
+            " i2 AS (SELECT n.node,"
+            "  CAST((15 * (1000000000000 // c.n)) // 100"
+            "   + (85 * COALESCE(s2.inc, 0)) // 100 AS BIGINT) AS r"
+            "  FROM nodes n CROSS JOIN cnt c"
+            "  LEFT JOIN s2 ON s2.node = n.node),"
+            " s3 AS (SELECT e.b AS node,"
+            "  CAST(sum(r.r // od.d) AS BIGINT) AS inc"
+            "  FROM e JOIN i2 r ON e.a = r.node"
+            "  JOIN od ON od.node = e.a GROUP BY e.b),"
+            " i3 AS (SELECT n.node,"
+            "  CAST((15 * (1000000000000 // c.n)) // 100"
+            "   + (85 * COALESCE(s3.inc, 0)) // 100 AS BIGINT) AS r"
+            "  FROM nodes n CROSS JOIN cnt c"
+            "  LEFT JOIN s3 ON s3.node = n.node)"
+            " SELECT node, r AS rank_scaled FROM i3"
+            " ORDER BY r DESC, node LIMIT 20"
         ),
         "orders_customer_integrity": (
             # child aggregated to (fk, rows) first, LEFT join to the

@@ -61,6 +61,9 @@ from pfutil_spark.operators.rangejoin import (  # noqa: F401
 from pfutil_spark.operators.skew import (  # noqa: F401
     salted_join,
 )
+from pfutil_spark.operators.graph import (  # noqa: F401
+    pagerank,
+)
 from pfutil_spark.operators.spans import (  # noqa: F401
     repeated_spans,
     span_coverage,

@@ -1,0 +1,103 @@
+"""pagerank gates: bit-identical to a pure-python integer reference of
+the same fixed-point rule, invariant under repartitioning (integer sums
+are order-free), dangling mass re-spread, multi-edge votes, validation."""
+
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from pfutil_spark.operators.graph import pagerank
+
+
+def ref_pagerank(edges, iters=3, d=85, scale=10**12):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    od = Counter(a for a, _ in edges)
+    r = {v: scale // n for v in nodes}
+    base = ((100 - d) * (scale // n)) // 100
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if od[v] == 0) // n
+        inc = defaultdict(int)
+        for a, b in edges:
+            inc[b] += r[a] // od[a]
+        r = {v: base + (d * (inc[v] + dang)) // 100 for v in nodes}
+    return r
+
+
+EDGES = [
+    (1, 2), (2, 1), (2, 3), (3, 1), (4, 3), (4, 1), (1, 4),
+    (5, 1),            # 5 has no in-links
+    (6, 7), (7, 6),    # separate component
+    (1, 8),            # 8 is dangling (no out-edges)
+]
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank(df, **kw)
+    return {r["node"]: r["rank_scaled"] for r in out.collect()}
+
+
+def test_matches_integer_reference(spark):
+    got = _run(spark, EDGES, iters=4)
+    assert got == ref_pagerank(EDGES, iters=4)
+
+
+def test_dangling_mass_is_respread(spark):
+    # node 8 receives rank but has no out-edges; its mass must come
+    # back into circulation — with dang dropped, total mass would decay
+    # by r[8] every round
+    got = _run(spark, EDGES, iters=3)
+    ref = ref_pagerank(EDGES, iters=3)
+    assert got == ref
+    total = sum(got.values())
+    # mass conserved up to deterministic floor dust
+    assert abs(total - 10**12) < 100 * (len(EDGES) + len(got) + 2)
+
+
+def test_partitioning_invariance(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    a = pagerank(df.repartition(1), iters=3)
+    b = pagerank(df.repartition(7, "dst"), iters=3)
+    ra = {r["node"]: r["rank_scaled"] for r in a.collect()}
+    rb = {r["node"]: r["rank_scaled"] for r in b.collect()}
+    assert ra == rb
+
+
+def test_multi_edges_count_as_repeated_votes(spark):
+    simple = [(1, 2), (2, 1), (1, 3), (3, 1)]
+    doubled = simple + [(1, 2)]  # 1 votes twice for 2
+    rs = _run(spark, simple, iters=3)
+    rd = _run(spark, doubled, iters=3)
+    assert rd == ref_pagerank(doubled, iters=3)
+    assert rd[2] > rs[2]
+
+
+def test_hub_outranks_leaves(spark):
+    star = [(i, 99) for i in range(10)] + [(99, i) for i in range(10)]
+    got = _run(spark, star, iters=5)
+    assert got[99] == max(got.values())
+    assert got == ref_pagerank(star, iters=5)
+
+
+def test_string_nodes_work(spark):
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r["rank_scaled"] for r in pagerank(df, iters=2).collect()}
+    assert out == ref_pagerank(edges, iters=2)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(df, damping_pct=100)
+    with pytest.raises(ValueError, match="scale"):
+        pagerank(df, scale=10)
+    with pytest.raises(ValueError, match="edge column"):
+        pagerank(df, src="nope")
+    nulls = spark.createDataFrame([(1, None)], "src long, dst long")
+    with pytest.raises(ValueError, match="NULL endpoints"):
+        pagerank(nulls)
