@@ -3491,6 +3491,37 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped (order priority checking): orders placed in
+    1996-H1 with at least one lineitem shipped more than 60 days after
+    the order date, counted per priority. EXISTS compiles to a
+    LEFT-SEMI join — each order is counted ONCE however many lineitems
+    are late (a plain inner join would inflate counts). The
+    correlated date predicate rides the semi-join condition. Naive
+    timestamp + day arithmetic both engines (the temporal-drift
+    lesson: never cast TIMESTAMP_NTZ through session-tz). All-bigint
+    counts -> EXACT."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01 00:00:00").cast("timestamp_ntz")
+    ow = o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    late = ow.join(
+        li,
+        (ow.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > F.timestamp_add("DAY", F.lit(60), ow.o_orderdate)
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def _q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py::pagerank, 3 rounds,
     damping 85%) over the symmetrized part co-purchase graph (the
@@ -3632,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": _q_promo_revenue,
         "skew_salted_join": _q_skew_salted_join,
         "part_pagerank": _q_part_pagerank,
+        "late_shipment_priority": _q_late_shipment_priority,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -4666,6 +4698,20 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "late_shipment_priority": (
+            # EXISTS = semi-join: each order counted once; naive
+            # timestamp + INTERVAL day arithmetic matches Spark's
+            # timestamp_add on TIMESTAMP_NTZ
+            "SELECT o_orderpriority,"
+            " CAST(count(*) AS BIGINT) AS n_late_orders"
+            " FROM orders o"
+            " WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            " AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'"
+            " AND EXISTS (SELECT 1 FROM lineitem l"
+            "  WHERE l.l_orderkey = o.o_orderkey"
+            "  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
+            " GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         "part_pagerank": (
             # literal 3x unroll of the integer fixed-point update rule

@@ -215,3 +215,22 @@ def test_shipping_window_activity_banded_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_late_shipment_priority_is_semi_join(spark):
+    df = entry_mod._q_late_shipment_priority(spark, SF)
+    plan = plan_of(df, "simple")
+    # EXISTS must stay a LeftSemi (one count per order however many
+    # lineitems are late) with the correlated date conjunct riding the
+    # join, never a row-inflating inner join or a nested loop
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_skew_salted_join_stays_equi_join(spark):
+    df = entry_mod._q_skew_salted_join(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
