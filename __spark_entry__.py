@@ -3491,6 +3491,39 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped (global sales opportunity): LAPSED customers —
+    above-threshold account balance and no order since 2000-01-01 —
+    counted per market segment with their total balance. NOT EXISTS
+    compiles to a LEFT-ANTI join against the (date-filtered, pushed to
+    the scan) orders fact — the complement of the referential audit.
+    The balance sum is decimal-exact (acctbal has 2 fixed decimals)
+    cast to double -> EXACT; the threshold is a literal so no
+    cross-engine float aggregate sits in the predicate."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    idle = c.filter(F.col("c_acctbal") > 5000.0).join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_idle"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("idle_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-shaped (order priority checking): orders placed in
     1996-H1 with at least one lineitem shipped more than 60 days after
@@ -3522,16 +3555,12 @@ def _q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-exact PageRank (operators/graph.py::pagerank, 3 rounds,
-    damping 85%) over the symmetrized part co-purchase graph (the
-    copurchase_triangles edge set, dedup'd then mirrored). ALL-BIGINT
-    fixed-point arithmetic makes the iterative result bit-identical
-    across engines and partitionings, so the oracle is the literal
-    3x-unrolled CTE of the same update rule — EXACT, no tolerance.
-    Top 20 parts by (rank desc, node) total order."""
-    from pfutil_spark.operators.graph import pagerank
-
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized DISTINCT part co-purchase edge set (src, dst):
+    parts are adjacent when some order contains both (the
+    copurchase_triangles pair builder, dedup'd then mirrored).
+    Shared by the part_pagerank / part_reachability graph queries;
+    SQL mirror: _COPURCHASE_E_CTE."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -3547,11 +3576,56 @@ def _q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
     )
-    edges = pairs.select(
+    return pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+def _q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py::pagerank, 3 rounds,
+    damping 85%) over the symmetrized part co-purchase graph. ALL-
+    BIGINT fixed-point arithmetic makes the iterative result bit-
+    identical across engines and partitionings, so the oracle is the
+    literal 3x-unrolled CTE of the same update rule — EXACT, no
+    tolerance. Top 20 parts by (rank desc, node) total order."""
+    from pfutil_spark.operators.graph import pagerank
+
+    edges = _copurchase_edges(spark, sf_dir)
     pr = pagerank(edges, "src", "dst", iters=3, damping_pct=85)
     return pr.orderBy(F.col("rank_scaled").desc(), "node").limit(20)
+
+
+def _q_part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance profile (operators/graph.py::bfs_distances):
+    from the parts of the FIRST order (min l_orderkey — an in-plan
+    broadcast scalar, no driver collect) over the co-purchase graph,
+    label every part within 2 hops with its MIN distance, then report
+    per-hop (n_nodes, min_node, max_node). Frontier expansion visits
+    each node once (O(edges), not O(paths)); the oracle is a DuckDB
+    recursive CTE taking min(d) over path depths — same answer, the
+    path-enumerating formulation BFS avoids. All-bigint -> EXACT."""
+    from pfutil_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(spark, sf_dir)
+    srcs = (
+        li.join(
+            F.broadcast(li.agg(F.min("l_orderkey").alias("__pf_mk"))),
+            F.col("l_orderkey") == F.col("__pf_mk"),
+        )
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    d = bfs_distances(edges, srcs, max_hops=2)
+    return (
+        d.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3663,7 +3737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": _q_promo_revenue,
         "skew_salted_join": _q_skew_salted_join,
         "part_pagerank": _q_part_pagerank,
+        "part_reachability": _q_part_reachability,
         "late_shipment_priority": _q_late_shipment_priority,
+        "idle_customers": _q_idle_customers,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -3692,6 +3768,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dump_restore_roundtrip": _q_dump_restore_roundtrip,
         "sql_surface": _q_sql_surface,
     }
+
+
+# SQL mirror of _copurchase_edges (shared by the part_pagerank /
+# part_reachability oracles): distinct a<b co-purchase pairs, then
+# symmetrized into directed edge list e(a, b).
+_COPURCHASE_E_CTE = (
+    "pairs AS ("
+    " SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b"
+    " FROM lineitem x JOIN lineitem y"
+    "  ON x.l_orderkey = y.l_orderkey"
+    "  AND x.l_partkey < y.l_partkey"
+    " WHERE x.l_orderkey IS NOT NULL"
+    "  AND x.l_partkey IS NOT NULL AND y.l_partkey IS NOT NULL),"
+    " e AS (SELECT a, b FROM pairs"
+    "  UNION ALL SELECT b AS a, a AS b FROM pairs)"
+)
 
 
 # Recursive-CTE mirror of the near-dup CLUSTER pipeline (shared by the
@@ -4699,6 +4791,20 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
+        "idle_customers": (
+            # NOT EXISTS over the date-filtered fact = anti-join;
+            # decimal-exact balance sum
+            "SELECT c_mktsegment,"
+            " CAST(count(*) AS BIGINT) AS n_idle,"
+            " CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)"
+            "  AS idle_balance"
+            " FROM customer c"
+            " WHERE c.c_acctbal > 5000.0"
+            " AND NOT EXISTS (SELECT 1 FROM orders o"
+            "  WHERE o.o_custkey = c.c_custkey"
+            "  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')"
+            " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
         "late_shipment_priority": (
             # EXISTS = semi-join: each order counted once; naive
             # timestamp + INTERVAL day arithmetic matches Spark's
@@ -4713,21 +4819,34 @@ def oracle_sql() -> dict[str, str]:
             "  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
             " GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
+        "part_reachability": (
+            # recursive CTE enumerates (node, depth) pairs capped at 2
+            # hops; min(d) per node = BFS distance. UNION dedups
+            # repeated (node, depth) rows so it terminates; the
+            # operator's frontier expansion computes the same min
+            # without enumerating paths. All-bigint -> EXACT.
+            f"WITH RECURSIVE {_COPURCHASE_E_CTE},"
+            " srcs AS (SELECT DISTINCT l_partkey AS node FROM lineitem"
+            "  WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)),"
+            " reach(node, d) AS ("
+            "  SELECT node, 0 FROM srcs"
+            "  UNION"
+            "  SELECT e.b, reach.d + 1 FROM reach"
+            "  JOIN e ON e.a = reach.node WHERE reach.d < 2),"
+            " md AS (SELECT node, min(d) AS dist FROM reach GROUP BY node)"
+            " SELECT CAST(dist AS BIGINT) AS dist,"
+            " CAST(count(*) AS BIGINT) AS n_nodes,"
+            " CAST(min(node) AS BIGINT) AS min_node,"
+            " CAST(max(node) AS BIGINT) AS max_node"
+            " FROM md GROUP BY dist ORDER BY dist"
+        ),
         "part_pagerank": (
             # literal 3x unroll of the integer fixed-point update rule
             # (scale 1e12, damping 85/100, contrib = r // outdeg); the
             # symmetrized graph has no dangling nodes so the operator's
             # dang term is exactly 0 and the oracle omits it. All
             # bigint -> order-independent sums -> EXACT.
-            "WITH pairs AS ("
-            " SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b"
-            " FROM lineitem x JOIN lineitem y"
-            "  ON x.l_orderkey = y.l_orderkey"
-            "  AND x.l_partkey < y.l_partkey"
-            " WHERE x.l_orderkey IS NOT NULL"
-            "  AND x.l_partkey IS NOT NULL AND y.l_partkey IS NOT NULL),"
-            " e AS (SELECT a, b FROM pairs"
-            "  UNION ALL SELECT b AS a, a AS b FROM pairs),"
+            f"WITH {_COPURCHASE_E_CTE},"
             " nodes AS (SELECT DISTINCT a AS node FROM e),"
             " cnt AS (SELECT count(*) AS n FROM nodes),"
             " od AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d"

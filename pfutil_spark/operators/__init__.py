@@ -62,6 +62,7 @@ from pfutil_spark.operators.skew import (  # noqa: F401
     salted_join,
 )
 from pfutil_spark.operators.graph import (  # noqa: F401
+    bfs_distances,
     pagerank,
 )
 from pfutil_spark.operators.spans import (  # noqa: F401

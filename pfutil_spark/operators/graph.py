@@ -124,3 +124,58 @@ def pagerank(
             .localCheckpoint()
         )
     return r.select(F.col(_NODE), F.col(_R).alias("rank_scaled"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum hop distance from a source set, breadth-first: returns
+    ``(node, dist)`` for every node reachable within ``max_hops``
+    directed hops (sources themselves at dist 0 — a source stays 0
+    even if also reachable later; min-distance semantics). ``sources``
+    must have a single column named ``node``; duplicate sources are
+    deduplicated.
+
+    Shape per round: frontier x edges equi-join -> distinct -> anti-
+    join against everything already labeled (each node is expanded
+    exactly ONCE, so total work is O(|E reached|), not O(paths) — the
+    reason BFS frontier expansion beats path-enumerating transitive
+    closure on dense graphs). One ``localCheckpoint`` + one empty-check
+    action per round cut lineage and stop early when the frontier
+    drains. All-integer output -> EXACT recursive-CTE oracles.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops={max_hops}: must be >= 0")
+    if list(sources.columns) != [_NODE]:
+        raise ValueError(
+            f"sources must have exactly one column named {_NODE!r}, "
+            f"got {sources.columns}"
+        )
+    for c in (src, dst):
+        if c not in edges.columns:
+            raise ValueError(f"edge column {c!r} not in {edges.columns}")
+
+    e = edges.select(
+        F.col(src).alias(_SRC), F.col(dst).alias(_DST)
+    ).localCheckpoint()
+    frontier = sources.distinct().localCheckpoint()
+    dist = frontier.withColumn("dist", F.lit(0).cast("long"))
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier[_NODE] == e[_SRC])
+            .select(F.col(_DST).alias(_NODE))
+            .distinct()
+            .join(dist.select(_NODE), [_NODE], "left_anti")
+            .localCheckpoint()
+        )
+        if not nxt.limit(1).count():
+            break
+        dist = dist.unionByName(
+            nxt.withColumn("dist", F.lit(h).cast("long"))
+        ).localCheckpoint()
+        frontier = nxt
+    return dist

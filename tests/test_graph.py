@@ -101,3 +101,73 @@ def test_validation(spark):
     nulls = spark.createDataFrame([(1, None)], "src long, dst long")
     with pytest.raises(ValueError, match="NULL endpoints"):
         pagerank(nulls)
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances
+# ---------------------------------------------------------------------------
+
+def ref_bfs(edges, sources, max_hops):
+    out = {}
+    frontier = set(sources)
+    for s in frontier:
+        out[s] = 0
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for v in frontier:
+            nxt |= adj[v]
+        nxt -= out.keys()
+        if not nxt:
+            break
+        for v in nxt:
+            out[v] = h
+        frontier = nxt
+    return out
+
+
+def _bfs(spark, edges, sources, max_hops):
+    from pfutil_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    got = bfs_distances(e, s, max_hops=max_hops)
+    return {r["node"]: r["dist"] for r in got.collect()}
+
+
+def test_bfs_matches_reference(spark):
+    got = _bfs(spark, EDGES, [5], max_hops=4)
+    assert got == ref_bfs(EDGES, [5], 4)
+    assert got[5] == 0 and got[1] == 1
+
+
+def test_bfs_min_distance_and_unreachable(spark):
+    # node 6/7 form a separate component: absent from the result;
+    # node 1 is reachable many ways: labeled at its MIN distance
+    got = _bfs(spark, EDGES, [4], max_hops=10)
+    ref = ref_bfs(EDGES, [4], 10)
+    assert got == ref
+    assert 6 not in got and 7 not in got
+    assert got[1] == 1 and got[3] == 1 and got[2] == 2
+
+
+def test_bfs_early_stop_and_zero_hops(spark):
+    # max_hops larger than the diameter: loop stops when drained
+    got = _bfs(spark, [(1, 2), (2, 3)], [1], max_hops=100)
+    assert got == {1: 0, 2: 1, 3: 2}
+    assert _bfs(spark, [(1, 2)], [1, 2, 2], max_hops=0) == {1: 0, 2: 0}
+
+
+def test_bfs_validation(spark):
+    from pfutil_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_distances(e, s, max_hops=-1)
+    with pytest.raises(ValueError, match="sources must have"):
+        bfs_distances(e, e, max_hops=1)
+    with pytest.raises(ValueError, match="edge column"):
+        bfs_distances(e, s, src="nope")
