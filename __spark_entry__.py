@@ -3491,6 +3491,22 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session journeys (operators/funnel.py::session_paths):
+    gap-sessionized (30 min) event streams read off as each session's
+    first 8 event types in (ts, event_id) total order, counted per
+    path string, top 20 by (n_sessions desc, path). The in-row
+    array_sort/slice/array_join keeps path building out of a second
+    window pass; the oracle mirrors with row_number + ordered
+    string_agg over the same sessionization CTE. EXACT."""
+    from pfutil_spark.operators.funnel import session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return session_paths(
+        ev, gap_seconds=1800, max_steps=8, top=20, tiebreak=("event_id",)
+    )
+
+
 def _q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped (global sales opportunity): LAPSED customers —
     above-threshold account balance and no order since 2000-01-01 —
@@ -3740,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_reachability": _q_part_reachability,
         "late_shipment_priority": _q_late_shipment_priority,
         "idle_customers": _q_idle_customers,
+        "top_session_paths": _q_top_session_paths,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -4790,6 +4807,31 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "top_session_paths": (
+            # same sessionization CTE as the `sessionize` oracle, then
+            # row_number truncation + ordered string_agg per session
+            "WITH s AS (SELECT user_id, event_type, ts, event_id,"
+            " sum(is_new) OVER (PARTITION BY user_id"
+            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+            "  AS session_id FROM ("
+            " SELECT user_id, event_type, ts, event_id,"
+            "  CASE WHEN lag(ts) OVER (PARTITION BY user_id"
+            "    ORDER BY ts, event_id) IS NULL"
+            "   OR epoch(ts) - epoch(lag(ts) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id)) > 1800"
+            "  THEN 1 ELSE 0 END AS is_new FROM events"
+            "  WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+            "   AND event_type IS NOT NULL AND event_id IS NOT NULL)),"
+            " r AS (SELECT user_id, session_id, event_type, ts, event_id,"
+            "  row_number() OVER (PARTITION BY user_id, session_id"
+            "   ORDER BY ts, event_id) AS rn FROM s),"
+            " p AS (SELECT user_id, session_id,"
+            "  string_agg(event_type, '>' ORDER BY ts, event_id) AS path"
+            "  FROM r WHERE rn <= 8 GROUP BY user_id, session_id)"
+            " SELECT path, CAST(count(*) AS BIGINT) AS n_sessions"
+            " FROM p GROUP BY path"
+            " ORDER BY n_sessions DESC, path LIMIT 20"
         ),
         "idle_customers": (
             # NOT EXISTS over the date-filtered fact = anti-join;

@@ -28,6 +28,7 @@ from pfutil_spark.operators.curation import (  # noqa: F401
 from pfutil_spark.operators.funnel import (  # noqa: F401
     event_transitions,
     funnel_counts,
+    session_paths,
 )
 from pfutil_spark.operators.audit import (  # noqa: F401
     join_skew_report,

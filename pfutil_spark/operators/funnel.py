@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["funnel_counts", "event_transitions"]
+__all__ = ["funnel_counts", "event_transitions", "session_paths"]
 
 
 def funnel_counts(
@@ -150,4 +150,73 @@ def event_transitions(
         "n_transitions",
         tot.cast("long").alias("from_total"),
         (F.col("n_transitions") / tot).alias("frac"),
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    ts: str = "ts",
+    user: str = "user_id",
+    step: str = "event_type",
+    gap_seconds: int = 1800,
+    max_steps: int = 8,
+    top: int = 20,
+    sep: str = ">",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Top session journeys: gap-sessionize the event stream, read off
+    each session's first ``max_steps`` step names in (ts, tiebreak)
+    order, and count sessions per path string. Returns
+    ``(path, n_sessions)``, top ``top`` by (n_sessions desc, path asc)
+    — the "what do users actually do" report.
+
+    Ordering is made TOTAL by ``tiebreak`` (a unique event id) —
+    without it, same-timestamp events would make the path
+    nondeterministic across partitionings and engines. Rows with a
+    NULL timestamp, user, tiebreak, or step are dropped up front
+    (NULL ordering is the one place engines disagree; an event with
+    no timestamp has no position in a journey anyway).
+
+    Plan: sessionize is pure window codegen over one (user)-partitioned
+    sort; the per-session path is ONE groupBy collecting (ts, tiebreak,
+    step) structs, sorted and truncated INSIDE the row (array_sort /
+    slice / array_join — no second window pass); then a count per path
+    and a TakeOrdered top-k. Two shuffles total (user sort reused by
+    the groupBy when keys align, else 3), no Python. A step name
+    containing ``sep`` cannot be distinguished from a boundary in the
+    output string — both engines render identically so parity holds;
+    pick ``sep`` outside the step alphabet for human use.
+    """
+    from pfutil_spark.operators.asof import sessionize
+
+    if max_steps < 1:
+        raise ValueError(f"max_steps={max_steps}: must be >= 1")
+    if top < 1:
+        raise ValueError(f"top={top}: must be >= 1")
+    for c in (ts, user, step, *tiebreak):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in {df.columns}")
+    keep = F.col(ts).isNotNull() & F.col(user).isNotNull() & F.col(
+        step
+    ).isNotNull()
+    for c in tiebreak:
+        keep = keep & F.col(c).isNotNull()
+    s = sessionize(
+        df.filter(keep), ts, [user], gap_seconds, tiebreak=tiebreak
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(ts, *tiebreak, F.col(step).alias("__pf_s")))
+    )
+    path = F.array_join(
+        F.slice(
+            F.transform(ordered, lambda x: x["__pf_s"]), 1, max_steps
+        ),
+        sep,
+    ).alias("path")
+    per_session = s.groupBy(user, "session_id").agg(path)
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top)
     )

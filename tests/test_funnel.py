@@ -104,3 +104,84 @@ def test_step_names_with_quotes_are_data_not_syntax(spark):
     rows = {r["step"]: r["n_users"]
             for r in funnel_counts(df, ["don't", "o'k"]).collect()}
     assert rows == {"don't": 1, "o'k": 1}
+
+
+# ---------------------------------------------------------------------------
+# session_paths
+# ---------------------------------------------------------------------------
+
+def _pev(spark, rows):
+    # (user, type, minute, event_id)
+    return spark.createDataFrame(
+        [
+            (u, t, dt.datetime(2024, 1, 1, 0, m, 0), e)
+            for (u, t, m, e) in rows
+        ],
+        "user_id long, event_type string, ts timestamp_ntz, event_id long",
+    )
+
+
+def test_session_paths_known(spark):
+    from pfutil_spark.operators.funnel import session_paths
+
+    df = _pev(
+        spark,
+        [
+            # user 1, session A: view > click (1-min apart)
+            (1, "view", 0, 1), (1, "click", 1, 2),
+            # user 1, session B after a 40-min gap: view > click again
+            (1, "view", 45, 3), (1, "click", 46, 4),
+            # user 2: view > click in one session
+            (2, "view", 0, 5), (2, "click", 2, 6),
+            # user 3: lone purchase
+            (3, "purchase", 0, 7),
+        ],
+    )
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(df, gap_seconds=1800).collect()
+    }
+    assert got == {"view>click": 3, "purchase": 1}
+
+
+def test_session_paths_ties_and_truncation(spark):
+    from pfutil_spark.operators.funnel import session_paths
+
+    # two events at the SAME timestamp: event_id tiebreak fixes order;
+    # max_steps truncates the long session
+    df = _pev(
+        spark,
+        [
+            (1, "b", 0, 2), (1, "a", 0, 1), (1, "c", 1, 3), (1, "d", 2, 4),
+        ],
+    )
+    got = session_paths(df, max_steps=3).collect()
+    assert [(r["path"], r["n_sessions"]) for r in got] == [("a>b>c", 1)]
+
+
+def test_session_paths_null_rows_dropped(spark):
+    from pfutil_spark.operators.funnel import session_paths
+
+    df = spark.createDataFrame(
+        [
+            (1, "view", dt.datetime(2024, 1, 1), 1),
+            (1, None, dt.datetime(2024, 1, 1, 0, 1), 2),
+            (1, "click", None, 3),
+            (None, "view", dt.datetime(2024, 1, 1), 4),
+        ],
+        "user_id long, event_type string, ts timestamp_ntz, event_id long",
+    )
+    got = session_paths(df).collect()
+    assert [(r["path"], r["n_sessions"]) for r in got] == [("view", 1)]
+
+
+def test_session_paths_validation(spark):
+    from pfutil_spark.operators.funnel import session_paths
+
+    df = _pev(spark, [(1, "a", 0, 1)])
+    with pytest.raises(ValueError, match="max_steps"):
+        session_paths(df, max_steps=0)
+    with pytest.raises(ValueError, match="top"):
+        session_paths(df, top=0)
+    with pytest.raises(ValueError, match="column"):
+        session_paths(df, step="nope")
