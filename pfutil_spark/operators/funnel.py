@@ -207,9 +207,11 @@ def session_paths(
     ordered = F.array_sort(
         F.collect_list(F.struct(ts, *tiebreak, F.col(step).alias("__pf_s")))
     )
+    # slice BEFORE transform: the sort already ordered the full array,
+    # so only the kept max_steps elements need the lambda pass
     path = F.array_join(
-        F.slice(
-            F.transform(ordered, lambda x: x["__pf_s"]), 1, max_steps
+        F.transform(
+            F.slice(ordered, 1, max_steps), lambda x: x["__pf_s"]
         ),
         sep,
     ).alias("path")

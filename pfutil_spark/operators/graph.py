@@ -162,6 +162,13 @@ def bfs_distances(
     e = edges.select(
         F.col(src).alias(_SRC), F.col(dst).alias(_DST)
     ).localCheckpoint()
+    # same contract as pagerank: a NULL endpoint is a data bug. Without
+    # this, a NULL dst would survive the left_anti dedup (null-unsafe
+    # equality never matches) and surface as a phantom reachable node.
+    if e.filter(F.col(_SRC).isNull() | F.col(_DST).isNull()).limit(1).count():
+        raise ValueError("edges contain NULL endpoints")
+    if sources.filter(F.col(_NODE).isNull()).limit(1).count():
+        raise ValueError("sources contain NULL nodes")
     frontier = sources.distinct().localCheckpoint()
     dist = frontier.withColumn("dist", F.lit(0).cast("long"))
     for h in range(1, max_hops + 1):

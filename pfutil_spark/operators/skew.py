@@ -74,29 +74,34 @@ def salted_join(
         raise ValueError(f"left key {on!r} not in {left.columns}")
     if rk not in right.columns:
         raise ValueError(f"right key {rk!r} not in {right.columns}")
-    for c in (_SALT,):
-        if c in left.columns or c in right.columns:
-            raise ValueError(f"reserved column name {c!r} present in input")
+    if _SALT in left.columns or _SALT in right.columns:
+        raise ValueError(f"reserved column name {_SALT!r} present in input")
     salt_cols = list(salt_on) if salt_on is not None else list(left.columns)
+    if not salt_cols:
+        raise ValueError(
+            "salt_on is empty: a constant salt defeats the spread — "
+            "pass None to hash all left columns"
+        )
     missing = [c for c in salt_cols if c not in left.columns]
     if missing:
         raise ValueError(f"salt_on columns {missing} not in left frame")
+    hk = list(hot_keys) if hot_keys is not None else None
 
     salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt))
-    if hot_keys is not None:
-        if len(list(hot_keys)) == 0:
+    if hk is not None:
+        if not hk:
             raise ValueError("hot_keys is empty: pass None to salt all keys")
-        is_hot_l = F.coalesce(F.col(on).isin(list(hot_keys)), F.lit(False))
+        is_hot_l = F.coalesce(F.col(on).isin(hk), F.lit(False))
         salt_expr = F.when(is_hot_l, salt_expr).otherwise(F.lit(0))
     l2 = left.withColumn(_SALT, salt_expr.cast("int"))
 
     replicas = F.explode(
         F.sequence(F.lit(0), F.lit(salt - 1))
     ).alias(_SALT)
-    if hot_keys is None:
+    if hk is None:
         r2 = right.select("*", replicas)
     else:
-        is_hot_r = F.coalesce(F.col(rk).isin(list(hot_keys)), F.lit(False))
+        is_hot_r = F.coalesce(F.col(rk).isin(hk), F.lit(False))
         r_hot = right.filter(is_hot_r).select("*", replicas)
         r_cold = right.filter(~is_hot_r).withColumn(
             _SALT, F.lit(0).cast("int")

@@ -123,6 +123,8 @@ def write_bucketed_table(
         .options(**options)
         .bucketBy(num_buckets, *bucket_by)
     )
+    if fmt == "csv":
+        writer = writer.option("header", "true")
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)

@@ -9,6 +9,14 @@ os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 TESTDATA = "/root/testdata"
 
 
+def plan_of(df, mode: str = "formatted") -> str:
+    """Physical-plan text for plan gates (shared by the plan-gating
+    suites — keep the JVM reflection in one place)."""
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession

@@ -9,13 +9,8 @@ shuffle is amortized over every downstream join/agg on the key family.
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import plan_of
 from pfutil_spark.sources.io import write_bucketed_table
-
-
-def plan_of(df, mode="formatted") -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
 
 
 def _exchanges(df) -> int:

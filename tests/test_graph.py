@@ -171,3 +171,18 @@ def test_bfs_validation(spark):
         bfs_distances(e, e, max_hops=1)
     with pytest.raises(ValueError, match="edge column"):
         bfs_distances(e, s, src="nope")
+
+
+def test_bfs_rejects_null_endpoints_and_sources(spark):
+    # review finding: a NULL dst would survive the left_anti dedup
+    # (null-unsafe equality) and surface as a phantom reachable node
+    from pfutil_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, None), (1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="NULL endpoints"):
+        bfs_distances(e, s, max_hops=2)
+    ok = spark.createDataFrame([(1, 2)], "src long, dst long")
+    ns = spark.createDataFrame([(1,), (None,)], "node long")
+    with pytest.raises(ValueError, match="NULL nodes"):
+        bfs_distances(ok, ns, max_hops=1)

@@ -5,18 +5,13 @@ import re
 
 from pyspark.sql import functions as F
 
+from tests.conftest import plan_of
 from pfutil_spark.operators import pf_sketch
 from pfutil_spark.sources.partitioning import (
     read_table_name,
     repartition_by_hash,
     write_bucketed,
 )
-
-
-def plan_of(df, mode="simple") -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
 
 
 def test_bucketed_join_has_no_exchange(spark):
@@ -30,7 +25,7 @@ def test_bucketed_join_has_no_exchange(spark):
     ta = read_table_name(spark, "ev_bucketed_a")
     tb = read_table_name(spark, "ev_bucketed_b")
     joined = ta.join(tb, "user_id")
-    plan = plan_of(joined)
+    plan = plan_of(joined, "simple")
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan  # co-located: no shuffle
     # and the result is right

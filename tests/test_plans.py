@@ -9,15 +9,10 @@ import re
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
+from tests.conftest import plan_of
 from pfutil_spark.operators import pf_count_distinct, pf_partial
 
 SF = "/root/testdata/sf0.01"
-
-
-def plan_of(df, mode="formatted") -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):

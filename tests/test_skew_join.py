@@ -6,13 +6,8 @@ and the plan stays an equi-join (no cartesian, no broadcast needed)."""
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import plan_of
 from pfutil_spark.operators.skew import salted_join
-
-
-def plan_of(df, mode="simple") -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
 
 
 @pytest.fixture(scope="module")
@@ -124,7 +119,7 @@ def test_plan_is_equijoin_no_cartesian(spark, skewed):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         j = salted_join(facts, dims, on="k", salt=8)
-        plan = plan_of(j)
+        plan = plan_of(j, "simple")
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     finally:
@@ -153,3 +148,14 @@ def test_validation(spark, skewed):
         salted_join(facts, dims, on="k", salt_on=["nope"])
     with pytest.raises(ValueError, match="reserved column"):
         salted_join(facts.withColumn("__pf_salt", F.lit(1)), dims, on="k")
+
+
+def test_empty_salt_on_and_generator_hot_keys(spark, skewed):
+    facts, dims = skewed
+    # review findings: empty salt_on must be a crafted error (it used
+    # to crash inside Catalyst with zero-arg xxhash64), and a
+    # generator hot_keys must not be silently exhausted
+    with pytest.raises(ValueError, match="salt_on is empty"):
+        salted_join(facts, dims, on="k", salt_on=[])
+    got = salted_join(facts, dims, on="k", salt=4, hot_keys=iter([7]))
+    assert _rows(got) == _rows(facts.join(dims, "k"))
