@@ -3491,6 +3491,86 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_documents_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC apply (operators/cdc.py::apply_upserts) graded end to
+    end: a deterministic updates batch (10%-modulo text updates, 4%
+    tombstones, 2% inserts with offset keys) merged into the documents
+    snapshot latest-version-wins, then summarized per lang. The oracle
+    replays the same merge as a QUALIFY row_number window. All-bigint
+    summary -> EXACT."""
+    from pfutil_spark.operators.cdc import apply_upserts
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .withColumn("v", F.lit(1).cast("long"))
+        .withColumn("deleted", F.lit(False))
+    )
+    did = F.col("doc_id")
+    upd = d.filter((did % 10 == 0) & (did % 25 != 0)).select(
+        "doc_id",
+        "lang",
+        F.concat(F.lit("upd:"), F.col("text")).alias("text"),
+        F.lit(2).cast("long").alias("v"),
+        F.lit(False).alias("deleted"),
+    )
+    tomb = d.filter(did % 25 == 0).select(
+        "doc_id",
+        "lang",
+        F.lit("").alias("text"),
+        F.lit(2).cast("long").alias("v"),
+        F.lit(True).alias("deleted"),
+    )
+    new = d.filter(did % 50 == 0).select(
+        (did + 100000).alias("doc_id"),
+        "lang",
+        F.concat(F.lit("new:"), F.col("text")).alias("text"),
+        F.lit(1).cast("long").alias("v"),
+        F.lit(False).alias("deleted"),
+    )
+    ups = upd.unionByName(tomb).unionByName(new)
+    out = apply_upserts(d, ups, key="doc_id", version="v", deleted_col="deleted")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("text").cast("long").alias("n_texts"),
+            F.sum(
+                F.when(F.col("text").startswith("upd:"), 1).otherwise(0)
+            ).cast("long").alias("n_updated"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP(returnflag, linestatus): the
+    per-group rows PLUS per-flag subtotals PLUS the grand total in one
+    aggregation pass (Expand-based grouping sets — one scan, one
+    shuffle, no unioned re-aggregations). NULL marks the rolled-up
+    level in both engines. Decimal-exact qty/revenue sums cast to
+    double -> EXACT."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
 def _q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top session journeys (operators/funnel.py::session_paths):
     gap-sessionized (30 min) event streams read off as each session's
@@ -3757,6 +3837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_priority": _q_late_shipment_priority,
         "idle_customers": _q_idle_customers,
         "top_session_paths": _q_top_session_paths,
+        "pricing_rollup": _q_pricing_rollup,
+        "documents_upsert": _q_documents_upsert,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -4807,6 +4889,51 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "documents_upsert": (
+            # the same merge replayed as a QUALIFY-style row_number
+            # window (v desc, updates-side wins ties), tombstones
+            # dropped after winning; all-bigint summary
+            "WITH d AS (SELECT doc_id, lang, text, 1 AS v,"
+            "  FALSE AS deleted FROM documents),"
+            " ups AS ("
+            "  SELECT doc_id, lang, 'upd:' || text AS text, 2 AS v,"
+            "   FALSE AS deleted FROM documents"
+            "   WHERE doc_id % 10 = 0 AND doc_id % 25 <> 0"
+            "  UNION ALL"
+            "  SELECT doc_id, lang, '' AS text, 2 AS v, TRUE AS deleted"
+            "   FROM documents WHERE doc_id % 25 = 0"
+            "  UNION ALL"
+            "  SELECT doc_id + 100000 AS doc_id, lang,"
+            "   'new:' || text AS text, 1 AS v, FALSE AS deleted"
+            "   FROM documents WHERE doc_id % 50 = 0),"
+            " u AS (SELECT *, 0 AS src FROM d"
+            "  UNION ALL SELECT *, 1 AS src FROM ups),"
+            " w AS (SELECT *, row_number() OVER (PARTITION BY doc_id"
+            "   ORDER BY v DESC, src DESC) AS rn FROM u),"
+            " o AS (SELECT doc_id, lang, text FROM w"
+            "  WHERE rn = 1 AND NOT deleted)"
+            " SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(count(DISTINCT text) AS BIGINT) AS n_texts,"
+            " CAST(sum(CASE WHEN text LIKE 'upd:%' THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS n_updated,"
+            " CAST(max(doc_id) AS BIGINT) AS max_doc_id"
+            " FROM o GROUP BY lang ORDER BY lang"
+        ),
+        "pricing_rollup": (
+            # GROUP BY ROLLUP: NULL marks the rolled-up level in both
+            # engines; decimal-exact sums cast to double
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(count(*) AS BIGINT) AS n_items,"
+            " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+            "  AS sum_qty,"
+            " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "  * (CAST(1 AS DECIMAL(18,2))"
+            "     - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+            "  AS revenue"
+            " FROM lineitem"
+            " GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+            " ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
         ),
         "top_session_paths": (
             # same sessionization CTE as the `sessionize` oracle, then

@@ -66,6 +66,9 @@ from pfutil_spark.operators.graph import (  # noqa: F401
     bfs_distances,
     pagerank,
 )
+from pfutil_spark.operators.cdc import (  # noqa: F401
+    apply_upserts,
+)
 from pfutil_spark.operators.spans import (  # noqa: F401
     repeated_spans,
     span_coverage,
