@@ -91,14 +91,13 @@ def pagerank(
     )
 
     base = ((100 - damping_pct) * (scale // n)) // 100
+    # the DANGLING SET is static across rounds (only its rank mass
+    # changes) — compute it once; graphs with none (every symmetrized
+    # graph) skip the per-round semi-join + crossJoin entirely
+    dang_nodes = nodes.join(outdeg, [_NODE], "left_anti").localCheckpoint()
+    has_dang = bool(dang_nodes.limit(1).count())
     r = nodes.withColumn(_R, F.lit(scale // n).cast("long"))
     for _ in range(iters):
-        # dangling mass: broadcast 1-row aggregate, stays in-plan
-        dang = (
-            r.join(outdeg, [_NODE], "left_anti")
-            .agg(F.coalesce(F.sum(_R), F.lit(0)).cast("long").alias("s"))
-            .select(F.expr(f"s div {int(n)}").cast("long").alias(_DANG))
-        )
         contrib = (
             e.join(r.withColumnRenamed(_NODE, _SRC), [_SRC])
             .join(outdeg.withColumnRenamed(_NODE, _SRC), [_SRC])
@@ -108,21 +107,27 @@ def pagerank(
             )
         )
         inc = contrib.groupBy(_NODE).agg(F.sum("c").cast("long").alias(_INC))
-        r = (
-            nodes.join(inc, [_NODE], "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                F.col(_NODE),
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({int(damping_pct)} * (coalesce({_INC}, 0)"
-                        f" + {_DANG})) div 100"
-                    ).cast("long")
-                ).alias(_R),
+        nxt = nodes.join(inc, [_NODE], "left")
+        dang_term = "0"
+        if has_dang:
+            # dangling mass: broadcast 1-row aggregate, stays in-plan
+            dang = (
+                r.join(dang_nodes, [_NODE], "left_semi")
+                .agg(F.coalesce(F.sum(_R), F.lit(0)).cast("long").alias("s"))
+                .select(F.expr(f"s div {int(n)}").cast("long").alias(_DANG))
             )
-            .localCheckpoint()
-        )
+            nxt = nxt.crossJoin(F.broadcast(dang))
+            dang_term = _DANG
+        r = nxt.select(
+            F.col(_NODE),
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({int(damping_pct)} * (coalesce({_INC}, 0)"
+                    f" + {dang_term})) div 100"
+                ).cast("long")
+            ).alias(_R),
+        ).localCheckpoint()
     return r.select(F.col(_NODE), F.col(_R).alias("rank_scaled"))
 
 

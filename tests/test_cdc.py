@@ -103,3 +103,71 @@ def test_validation(spark):
             key="id",
             version="v",
         )
+
+
+# ---------------------------------------------------------------------------
+# StreamingUpsertStore
+# ---------------------------------------------------------------------------
+
+class TestStreamingUpsertStore:
+    def _mk(self, spark, tmp_path):
+        from pfutil_spark.streaming.cdc_stream import StreamingUpsertStore
+
+        return StreamingUpsertStore(
+            spark, str(tmp_path / "snapstate"), key="id", version="v",
+            deleted_col="deleted",
+        )
+
+    def test_microbatch_merge_and_replay_skip(self, spark, tmp_path):
+        import warnings as w
+
+        store = self._mk(spark, tmp_path)
+        assert store.snapshot() is None
+        b1 = _f(spark, [(1, 1, "one", False), (2, 1, "two", False)])
+        store.update(b1, batch_id=0)
+        assert _rows(store.snapshot()) == _rows(b1)
+        # batch 2: update 1, tombstone 2, insert 3
+        b2 = _f(
+            spark,
+            [(1, 2, "one-v2", False), (2, 2, "", True), (3, 1, "three", False)],
+        )
+        store.update(b2, batch_id=1)
+        want = _f(spark, [(1, 2, "one-v2", False), (3, 1, "three", False)])
+        assert _rows(store.snapshot()) == _rows(want)
+        # replaying a committed batch id changes NOTHING (warns)
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            store.update(b2, batch_id=1)
+        assert any("replayed batch" in str(c.message) for c in caught)
+        assert _rows(store.snapshot()) == _rows(want)
+        # a losing version never resurrects a tombstoned key
+        b3 = _f(spark, [(2, 1, "zombie", False)])
+        store.update(b3, batch_id=2)
+        assert {r["id"] for r in store.snapshot().collect()} == {1, 3}
+
+    def test_foreach_batch_end_to_end(self, spark, tmp_path):
+        from pfutil_spark.streaming.cdc_stream import (
+            attach_upsert_foreach_batch,
+        )
+
+        changes = _f(
+            spark,
+            [(i, 1, f"c{i}", False) for i in range(20)]
+            + [(5, 2, "c5-v2", False), (6, 2, "", True)],
+        )
+        src = tmp_path / "cdc_src"
+        changes.write.parquet(str(src))
+        store = self._mk(spark, tmp_path)
+        stream = spark.readStream.schema(changes.schema).parquet(str(src))
+        q = attach_upsert_foreach_batch(
+            stream, store, str(tmp_path / "ckpt"), trigger_once=True
+        )
+        q.awaitTermination(120)
+        snap = {r["id"]: r["txt"] for r in store.snapshot().collect()}
+        assert snap[5] == "c5-v2" and 6 not in snap and len(snap) == 19
+
+    def test_remote_state_dir_refused(self, spark, tmp_path):
+        from pfutil_spark.streaming.cdc_stream import StreamingUpsertStore
+
+        with pytest.raises(NotImplementedError, match="driver-local"):
+            StreamingUpsertStore(spark, "s3a://b/state", key="id", version="v")
