@@ -3491,6 +3491,54 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape ("orders above the customer's own
+    average") graded EXACTLY: the naive correlated AVG rewrite is a
+    per-customer window, and the float-hostile avg comparison
+    p > s/n is restated as the all-decimal product comparison
+    p * n > s — integer-scaled decimal multiply/compare is exact in
+    both engines where a double division would be order-dependent.
+    One window pass, no self-join."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey")
+    o2 = o.select(
+        "o_orderpriority",
+        p.alias("p"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(p).over(w).alias("s"),
+    )
+    return (
+        o2.filter(F.col("p") * F.col("n") > F.col("s"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_above"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_customer_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operators graded: the distinct customer-key sets
+    with 'F' orders vs 'O' orders combined via EXCEPT both ways and
+    INTERSECT, reported as one row of three bigint counts. Spark's
+    subtract/intersect are set-semantics (dedup) like SQL EXCEPT /
+    INTERSECT; each count is a 1-row aggregate crossJoined together
+    (no collect). EXACT."""
+    o = _t(spark, sf_dir, "orders")
+    fs = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    os_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    return (
+        cnt(fs.subtract(os_), "n_f_only")
+        .crossJoin(cnt(os_.subtract(fs), "n_o_only"))
+        .crossJoin(cnt(fs.intersect(os_), "n_both"))
+    )
+
+
 def _q_documents_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch CDC apply (operators/cdc.py::apply_upserts) graded end to
     end: a deterministic updates batch (10%-modulo text updates, 4%
@@ -3839,6 +3887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_session_paths": _q_top_session_paths,
         "pricing_rollup": _q_pricing_rollup,
         "documents_upsert": _q_documents_upsert,
+        "above_average_orders": _q_above_average_orders,
+        "customer_status_sets": _q_customer_status_sets,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
         # sets, and an SQL mirror of the langid heuristic (pytest gates
@@ -4889,6 +4939,34 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "above_average_orders": (
+            # p > avg rewritten as decimal p*n > s: exact where the
+            # double division is order-dependent
+            "WITH w AS (SELECT o_orderpriority,"
+            "  CAST(o_totalprice AS DECIMAL(18,2)) AS p,"
+            "  count(*) OVER (PARTITION BY o_custkey) AS n,"
+            "  sum(CAST(o_totalprice AS DECIMAL(18,2)))"
+            "   OVER (PARTITION BY o_custkey) AS s"
+            " FROM orders)"
+            " SELECT o_orderpriority,"
+            " CAST(count(*) AS BIGINT) AS n_above"
+            " FROM w WHERE p * n > s"
+            " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "customer_status_sets": (
+            # EXCEPT / INTERSECT set semantics over distinct key sets
+            "WITH f AS (SELECT DISTINCT o_custkey FROM orders"
+            "  WHERE o_orderstatus = 'F'),"
+            " o AS (SELECT DISTINCT o_custkey FROM orders"
+            "  WHERE o_orderstatus = 'O')"
+            " SELECT"
+            " (SELECT CAST(count(*) AS BIGINT) FROM"
+            "  (SELECT * FROM f EXCEPT SELECT * FROM o)) AS n_f_only,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM"
+            "  (SELECT * FROM o EXCEPT SELECT * FROM f)) AS n_o_only,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM"
+            "  (SELECT * FROM f INTERSECT SELECT * FROM o)) AS n_both"
         ),
         "documents_upsert": (
             # the same merge replayed as a QUALIFY-style row_number
