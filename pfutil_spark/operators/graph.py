@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 _SRC, _DST, _NODE = "__pf_src", "__pf_dst", "node"
 _R, _OD, _INC, _DANG = "__pf_r", "__pf_od", "__pf_inc", "__pf_dang"
+_P, _M = "__pf_p", "__pf_m"
 
 
 def pagerank(
@@ -39,6 +40,7 @@ def pagerank(
     iters: int = 3,
     damping_pct: int = 85,
     scale: int = 10**12,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank on the directed edge multiset ``edges[src -> dst]``
     (parallel edges count as repeated votes; pre-``distinct`` the frame
@@ -58,6 +60,14 @@ def pagerank(
 
     One driver action up front (``N = nodes.count()`` — a scalar, the
     index-build precedent) and one ``localCheckpoint`` per round.
+
+    ``personalize``: optional single-column ``node`` frame — the
+    personalized-PageRank teleport set ("rank relative to THESE
+    seeds": recommendations, topic-sensitive relevance). Teleport mass
+    (the base term), the INITIAL rank, and re-spread dangling mass all
+    go only to the |S| seed nodes (``div |S|`` instead of ``div N``);
+    every seed must be a graph node (validated loudly — a seed with no
+    edges would silently hold teleport mass forever).
     """
     if iters < 1:
         raise ValueError(f"iters={iters}: must be >= 1")
@@ -90,13 +100,42 @@ def pagerank(
         F.count(F.lit(1)).cast("long").alias(_OD)
     )
 
-    base = ((100 - damping_pct) * (scale // n)) // 100
+    p_nodes = None
+    if personalize is not None:
+        if list(personalize.columns) != [_NODE]:
+            raise ValueError(
+                f"personalize must have exactly one column named "
+                f"{_NODE!r}, got {personalize.columns}"
+            )
+        p_nodes = personalize.distinct().localCheckpoint()
+        m = p_nodes.count()
+        if m == 0:
+            raise ValueError("personalize is empty")
+        if p_nodes.join(nodes, [_NODE], "left_anti").limit(1).count():
+            raise ValueError("personalize contains nodes absent from edges")
+        teleport_div = m
+    else:
+        teleport_div = n
+
+    base = ((100 - damping_pct) * (scale // teleport_div)) // 100
     # the DANGLING SET is static across rounds (only its rank mass
     # changes) — compute it once; graphs with none (every symmetrized
     # graph) skip the per-round semi-join + crossJoin entirely
     dang_nodes = nodes.join(outdeg, [_NODE], "left_anti").localCheckpoint()
     has_dang = bool(dang_nodes.limit(1).count())
-    r = nodes.withColumn(_R, F.lit(scale // n).cast("long"))
+    if p_nodes is None:
+        in_p = F.lit(True)
+        nodes_p = nodes.withColumn(_P, F.lit(1))
+    else:
+        nodes_p = nodes.join(
+            p_nodes.withColumn(_P, F.lit(1)), [_NODE], "left"
+        ).localCheckpoint()
+        in_p = F.col(_P).isNotNull()
+    r = nodes_p.withColumn(
+        _R,
+        F.when(in_p, F.lit(scale // teleport_div)).otherwise(F.lit(0))
+        .cast("long"),
+    ).select(_NODE, _R)
     for _ in range(iters):
         contrib = (
             e.join(r.withColumnRenamed(_NODE, _SRC), [_SRC])
@@ -107,27 +146,35 @@ def pagerank(
             )
         )
         inc = contrib.groupBy(_NODE).agg(F.sum("c").cast("long").alias(_INC))
-        nxt = nodes.join(inc, [_NODE], "left")
-        dang_term = "0"
+        nxt = nodes_p.join(inc, [_NODE], "left")
+        mass = F.coalesce(F.col(_INC), F.lit(0))
         if has_dang:
-            # dangling mass: broadcast 1-row aggregate, stays in-plan
+            # dangling mass: broadcast 1-row aggregate, stays in-plan;
+            # re-spread over the teleport set (all nodes, or the seeds)
             dang = (
                 r.join(dang_nodes, [_NODE], "left_semi")
                 .agg(F.coalesce(F.sum(_R), F.lit(0)).cast("long").alias("s"))
-                .select(F.expr(f"s div {int(n)}").cast("long").alias(_DANG))
+                .select(
+                    F.expr(f"s div {int(teleport_div)}")
+                    .cast("long")
+                    .alias(_DANG)
+                )
             )
             nxt = nxt.crossJoin(F.broadcast(dang))
-            dang_term = _DANG
-        r = nxt.select(
-            F.col(_NODE),
-            (
-                F.lit(base).cast("long")
-                + F.expr(
-                    f"({int(damping_pct)} * (coalesce({_INC}, 0)"
-                    f" + {dang_term})) div 100"
-                ).cast("long")
-            ).alias(_R),
-        ).localCheckpoint()
+            mass = mass + F.when(in_p, F.col(_DANG)).otherwise(F.lit(0))
+        r = (
+            nxt.withColumn(_M, mass.cast("long"))
+            .select(
+                F.col(_NODE),
+                (
+                    F.when(in_p, F.lit(base)).otherwise(F.lit(0)).cast("long")
+                    + F.expr(f"({int(damping_pct)} * {_M}) div 100").cast(
+                        "long"
+                    )
+                ).alias(_R),
+            )
+            .localCheckpoint()
+        )
     return r.select(F.col(_NODE), F.col(_R).alias("rank_scaled"))
 
 

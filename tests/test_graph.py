@@ -186,3 +186,72 @@ def test_bfs_rejects_null_endpoints_and_sources(spark):
     ns = spark.createDataFrame([(1,), (None,)], "node long")
     with pytest.raises(ValueError, match="NULL nodes"):
         bfs_distances(ok, ns, max_hops=1)
+
+
+# ---------------------------------------------------------------------------
+# personalized pagerank
+# ---------------------------------------------------------------------------
+
+def ref_ppr(edges, seeds, iters=3, d=85, scale=10**12):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    seeds = set(seeds)
+    m = len(seeds)
+    od = Counter(a for a, _ in edges)
+    r = {v: (scale // m if v in seeds else 0) for v in nodes}
+    base = ((100 - d) * (scale // m)) // 100
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if od[v] == 0) // m
+        inc = defaultdict(int)
+        for a, b in edges:
+            inc[b] += r[a] // od[a]
+        r = {
+            v: (base if v in seeds else 0)
+            + (d * (inc[v] + (dang if v in seeds else 0))) // 100
+            for v in nodes
+        }
+    return r
+
+
+def _run_ppr(spark, edges, seeds, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    out = pagerank(df, personalize=s, **kw)
+    return {r["node"]: r["rank_scaled"] for r in out.collect()}
+
+
+def test_personalized_matches_reference(spark):
+    got = _run_ppr(spark, EDGES, [5, 4], iters=4)
+    assert got == ref_ppr(EDGES, [5, 4], iters=4)
+
+
+def test_personalized_localizes_rank(spark):
+    # two disjoint components; seeding in one leaves the other at
+    # exactly 0 after any number of rounds
+    got = _run_ppr(spark, EDGES, [6], iters=3)
+    assert got == ref_ppr(EDGES, [6], iters=3)
+    assert got[6] > 0 and got[7] > 0
+    assert all(got[v] == 0 for v in (1, 2, 3, 4, 5, 8))
+
+
+def test_personalized_dangling_mass_returns_to_seeds(spark):
+    # node 8 is dangling: its mass must re-spread to the SEEDS only
+    got = _run_ppr(spark, EDGES, [1], iters=3)
+    assert got == ref_ppr(EDGES, [1], iters=3)
+
+
+def test_personalized_none_equals_plain(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    plain = {r["node"]: r["rank_scaled"] for r in pagerank(df, iters=3).collect()}
+    assert plain == ref_pagerank(EDGES, iters=3)
+
+
+def test_personalized_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="personalize must have"):
+        pagerank(df, personalize=df)
+    empty = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError, match="personalize is empty"):
+        pagerank(df, personalize=empty)
+    absent = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="absent from edges"):
+        pagerank(df, personalize=absent)
