@@ -36,13 +36,17 @@ def apply_upserts(
     is a tombstone: the key disappears from the output (losing
     versions never resurrect it).
 
-    Contract: both frames share the output schema (same columns, any
-    order); (key, version) is unique WITHIN each side — duplicate
+    Contract: both frames share the same column NAMES (any order);
+    TYPES follow unionByName coercion, so a wider updates-side type
+    (int vs long) widens the output column — keep dtypes aligned when
+    writing back over a typed table. (key, version) is unique WITHIN
+    each side — duplicate
     (key, version) rows on one side have no defined winner. NULL keys
     group together like any SQL partition key (one winner for all
     NULL-key rows — the same semantics DISTINCT ON / QUALIFY give);
     NULL versions sort lowest (they lose to any real version). The
-    helper columns are internal; output schema == base schema.
+    helper columns are internal; output columns == base columns (in
+    base order).
     """
     if key not in base.columns or version not in base.columns:
         raise ValueError(

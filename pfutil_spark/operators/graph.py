@@ -124,18 +124,17 @@ def pagerank(
     dang_nodes = nodes.join(outdeg, [_NODE], "left_anti").localCheckpoint()
     has_dang = bool(dang_nodes.limit(1).count())
     if p_nodes is None:
-        in_p = F.lit(True)
-        nodes_p = nodes.withColumn(_P, F.lit(1))
+        # plain path: no seed flag column, no conditional wrappers
+        in_p = None
+        nodes_p = nodes
+        r0 = F.lit(scale // teleport_div)
     else:
         nodes_p = nodes.join(
             p_nodes.withColumn(_P, F.lit(1)), [_NODE], "left"
         ).localCheckpoint()
         in_p = F.col(_P).isNotNull()
-    r = nodes_p.withColumn(
-        _R,
-        F.when(in_p, F.lit(scale // teleport_div)).otherwise(F.lit(0))
-        .cast("long"),
-    ).select(_NODE, _R)
+        r0 = F.when(in_p, F.lit(scale // teleport_div)).otherwise(F.lit(0))
+    r = nodes_p.withColumn(_R, r0.cast("long")).select(_NODE, _R)
     for _ in range(iters):
         contrib = (
             e.join(r.withColumnRenamed(_NODE, _SRC), [_SRC])
@@ -161,13 +160,21 @@ def pagerank(
                 )
             )
             nxt = nxt.crossJoin(F.broadcast(dang))
-            mass = mass + F.when(in_p, F.col(_DANG)).otherwise(F.lit(0))
+            if in_p is None:
+                mass = mass + F.col(_DANG)
+            else:
+                mass = mass + F.when(in_p, F.col(_DANG)).otherwise(F.lit(0))
+        base_col = (
+            F.lit(base)
+            if in_p is None
+            else F.when(in_p, F.lit(base)).otherwise(F.lit(0))
+        )
         r = (
             nxt.withColumn(_M, mass.cast("long"))
             .select(
                 F.col(_NODE),
                 (
-                    F.when(in_p, F.lit(base)).otherwise(F.lit(0)).cast("long")
+                    base_col.cast("long")
                     + F.expr(f"({int(damping_pct)} * {_M}) div 100").cast(
                         "long"
                     )

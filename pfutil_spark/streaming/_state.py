@@ -8,6 +8,7 @@ StreamingSignatureStore (payload: generation + last batch id)."""
 from __future__ import annotations
 
 import os
+import warnings
 
 
 class GenerationState:
@@ -43,3 +44,26 @@ class GenerationState:
         with open(tmp, "w") as f:
             f.write(" ".join(str(v) for v in fields))
         os.replace(tmp, f"{self.state_dir}/_GEN")
+
+    def marker_pair(self) -> tuple[int, int]:
+        """(generation, last committed batch id) — the two-field marker
+        layout shared by the batch-id-guarded stores — or (-1, -1)
+        before the first commit."""
+        vals = self.read()
+        return (vals[0], vals[1]) if vals else (-1, -1)
+
+    def replay_skip(self, batch_id, last_bid: int, store: str) -> bool:
+        """True if ``batch_id`` was already committed (foreachBatch
+        replay) — with a warning, because a long run of skips means the
+        streaming checkpoint dir was reset independently of this state
+        dir (see the stores' module docstrings)."""
+        if batch_id is None or batch_id > last_bid:
+            return False
+        warnings.warn(
+            f"{store}: skipping replayed batch_id={batch_id} <= committed "
+            f"{last_bid} (replay after crash is normal ONCE; repeated "
+            f"skips mean the checkpoint dir was reset without the state "
+            f"dir)",
+            stacklevel=3,
+        )
+        return True

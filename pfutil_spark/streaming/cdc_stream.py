@@ -23,8 +23,6 @@ sink, both of which keep this module's API.
 
 from __future__ import annotations
 
-import warnings
-
 from pyspark.sql import DataFrame, SparkSession
 
 from pfutil_spark.operators.cdc import apply_upserts
@@ -50,8 +48,7 @@ class StreamingUpsertStore:
         self.deleted_col = deleted_col
 
     def _marker(self) -> tuple[int, int]:
-        vals = self._state.read()
-        return (vals[0], vals[1]) if vals else (-1, -1)
+        return self._state.marker_pair()
 
     def _stored(self) -> DataFrame | None:
         """Raw stored state INCLUDING tombstone rows — the delete
@@ -77,14 +74,15 @@ class StreamingUpsertStore:
     def update(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         """Merge one (micro-)batch of change rows into the state."""
         gen, last_bid = self._marker()
-        if batch_id is not None and batch_id <= last_bid:
-            warnings.warn(
-                f"skipping replayed batch {batch_id} (committed through "
-                f"{last_bid}); if the streaming checkpoint was reset, the "
-                f"state dir must be reset with it",
-                stacklevel=2,
-            )
+        if self._state.replay_skip(batch_id, last_bid, "StreamingUpsertStore"):
             return
+        if self.deleted_col is not None and self.deleted_col not in batch_df.columns:
+            # fail at ingestion, not at the first snapshot() read long
+            # after a typo'd deleted_col committed state
+            raise ValueError(
+                f"deleted_col {self.deleted_col!r} not in batch columns "
+                f"{batch_df.columns}"
+            )
         prev = self._stored()
         if prev is None:
             # first batch: the batch merged into an empty base of the

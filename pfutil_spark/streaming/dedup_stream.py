@@ -69,8 +69,7 @@ class StreamingSignatureStore:
         self.method = method
 
     def _read_marker(self) -> tuple[int, int]:
-        vals = self._state.read()
-        return (vals[0], vals[1]) if vals else (-1, -1)
+        return self._state.marker_pair()
 
     def current(self) -> DataFrame | None:
         """The signature store as of the last committed batch."""
@@ -98,14 +97,7 @@ class StreamingSignatureStore:
         skips means the streaming checkpoint was reset independently of
         this store (see module docstring)."""
         gen, last_bid = self._read_marker()
-        if batch_id <= last_bid:
-            warnings.warn(
-                f"StreamingSignatureStore: skipping batch_id={batch_id} "
-                f"<= committed {last_bid} (replay after crash is normal "
-                f"ONCE; repeated skips mean the checkpoint dir was reset "
-                f"without the store)",
-                stacklevel=2,
-            )
+        if self._state.replay_skip(batch_id, last_bid, "StreamingSignatureStore"):
             return
         with CacheScope() as cs:
             sigs_new = cs.persist(
