@@ -3491,6 +3491,42 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped (top supplier): supplier(s) whose 1996-Q1
+    shipped revenue EQUALS the maximum — the correlated scalar-max
+    shape, run as a global max window over the already-aggregated
+    supplier-sized frame (never a second lineitem scan). Revenue stays
+    DECIMAL through the equality comparison (exact; a double max would
+    be order-dependent) and casts to double only at output. Supplier
+    dimension broadcasts."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_supp = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("__pf_rev"))
+    )
+    top = per_supp.withColumn(
+        "__pf_mx", F.max("__pf_rev").over(Window.partitionBy())
+    ).filter(F.col("__pf_rev") == F.col("__pf_mx"))
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__pf_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def _q_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape ("orders above the customer's own
     average") graded EXACTLY: the naive correlated AVG rewrite is a
@@ -3888,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": _q_pricing_rollup,
         "documents_upsert": _q_documents_upsert,
         "above_average_orders": _q_above_average_orders,
+        "top_supplier_revenue": _q_top_supplier_revenue,
         "customer_status_sets": _q_customer_status_sets,
         # sketch/dedup/ANN queries — also DuckDB-oracled since round 2:
         # estimate-vs-exact bound booleans, exact-verified near-dup pair
@@ -4939,6 +4976,23 @@ def oracle_sql() -> dict[str, str]:
             " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "top_supplier_revenue": (
+            # revenue == max compared in DECIMAL (exact); double only
+            # at output
+            "WITH r AS (SELECT l_suppkey,"
+            "  sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "   * (CAST(1 AS DECIMAL(18,2))"
+            "      - CAST(l_discount AS DECIMAL(18,2)))) AS rev"
+            " FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            "  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"
+            " GROUP BY l_suppkey)"
+            " SELECT s_suppkey, s_name,"
+            " CAST(rev AS DOUBLE) AS total_revenue"
+            " FROM r JOIN supplier ON s_suppkey = l_suppkey"
+            " WHERE rev = (SELECT max(rev) FROM r)"
+            " ORDER BY s_suppkey"
         ),
         "above_average_orders": (
             # p > avg rewritten as decimal p*n > s: exact where the
