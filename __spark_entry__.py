@@ -3584,6 +3584,18 @@ def _q_documents_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary -> EXACT."""
     from pfutil_spark.operators.cdc import apply_upserts
 
+    d, ups = _documents_change_rows(spark, sf_dir)
+    out = apply_upserts(d, ups, key="doc_id", version="v", deleted_col="deleted")
+    return _upsert_summary(out)
+
+
+def _documents_change_rows(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The deterministic documents change batch shared by the batch
+    (documents_upsert) and streaming (streaming_upsert_snapshot) CDC
+    queries: base snapshot at v1, plus 10%-modulo text updates (v2),
+    4% tombstones (v2), 2% inserts with offset keys (v1)."""
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text")
@@ -3612,8 +3624,10 @@ def _q_documents_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("v"),
         F.lit(False).alias("deleted"),
     )
-    ups = upd.unionByName(tomb).unionByName(new)
-    out = apply_upserts(d, ups, key="doc_id", version="v", deleted_col="deleted")
+    return d, upd.unionByName(tomb).unionByName(new)
+
+
+def _upsert_summary(out: DataFrame) -> DataFrame:
     return (
         out.groupBy("lang")
         .agg(
@@ -3626,6 +3640,43 @@ def _q_documents_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _q_streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC graded end-to-end against the batch oracle: the
+    documents_upsert change rows (base v1 + updates/tombstones/inserts)
+    delivered through a REAL file-source stream into
+    StreamingUpsertStore (foreachBatch, availableNow), then the
+    committed snapshot summarized. Latest-version-wins makes the
+    result independent of how the source splits micro-batches, so
+    streaming must agree EXACTLY with the batch QUALIFY-merge oracle
+    — the same SQL as documents_upsert. The summary is
+    localCheckpoint'd so the temp state/checkpoint dirs can be removed
+    before returning."""
+    import shutil
+    import tempfile
+
+    from pfutil_spark.streaming.cdc_stream import (
+        StreamingUpsertStore,
+        attach_upsert_foreach_batch,
+    )
+
+    d, ups = _documents_change_rows(spark, sf_dir)
+    changes = d.unionByName(ups)
+    root = tempfile.mkdtemp(prefix="pf_cdc_stream_q_")
+    try:
+        src = f"{root}/src"
+        changes.write.parquet(src)
+        store = StreamingUpsertStore(
+            spark, f"{root}/state", key="doc_id", version="v",
+            deleted_col="deleted",
+        )
+        stream = spark.readStream.schema(changes.schema).parquet(src)
+        q = attach_upsert_foreach_batch(stream, store, f"{root}/ckpt")
+        q.awaitTermination(300)
+        return _upsert_summary(store.snapshot()).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3923,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_session_paths": _q_top_session_paths,
         "pricing_rollup": _q_pricing_rollup,
         "documents_upsert": _q_documents_upsert,
+        "streaming_upsert_snapshot": _q_streaming_upsert_snapshot,
         "above_average_orders": _q_above_average_orders,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "customer_status_sets": _q_customer_status_sets,
@@ -4010,7 +4062,7 @@ def oracle_sql() -> dict[str, str]:
         "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))",
         16,
     )
-    return {
+    oracles = {
         "sha256_rows": (
             "SELECT doc_id, sha256(text) AS content_sha FROM documents"
         ),
@@ -5823,3 +5875,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM events WHERE event_type IN (SELECT event_type FROM two)"
         ),
     }
+    # streaming CDC must agree EXACTLY with the batch merge: latest-
+    # version-wins is independent of micro-batch splits, so the
+    # streaming query shares the batch QUALIFY-merge oracle verbatim
+    oracles["streaming_upsert_snapshot"] = oracles["documents_upsert"]
+    return oracles
