@@ -3491,6 +3491,38 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_part_seed_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-seed cluster assignment (operators/graph.py::
+    nearest_seed): every part within 2 co-purchase hops of the
+    first-order seed parts assigned to its closest seed (min dist,
+    then min seed id — propagating per-node winners is sound because
+    min distributes over unions), rolled up per (seed, dist). The
+    oracle enumerates (node, seed, depth) in a recursive CTE and keeps
+    row_number 1 by (depth, seed) per node. All-bigint -> EXACT."""
+    from pfutil_spark.operators.graph import nearest_seed
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(spark, sf_dir)
+    srcs = (
+        li.join(
+            F.broadcast(li.agg(F.min("l_orderkey").alias("__pf_mk"))),
+            F.col("l_orderkey") == F.col("__pf_mk"),
+        )
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    a = nearest_seed(edges, srcs, max_hops=2)
+    return (
+        a.groupBy("seed", "dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("seed", "dist")
+    )
+
+
 def _q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-shaped (top supplier): supplier(s) whose 1996-Q1
     shipped revenue EQUALS the maximum — the correlated scalar-max
@@ -3969,6 +4001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": _q_skew_salted_join,
         "part_pagerank": _q_part_pagerank,
         "part_reachability": _q_part_reachability,
+        "part_seed_assignment": _q_part_seed_assignment,
         "late_shipment_priority": _q_late_shipment_priority,
         "idle_customers": _q_idle_customers,
         "top_session_paths": _q_top_session_paths,
@@ -5171,6 +5204,27 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE l.l_orderkey = o.o_orderkey"
             "  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
             " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "part_seed_assignment": (
+            # recursive CTE enumerates (node, seed, depth) capped at 2
+            # hops; per node keep row 1 by (depth, seed) — the global
+            # min-(dist, seed) the frontier propagation computes
+            f"WITH RECURSIVE {_COPURCHASE_E_CTE},"
+            " srcs AS (SELECT DISTINCT l_partkey AS node FROM lineitem"
+            "  WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)),"
+            " reach(node, seed, d) AS ("
+            "  SELECT node, node AS seed, 0 FROM srcs"
+            "  UNION"
+            "  SELECT e.b, reach.seed, reach.d + 1 FROM reach"
+            "  JOIN e ON e.a = reach.node WHERE reach.d < 2),"
+            " best AS (SELECT node, seed, d, row_number() OVER ("
+            "  PARTITION BY node ORDER BY d, seed) AS rn FROM reach)"
+            " SELECT seed, CAST(d AS BIGINT) AS dist,"
+            " CAST(count(*) AS BIGINT) AS n_nodes,"
+            " CAST(min(node) AS BIGINT) AS min_node,"
+            " CAST(max(node) AS BIGINT) AS max_node"
+            " FROM best WHERE rn = 1"
+            " GROUP BY seed, d ORDER BY seed, d"
         ),
         "part_reachability": (
             # recursive CTE enumerates (node, depth) pairs capped at 2

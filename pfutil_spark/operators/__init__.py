@@ -64,6 +64,7 @@ from pfutil_spark.operators.skew import (  # noqa: F401
 )
 from pfutil_spark.operators.graph import (  # noqa: F401
     bfs_distances,
+    nearest_seed,
     pagerank,
 )
 from pfutil_spark.operators.cdc import (  # noqa: F401

@@ -185,6 +185,75 @@ def pagerank(
     return r.select(F.col(_NODE), F.col(_R).alias("rank_scaled"))
 
 
+def nearest_seed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Assign every node within ``max_hops`` of the seed set to its
+    NEAREST seed: returns ``(node, seed, dist)`` with min-distance
+    semantics and a deterministic tie-break (among seeds reaching a
+    node at the same minimal distance, the smallest ``seed`` value
+    wins) — the graph cluster-assignment primitive (seed = cluster
+    center / canonical document / topic anchor). ``seeds`` must have a
+    single column named ``node``; each seed is assigned to itself at
+    dist 0.
+
+    Same frontier-expansion shape as :func:`bfs_distances` — each node
+    labeled and expanded exactly once, O(edges reached) — except
+    frontier rows carry the winning seed label. Propagating ONLY each
+    node's winner is sound for the min tie-break because min is
+    union-distributive: the min seed over all equal-length paths into
+    a node equals the min over its predecessors' per-node winners
+    (min of mins == min of the union) — so the propagated answer
+    matches the global min-(dist, seed) definition the recursive-CTE
+    oracle computes. All-integer output when nodes are integers ->
+    EXACT oracles.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops={max_hops}: must be >= 0")
+    if list(seeds.columns) != [_NODE]:
+        raise ValueError(
+            f"seeds must have exactly one column named {_NODE!r}, "
+            f"got {seeds.columns}"
+        )
+    for c in (src, dst):
+        if c not in edges.columns:
+            raise ValueError(f"edge column {c!r} not in {edges.columns}")
+
+    e = edges.select(
+        F.col(src).alias(_SRC), F.col(dst).alias(_DST)
+    ).localCheckpoint()
+    if e.filter(F.col(_SRC).isNull() | F.col(_DST).isNull()).limit(1).count():
+        raise ValueError("edges contain NULL endpoints")
+    if seeds.filter(F.col(_NODE).isNull()).limit(1).count():
+        raise ValueError("seeds contain NULL nodes")
+
+    frontier = (
+        seeds.distinct().select(F.col(_NODE), F.col(_NODE).alias("seed"))
+        .localCheckpoint()
+    )
+    labeled = frontier.withColumn("dist", F.lit(0).cast("long"))
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier[_NODE] == e[_SRC])
+            .select(F.col(_DST).alias(_NODE), F.col("seed"))
+            .groupBy(_NODE)
+            .agg(F.min("seed").alias("seed"))
+            .join(labeled.select(_NODE), [_NODE], "left_anti")
+            .localCheckpoint()
+        )
+        if not nxt.limit(1).count():
+            break
+        labeled = labeled.unionByName(
+            nxt.withColumn("dist", F.lit(h).cast("long"))
+        ).localCheckpoint()
+        frontier = nxt
+    return labeled
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,

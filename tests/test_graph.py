@@ -255,3 +255,73 @@ def test_personalized_validation(spark):
     absent = spark.createDataFrame([(99,)], "node long")
     with pytest.raises(ValueError, match="absent from edges"):
         pagerank(df, personalize=absent)
+
+
+# ---------------------------------------------------------------------------
+# nearest_seed
+# ---------------------------------------------------------------------------
+
+def ref_nearest(edges, seeds, max_hops):
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    best = {}
+    for s in sorted(set(seeds)):
+        dist = {s: 0}
+        frontier = {s}
+        for h in range(1, max_hops + 1):
+            nxt = set()
+            for v in frontier:
+                nxt |= adj[v]
+            nxt -= dist.keys()
+            if not nxt:
+                break
+            for v in nxt:
+                dist[v] = h
+            frontier = nxt
+        for v, d in dist.items():
+            cur = best.get(v)
+            if cur is None or (d, s) < cur:
+                best[v] = (d, s)
+    return {v: (s, d) for v, (d, s) in best.items()}
+
+
+def _nearest(spark, edges, seeds, max_hops):
+    from pfutil_spark.operators.graph import nearest_seed
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = nearest_seed(e, s, max_hops=max_hops)
+    return {r["node"]: (r["seed"], r["dist"]) for r in got.collect()}
+
+
+def test_nearest_seed_matches_reference(spark):
+    got = _nearest(spark, EDGES, [4, 5], max_hops=4)
+    assert got == ref_nearest(EDGES, [4, 5], 4)
+    assert got[4] == (4, 0) and got[5] == (5, 0)
+
+
+def test_nearest_seed_tie_break_and_winner_propagation(spark):
+    # node 30 is equidistant from seeds 2 and 3 (winner 2); node 40 is
+    # reachable ONLY through 30 — min-of-mins must carry seed 2 onward
+    edges = [(2, 30), (3, 30), (30, 40), (3, 50)]
+    got = _nearest(spark, edges, [2, 3], max_hops=3)
+    ref = ref_nearest(edges, [2, 3], 3)
+    assert got == ref
+    assert got[30] == (2, 1) and got[40] == (2, 2) and got[50] == (3, 1)
+
+
+def test_nearest_seed_unreachable_and_validation(spark):
+    got = _nearest(spark, EDGES, [6], max_hops=10)
+    assert set(got) == {6, 7}
+    from pfutil_spark.operators.graph import nearest_seed
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="max_hops"):
+        nearest_seed(e, s, max_hops=-1)
+    with pytest.raises(ValueError, match="seeds must have"):
+        nearest_seed(e, e)
+    nulls = spark.createDataFrame([(None,)], "node long")
+    with pytest.raises(ValueError, match="NULL nodes"):
+        nearest_seed(e, nulls)
