@@ -3501,16 +3501,8 @@ def _q_part_seed_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number 1 by (depth, seed) per node. All-bigint -> EXACT."""
     from pfutil_spark.operators.graph import nearest_seed
 
-    li = _t(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(spark, sf_dir)
-    srcs = (
-        li.join(
-            F.broadcast(li.agg(F.min("l_orderkey").alias("__pf_mk"))),
-            F.col("l_orderkey") == F.col("__pf_mk"),
-        )
-        .select(F.col("l_partkey").alias("node"))
-        .distinct()
-    )
+    srcs = _first_order_parts(spark, sf_dir)
     a = nearest_seed(edges, srcs, max_hops=2)
     return (
         a.groupBy("seed", "dist")
@@ -3705,7 +3697,13 @@ def _q_streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stream = spark.readStream.schema(changes.schema).parquet(src)
         q = attach_upsert_foreach_batch(stream, store, f"{root}/ckpt")
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # never rmtree under a live query / summarize a partial
+            # snapshot: stop it and fail loudly
+            q.stop()
+            raise RuntimeError(
+                "streaming upsert did not finish within 300s"
+            )
         return _upsert_summary(store.snapshot()).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -3844,6 +3842,22 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
 
 
+def _first_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed set shared by the graph queries: the distinct parts of the
+    FIRST order (min l_orderkey — an in-plan broadcast scalar, no
+    driver collect). SQL mirror: the `srcs` CTE in the
+    part_reachability / part_seed_assignment oracles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(li.agg(F.min("l_orderkey").alias("__pf_mk"))),
+            F.col("l_orderkey") == F.col("__pf_mk"),
+        )
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+
+
 def _q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py::pagerank, 3 rounds,
     damping 85%) over the symmetrized part co-purchase graph. ALL-
@@ -3869,16 +3883,8 @@ def _q_part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     path-enumerating formulation BFS avoids. All-bigint -> EXACT."""
     from pfutil_spark.operators.graph import bfs_distances
 
-    li = _t(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(spark, sf_dir)
-    srcs = (
-        li.join(
-            F.broadcast(li.agg(F.min("l_orderkey").alias("__pf_mk"))),
-            F.col("l_orderkey") == F.col("__pf_mk"),
-        )
-        .select(F.col("l_partkey").alias("node"))
-        .distinct()
-    )
+    srcs = _first_order_parts(spark, sf_dir)
     d = bfs_distances(edges, srcs, max_hops=2)
     return (
         d.groupBy("dist")

@@ -212,36 +212,59 @@ def nearest_seed(
     oracle computes. All-integer output when nodes are integers ->
     EXACT oracles.
     """
-    if max_hops < 0:
-        raise ValueError(f"max_hops={max_hops}: must be >= 0")
-    if list(seeds.columns) != [_NODE]:
-        raise ValueError(
-            f"seeds must have exactly one column named {_NODE!r}, "
-            f"got {seeds.columns}"
-        )
-    for c in (src, dst):
-        if c not in edges.columns:
-            raise ValueError(f"edge column {c!r} not in {edges.columns}")
-
-    e = edges.select(
-        F.col(src).alias(_SRC), F.col(dst).alias(_DST)
-    ).localCheckpoint()
-    if e.filter(F.col(_SRC).isNull() | F.col(_DST).isNull()).limit(1).count():
-        raise ValueError("edges contain NULL endpoints")
-    if seeds.filter(F.col(_NODE).isNull()).limit(1).count():
-        raise ValueError("seeds contain NULL nodes")
-
+    e = _prep_bfs(edges, seeds, src, dst, max_hops, "seeds")
     frontier = (
         seeds.distinct().select(F.col(_NODE), F.col(_NODE).alias("seed"))
         .localCheckpoint()
     )
     labeled = frontier.withColumn("dist", F.lit(0).cast("long"))
-    for h in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier[_NODE] == e[_SRC])
-            .select(F.col(_DST).alias(_NODE), F.col("seed"))
+
+    def collapse(cand):
+        return (
+            cand.select(F.col(_DST).alias(_NODE), F.col("seed"))
             .groupBy(_NODE)
             .agg(F.min("seed").alias("seed"))
+        )
+
+    return _expand_frontiers(e, frontier, labeled, max_hops, collapse)
+
+
+def _prep_bfs(edges, sources, src, dst, max_hops, what):
+    """Shared validation + edge prep for the frontier-expansion
+    operators: rejects NULL endpoints loudly (a NULL dst would survive
+    the left_anti dedup — null-unsafe equality never matches — and
+    surface as a phantom reachable node), checkpoints the edge frame
+    (it is re-joined every round), and returns it."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops={max_hops}: must be >= 0")
+    if list(sources.columns) != [_NODE]:
+        raise ValueError(
+            f"{what} must have exactly one column named {_NODE!r}, "
+            f"got {sources.columns}"
+        )
+    for c in (src, dst):
+        if c not in edges.columns:
+            raise ValueError(f"edge column {c!r} not in {edges.columns}")
+    e = edges.select(
+        F.col(src).alias(_SRC), F.col(dst).alias(_DST)
+    ).localCheckpoint()
+    if e.filter(F.col(_SRC).isNull() | F.col(_DST).isNull()).limit(1).count():
+        raise ValueError("edges contain NULL endpoints")
+    if sources.filter(F.col(_NODE).isNull()).limit(1).count():
+        raise ValueError(f"{what} contain NULL nodes")
+    return e
+
+
+def _expand_frontiers(e, frontier, labeled, max_hops, collapse):
+    """The shared per-round loop: frontier x edges equi-join ->
+    ``collapse`` (dedup / per-node tie-break) -> anti-join vs labeled
+    -> checkpoint; stops early when the frontier drains. Each node is
+    expanded exactly once, so total work is O(edges reached)."""
+    for h in range(1, max_hops + 1):
+        nxt = (
+            collapse(
+                frontier.join(e, frontier[_NODE] == e[_SRC])
+            )
             .join(labeled.select(_NODE), [_NODE], "left_anti")
             .localCheckpoint()
         )
@@ -276,41 +299,11 @@ def bfs_distances(
     action per round cut lineage and stop early when the frontier
     drains. All-integer output -> EXACT recursive-CTE oracles.
     """
-    if max_hops < 0:
-        raise ValueError(f"max_hops={max_hops}: must be >= 0")
-    if list(sources.columns) != [_NODE]:
-        raise ValueError(
-            f"sources must have exactly one column named {_NODE!r}, "
-            f"got {sources.columns}"
-        )
-    for c in (src, dst):
-        if c not in edges.columns:
-            raise ValueError(f"edge column {c!r} not in {edges.columns}")
-
-    e = edges.select(
-        F.col(src).alias(_SRC), F.col(dst).alias(_DST)
-    ).localCheckpoint()
-    # same contract as pagerank: a NULL endpoint is a data bug. Without
-    # this, a NULL dst would survive the left_anti dedup (null-unsafe
-    # equality never matches) and surface as a phantom reachable node.
-    if e.filter(F.col(_SRC).isNull() | F.col(_DST).isNull()).limit(1).count():
-        raise ValueError("edges contain NULL endpoints")
-    if sources.filter(F.col(_NODE).isNull()).limit(1).count():
-        raise ValueError("sources contain NULL nodes")
+    e = _prep_bfs(edges, sources, src, dst, max_hops, "sources")
     frontier = sources.distinct().localCheckpoint()
     dist = frontier.withColumn("dist", F.lit(0).cast("long"))
-    for h in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier[_NODE] == e[_SRC])
-            .select(F.col(_DST).alias(_NODE))
-            .distinct()
-            .join(dist.select(_NODE), [_NODE], "left_anti")
-            .localCheckpoint()
-        )
-        if not nxt.limit(1).count():
-            break
-        dist = dist.unionByName(
-            nxt.withColumn("dist", F.lit(h).cast("long"))
-        ).localCheckpoint()
-        frontier = nxt
-    return dist
+
+    def collapse(cand):
+        return cand.select(F.col(_DST).alias(_NODE)).distinct()
+
+    return _expand_frontiers(e, frontier, dist, max_hops, collapse)
