@@ -3872,6 +3872,42 @@ def _q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.col("rank_scaled").desc(), "node").limit(20)
 
 
+def _q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the co-purchase graph: edge weight = the
+    number of order co-occurrences of the pair (pre-aggregated to one
+    row per directed pair — floor semantics make parallel edges and
+    aggregated weights differ, so the operator contract is the
+    aggregated multiset). contrib = (r * w) div strength, all bigint;
+    the oracle is the same 3x unroll with sum(w) strengths. Top 20 by
+    (rank desc, node)."""
+    from pfutil_spark.operators.graph import pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    pr = pagerank(edges, "src", "dst", iters=3, damping_pct=85, weight="w")
+    return pr.orderBy(F.col("rank_scaled").desc(), "node").limit(20)
+
+
 def _q_part_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop-distance profile (operators/graph.py::bfs_distances):
     from the parts of the FIRST order (min l_orderkey — an in-plan
@@ -4008,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank": _q_part_pagerank,
         "part_reachability": _q_part_reachability,
         "part_seed_assignment": _q_part_seed_assignment,
+        "part_pagerank_weighted": _q_part_pagerank_weighted,
         "late_shipment_priority": _q_late_shipment_priority,
         "idle_customers": _q_idle_customers,
         "top_session_paths": _q_top_session_paths,
@@ -5210,6 +5247,57 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE l.l_orderkey = o.o_orderkey"
             "  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
             " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "part_pagerank_weighted": (
+            # weighted 3x unroll: strengths = sum(w), contrib =
+            # (r * w) // strength; same integer fixed-point rule
+            "WITH pairs AS ("
+            " SELECT x.l_partkey AS a, y.l_partkey AS b,"
+            "  CAST(count(*) AS BIGINT) AS w"
+            " FROM lineitem x JOIN lineitem y"
+            "  ON x.l_orderkey = y.l_orderkey"
+            "  AND x.l_partkey < y.l_partkey"
+            " WHERE x.l_orderkey IS NOT NULL"
+            "  AND x.l_partkey IS NOT NULL AND y.l_partkey IS NOT NULL"
+            " GROUP BY x.l_partkey, y.l_partkey),"
+            " e AS (SELECT a, b, w FROM pairs"
+            "  UNION ALL SELECT b AS a, a AS b, w FROM pairs),"
+            " nodes AS (SELECT DISTINCT a AS node FROM e),"
+            " cnt AS (SELECT count(*) AS n FROM nodes),"
+            " od AS (SELECT a AS node, CAST(sum(w) AS BIGINT) AS d"
+            "  FROM e GROUP BY a),"
+            " r0 AS (SELECT node,"
+            "  CAST(1000000000000 // c.n AS BIGINT) AS r"
+            "  FROM nodes CROSS JOIN cnt c),"
+            " s1 AS (SELECT e.b AS node,"
+            "  CAST(sum((r.r * e.w) // od.d) AS BIGINT) AS inc"
+            "  FROM e JOIN r0 r ON e.a = r.node"
+            "  JOIN od ON od.node = e.a GROUP BY e.b),"
+            " i1 AS (SELECT n.node,"
+            "  CAST((15 * (1000000000000 // c.n)) // 100"
+            "   + (85 * COALESCE(s1.inc, 0)) // 100 AS BIGINT) AS r"
+            "  FROM nodes n CROSS JOIN cnt c"
+            "  LEFT JOIN s1 ON s1.node = n.node),"
+            " s2 AS (SELECT e.b AS node,"
+            "  CAST(sum((r.r * e.w) // od.d) AS BIGINT) AS inc"
+            "  FROM e JOIN i1 r ON e.a = r.node"
+            "  JOIN od ON od.node = e.a GROUP BY e.b),"
+            " i2 AS (SELECT n.node,"
+            "  CAST((15 * (1000000000000 // c.n)) // 100"
+            "   + (85 * COALESCE(s2.inc, 0)) // 100 AS BIGINT) AS r"
+            "  FROM nodes n CROSS JOIN cnt c"
+            "  LEFT JOIN s2 ON s2.node = n.node),"
+            " s3 AS (SELECT e.b AS node,"
+            "  CAST(sum((r.r * e.w) // od.d) AS BIGINT) AS inc"
+            "  FROM e JOIN i2 r ON e.a = r.node"
+            "  JOIN od ON od.node = e.a GROUP BY e.b),"
+            " i3 AS (SELECT n.node,"
+            "  CAST((15 * (1000000000000 // c.n)) // 100"
+            "   + (85 * COALESCE(s3.inc, 0)) // 100 AS BIGINT) AS r"
+            "  FROM nodes n CROSS JOIN cnt c"
+            "  LEFT JOIN s3 ON s3.node = n.node)"
+            " SELECT node, r AS rank_scaled FROM i3"
+            " ORDER BY r DESC, node LIMIT 20"
         ),
         "part_seed_assignment": (
             # recursive CTE enumerates (node, seed, depth) capped at 2

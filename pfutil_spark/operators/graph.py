@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 _SRC, _DST, _NODE = "__pf_src", "__pf_dst", "node"
 _R, _OD, _INC, _DANG = "__pf_r", "__pf_od", "__pf_inc", "__pf_dang"
-_P, _M = "__pf_p", "__pf_m"
+_P, _M, _W = "__pf_p", "__pf_m", "__pf_w"
 
 
 def pagerank(
@@ -41,6 +41,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     personalize: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank on the directed edge multiset ``edges[src -> dst]``
     (parallel edges count as repeated votes; pre-``distinct`` the frame
@@ -61,6 +62,17 @@ def pagerank(
     One driver action up front (``N = nodes.count()`` — a scalar, the
     index-build precedent) and one ``localCheckpoint`` per round.
 
+    ``weight``: optional positive INTEGER edge-weight column — a
+    vote with weight w counts w times: contrib(e) = (r * w) div
+    strength[src] with strength = sum of outgoing weights (unweighted
+    = all-ones, bit-identical to the plain rule). Weights must be
+    >= 1 and non-null (validated loudly; zero/negative/NULL weights
+    have no integer-exact semantics here). Parallel edges contribute
+    separately — floor((r*w1)/s) + floor((r*w2)/s) is not always
+    floor((r*(w1+w2))/s) — so pre-aggregate parallel edges into one
+    weighted row for the canonical result (and mirror exactly that
+    edge multiset in any oracle).
+
     ``personalize``: optional single-column ``node`` frame — the
     personalized-PageRank teleport set ("rank relative to THESE
     seeds": recommendations, topic-sensitive relevance). Teleport mass
@@ -79,11 +91,20 @@ def pagerank(
         if c not in edges.columns:
             raise ValueError(f"edge column {c!r} not in {edges.columns}")
 
+    if weight is not None and weight not in edges.columns:
+        raise ValueError(f"weight column {weight!r} not in {edges.columns}")
+    w_col = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1)
+    ).alias(_W)
     e = edges.select(
-        F.col(src).alias(_SRC), F.col(dst).alias(_DST)
+        F.col(src).alias(_SRC), F.col(dst).alias(_DST), w_col
     ).localCheckpoint()  # edges are re-joined every round: scan once
     if e.filter(F.col(_SRC).isNull() | F.col(_DST).isNull()).limit(1).count():
         raise ValueError("edges contain NULL endpoints")
+    if weight is not None and e.filter(
+        F.col(_W).isNull() | (F.col(_W) < 1)
+    ).limit(1).count():
+        raise ValueError("weights must be non-null integers >= 1")
 
     nodes = (
         e.select(F.col(_SRC).alias(_NODE))
@@ -96,8 +117,10 @@ def pagerank(
         return nodes.select(
             F.col(_NODE), F.lit(0).cast("long").alias("rank_scaled")
         )
+    # out-STRENGTH: sum of outgoing weights (== out-degree when
+    # unweighted, so the plain rule is bit-identical)
     outdeg = e.groupBy(F.col(_SRC).alias(_NODE)).agg(
-        F.count(F.lit(1)).cast("long").alias(_OD)
+        F.sum(_W).cast("long").alias(_OD)
     )
 
     p_nodes = None
@@ -141,7 +164,7 @@ def pagerank(
             .join(outdeg.withColumnRenamed(_NODE, _SRC), [_SRC])
             .select(
                 F.col(_DST).alias(_NODE),
-                F.expr(f"{_R} div {_OD}").cast("long").alias("c"),
+                F.expr(f"({_R} * {_W}) div {_OD}").cast("long").alias("c"),
             )
         )
         inc = contrib.groupBy(_NODE).agg(F.sum("c").cast("long").alias(_INC))

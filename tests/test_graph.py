@@ -325,3 +325,60 @@ def test_nearest_seed_unreachable_and_validation(spark):
     nulls = spark.createDataFrame([(None,)], "node long")
     with pytest.raises(ValueError, match="NULL nodes"):
         nearest_seed(e, nulls)
+
+
+# ---------------------------------------------------------------------------
+# weighted pagerank
+# ---------------------------------------------------------------------------
+
+def ref_pagerank_w(edges, iters=3, d=85, scale=10**12):
+    # edges: (a, b, w)
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n = len(nodes)
+    strength = Counter()
+    for a, _, w in edges:
+        strength[a] += w
+    r = {v: scale // n for v in nodes}
+    base = ((100 - d) * (scale // n)) // 100
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if strength[v] == 0) // n
+        inc = defaultdict(int)
+        for a, b, w in edges:
+            inc[b] += (r[a] * w) // strength[a]
+        r = {v: base + (d * (inc[v] + dang)) // 100 for v in nodes}
+    return r
+
+
+W_EDGES = [(1, 2, 3), (2, 1, 1), (1, 3, 1), (3, 1, 2), (3, 2, 5), (4, 1, 7)]
+
+
+def test_weighted_pagerank_matches_reference(spark):
+    df = spark.createDataFrame(W_EDGES, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, iters=4, weight="w").collect()
+    }
+    assert got == ref_pagerank_w(W_EDGES, iters=4)
+    # heavier votes matter: 2 receives weight 3+5 of its in-mass
+    assert got[2] > got[3]
+
+
+def test_unit_weights_bit_identical_to_unweighted(spark):
+    ones = [(a, b, 1) for a, b in EDGES]
+    dfw = spark.createDataFrame(ones, "src long, dst long, w long")
+    dfu = spark.createDataFrame(EDGES, "src long, dst long")
+    rw = {r["node"]: r["rank_scaled"] for r in pagerank(dfw, iters=3, weight="w").collect()}
+    ru = {r["node"]: r["rank_scaled"] for r in pagerank(dfu, iters=3).collect()}
+    assert rw == ru
+
+
+def test_weighted_validation(spark):
+    df = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="weight column"):
+        pagerank(df, weight="nope")
+    bad = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="weights must be"):
+        pagerank(bad, weight="w")
+    nul = spark.createDataFrame([(1, 2, None)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="weights must be"):
+        pagerank(nul, weight="w")
