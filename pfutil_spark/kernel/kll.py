@@ -472,6 +472,106 @@ def psi_arrays(
     return float(np.sum((q - p) * np.log(q / p)))
 
 
+def _compact_valid_pairs(
+    st: np.ndarray, items: np.ndarray, wts: np.ndarray, vids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gather the segments of ``vids`` into contiguous arrays; returns
+    ``(items, weights, starts)`` with starts rebased (len(vids)+1)."""
+    from .sketch_common import segment_ranks
+
+    cnt = np.diff(st)[vids]
+    seg = np.repeat(vids, cnt)
+    idx = st[seg] + segment_ranks(np.repeat(np.arange(len(vids)), cnt))
+    starts = np.zeros(len(vids) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=starts[1:])
+    return items[idx], wts[idx], starts
+
+
+def psi_pairs_flat(
+    pa: tuple[np.ndarray, ...],
+    pb: tuple[np.ndarray, ...],
+    bins: int,
+    floor: float = 1e-4,
+) -> np.ndarray:
+    """PSI for MANY sketch pairs at once, zero per-pair Python (r6,
+    VERDICT r5 item 4 — the ks_pairs_flat treatment applied to PSI).
+    ``pa`` = current side, ``pb`` = reference side, both
+    :func:`parse_weighted_flat` results. Bit-identical to calling
+    :func:`psi_arrays` per pair:
+
+    * reference quantile edges: per quantile fraction ``f`` the per-pair
+      searchsorted('left') index is the count of local-cumsum values
+      ``< f * W`` — the local cumsums are exact int64 (flat cumsum minus
+      per-segment base), and the elementwise int64-vs-float64 comparison
+      is the same promotion searchsorted performs;
+    * ranks at the edges: the numerator is an exact integer weight sum
+      (items <= edge), the denominator the exact int64 total — the same
+      single float division rank_arrays does;
+    * bin masses / floor / normalize / Σ(q-p)ln(q/p) run row-wise on
+      C-contiguous (pairs, bins) matrices — numpy's pairwise reduction
+      over a row is the same op sequence as over the 1-D per-pair
+      vector.
+
+    Pairs with an empty side yield nan (psi_distance's convention).
+    """
+    if bins < 2:
+        raise ValueError(f"bins={bins}: need >= 2")
+    n_c, _, it_c, wt_c, st_c = pa
+    n_r, _, it_r, wt_r, st_r = pb
+    P = len(n_c)
+    out = np.full(P, np.nan)
+    valid = (n_c > 0) & (n_r > 0)
+    if not valid.any():
+        return out
+    vids = np.flatnonzero(valid)
+    V = len(vids)
+    itc, wtc, stc = _compact_valid_pairs(st_c, it_c, wt_c, vids)
+    itr, wtr, str_ = _compact_valid_pairs(st_r, it_r, wt_r, vids)
+    cnt_r = np.diff(str_)
+    cnt_c = np.diff(stc)
+    seg_r = np.repeat(np.arange(V, dtype=np.int64), cnt_r)
+    seg_c = np.repeat(np.arange(V, dtype=np.int64), cnt_c)
+    cum_r = np.cumsum(wtr)
+    base_r = np.concatenate(([np.int64(0)], cum_r))[str_[:-1]]
+    w_tot_r = np.concatenate(([np.int64(0)], cum_r))[str_[1:]] - base_r
+    loc_cum_r = cum_r - base_r[seg_r]  # exact per-pair cumsum (int64)
+    w_tot_rf = w_tot_r.astype(np.float64)
+    w_tot_cf = (
+        np.add.reduceat(wtc, stc[:-1]).astype(np.float64)
+        if len(wtc)
+        else np.zeros(V)
+    )
+    qs = np.linspace(0.0, 1.0, bins + 1)[1:-1]
+    r_ref = np.empty((V, bins - 1), dtype=np.float64)
+    r_cur = np.empty((V, bins - 1), dtype=np.float64)
+    for b in range(bins - 1):
+        targets = qs[b] * w_tot_rf  # same product quantile_arrays forms
+        below = (loc_cum_r < targets[seg_r]).astype(np.int64)
+        pos = np.add.reduceat(below, str_[:-1])
+        pos = np.clip(pos, 0, cnt_r - 1)
+        edges = itr[str_[:-1] + pos]
+        # rank numerators: exact integer weight of items <= edge
+        num_r = np.add.reduceat(
+            np.where(itr <= edges[seg_r], wtr, np.int64(0)), str_[:-1]
+        )
+        num_c = np.add.reduceat(
+            np.where(itc <= edges[seg_c], wtc, np.int64(0)), stc[:-1]
+        )
+        r_ref[:, b] = num_r.astype(np.float64) / w_tot_rf
+        r_cur[:, b] = num_c.astype(np.float64) / w_tot_cf
+    zeros = np.zeros((V, 1))
+    ones = np.ones((V, 1))
+
+    def masses(r: np.ndarray) -> np.ndarray:
+        m = np.diff(np.concatenate([zeros, r, ones], axis=1), axis=1)
+        m = np.maximum(m, floor)
+        return m / m.sum(axis=1, keepdims=True)
+
+    p_m, q_m = masses(r_ref), masses(r_cur)
+    out[vids] = np.sum((q_m - p_m) * np.log(q_m / p_m), axis=1)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # vectorized grouped fold over flat buffers (zero per-group Python).
 # ---------------------------------------------------------------------------

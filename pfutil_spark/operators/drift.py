@@ -142,11 +142,12 @@ def psi_pair_series(sa: pd.Series, sb: pd.Series, bins: int) -> pd.Series:
     (e.g. a stratum on only one side of a snapshot outer join) yield
     NULL, not a TypeError that fails the job.
 
-    Batch-decoded (r5): one flat parse per Arrow batch, then each
-    pair's PSI evaluates over segment slices (same float ops as
-    ``psi_distance`` — kernel/kll.py::psi_arrays is the shared body).
-    The remaining per-pair work is a handful of numpy calls on O(k)
-    slices; the per-pair Python ``decode`` is gone."""
+    Vectorized ACROSS pairs (r6, the ks_pairs_flat treatment —
+    VERDICT r5 item 4): one flat parse per chunk, then
+    kernel/kll.py::psi_pairs_flat evaluates every pair's PSI with zero
+    per-pair Python, regression-gated bit-identical to the per-pair
+    ``psi_arrays`` path (integer rank numerators / exact int64 local
+    cumsums make the per-pair float divisions the same ops)."""
     import numpy as np
 
     if bins < 2:  # keep psi_distance's loud-parameter contract
@@ -154,19 +155,7 @@ def psi_pair_series(sa: pd.Series, sb: pd.Series, bins: int) -> pd.Series:
     n = len(sa)
     out = np.full(n, np.nan)
     for ids, pa_, pb_ in _iter_pair_chunks(sa, sb):
-        n_a, _, it_a, wt_a, st_a = pa_
-        n_b, _, it_b, wt_b, st_b = pb_
-        for j, i in enumerate(ids):
-            if n_a[j] == 0 or n_b[j] == 0:
-                continue  # nan, like psi_distance on an empty sketch
-            out[i] = kll.psi_arrays(
-                it_a[st_a[j] : st_a[j + 1]],
-                wt_a[st_a[j] : st_a[j + 1]],
-                it_b[st_b[j] : st_b[j + 1]],
-                wt_b[st_b[j] : st_b[j + 1]],
-                bins,
-                1e-4,
-            )
+        out[ids] = kll.psi_pairs_flat(pa_, pb_, bins, 1e-4)
     return pd.Series(out, dtype="float64")
 
 

@@ -281,7 +281,44 @@ def pf_partial(
         if acc:
             yield flush()
 
+    # python-native parquet scan fast path (guide §4): when the input is
+    # exactly a projection over a small local parquet relation, read the
+    # columns with pyarrow inside the workers — no JVM scan, no
+    # row->Arrow boundary, row-group-slice parallelism finer than any
+    # JVM split. Feeds the SAME partial_fn, so kernel semantics are
+    # identical; falls back to the JVM scan in every other case
+    # (lineage needs real scan partition ids, so it always falls back).
+    if not lineage:
+        from pfutil_spark.operators import pyscan
+
+        ps = pyscan.try_parquet_pyscan(pruned, by + [element])
+        if ps is not None:
+
+            def pyscan_fn(id_batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+                yield from partial_fn(pyscan.read_spec_batches(ps, id_batches))
+
+            return pyscan.task_frame(df.sparkSession, ps).mapInArrow(
+                pyscan_fn, schema
+            )
     return pruned.mapInArrow(partial_fn, schema)
+
+
+def _repartition_for_merge(pruned: DataFrame, keys: list[str]) -> DataFrame:
+    """The merge exchange. Default: hash repartition on the keys and let
+    AQE size the partition count (round-6 interleaved A/B on the
+    17-group x 64-partial flagship merge: explicit 2/17/32 partitions
+    all land within noise of AQE's choice — 1.58-1.72s best reps — so
+    the adaptive default stays). ``pfutil.merge.partitions`` remains as
+    an explicit override for merges whose per-partition sketch bytes
+    approach the 2GB Arrow bound (AQE advisory sizing cannot see that
+    the merge cost is per-sketch CPU, not bytes)."""
+    if not keys:
+        return pruned.repartition(1)
+    spark = pruned.sparkSession
+    n = spark.conf.get("pfutil.merge.partitions", None)
+    if n is not None:
+        return pruned.repartition(int(n), *[F.col(c) for c in keys])
+    return pruned.repartition(*[F.col(c) for c in keys])
 
 
 def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataFrame:
@@ -307,9 +344,7 @@ def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataF
         + [StructField(SKETCH_COL, BinaryType(), False)]
     )
     pruned = df.select(*keys, sketch_col)  # only keys + sketch cross the shuffle
-    target = (
-        pruned.repartition(*[F.col(c) for c in keys]) if keys else pruned.repartition(1)
-    )
+    target = _repartition_for_merge(pruned, keys)
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
@@ -717,6 +752,52 @@ def pf_restore_col(raw_col: str | Column, version: int = 4) -> Column:
     return _restore(F.col(raw_col) if isinstance(raw_col, str) else raw_col)
 
 
+def _merge_count_stage(
+    df: DataFrame,
+    keys: list[str],
+    sketch_col: str,
+    version: int,
+    estimate_col: str,
+) -> DataFrame:
+    """Fused merge + PFCOUNT in ONE Python stage (round-6): the separate
+    ``pf_count_col`` projection after ``pf_merge`` is a second
+    ArrowEvalPython round-trip (JVM -> Python -> JVM) over the merged
+    sketches; estimating right after the in-task merge removes it.
+    Estimates are bit-identical — same ``estimate_bytes_batch`` over the
+    same canonical merged bytes the two-stage plan produces."""
+    import pyarrow as pa
+
+    out_schema = StructType(
+        [df.schema[c] for c in keys] + [StructField(estimate_col, LongType(), True)]
+    )
+    pruned = df.select(*keys, sketch_col)
+    target = _repartition_for_merge(pruned, keys)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        try:
+            batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
+        except pa.lib.ArrowInvalid as e:  # int32 binary-offset overflow
+            raise ValueError(
+                "merge partition exceeds 2GB of sketch bytes; raise "
+                "spark.sql.shuffle.partitions"
+            ) from e
+        merged = merge_record_batch(batch, keys, sketch_col)
+        est = hll.estimate_bytes_batch(
+            merged.column(SKETCH_COL).to_pylist(), version
+        )
+        yield pa.record_batch(
+            [merged.column(c) for c in keys] + [pa.array(est, type=pa.int64())],
+            names=keys + [estimate_col],
+        )
+
+    return target.mapInArrow(fn, out_schema)
+
+
 def pf_count_distinct(
     df: DataFrame,
     element: str,
@@ -729,9 +810,15 @@ def pf_count_distinct(
     Redis-PFCOUNT-identical results. The flagship operator."""
     by = list(by)
     partials = pf_partial(df, element, by, version)
-    merged = pf_merge(partials, by, salt_buckets=salt_buckets)
-    cols = [F.col(c) for c in by] + [pf_count_col(SKETCH_COL, version).alias(estimate_col)]
-    return merged.select(*cols)
+    if salt_buckets and salt_buckets > 1:
+        salted = partials.withColumn(
+            "__pf_salt",
+            F.pmod(F.xxhash64(F.col(SKETCH_COL)), F.lit(salt_buckets)),
+        )
+        partials = _merge_stage_arrow(salted, by + ["__pf_salt"], SKETCH_COL).drop(
+            "__pf_salt"
+        )
+    return _merge_count_stage(partials, by, SKETCH_COL, version, estimate_col)
 
 
 def pf_sketch(

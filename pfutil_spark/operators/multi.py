@@ -202,6 +202,17 @@ def pf_partial_multi(
                     acc[(e,)] = hll.empty_registers()
             yield flush()
 
+    # same python-native parquet fast path as pf_partial (see
+    # operators/pyscan.py): worker-side columnar read, identical kernel
+    from pfutil_spark.operators import pyscan
+
+    ps = pyscan.try_parquet_pyscan(pruned, by + elements)
+    if ps is not None:
+
+        def pyscan_fn(id_batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            yield from fn(pyscan.read_spec_batches(ps, id_batches))
+
+        return pyscan.task_frame(df.sparkSession, ps).mapInArrow(pyscan_fn, schema)
     return pruned.mapInArrow(fn, schema)
 
 
@@ -230,14 +241,73 @@ def sourcecode_distinct_report(
     """The north-star report: distinct repos / paths / commits / content
     hashes per language AND globally, all from ONE scan of the input.
     The global rows (by = NULL) are re-merges of the per-lang sketches —
-    no second pass (merge associativity)."""
-    per_lang = pf_merge(
-        pf_partial_multi(df, elements, (by,), version), [by, "metric"]
+    no second pass (merge associativity).
+
+    r6: estimates are FUSED into both merge stages (the checkpoint rows
+    carry sketch + estimate; the global branch uses the fused
+    merge+count stage), removing the post-union ArrowEvalPython
+    round-trip. Estimates are bit-identical — same estimator over the
+    same canonical merged bytes."""
+    from pfutil_spark.operators.hll_agg import _merge_count_stage
+
+    partials = pf_partial_multi(df, elements, (by,), version)
+    per_lang = _merge_sketch_count_stage(
+        partials, [by, "metric"], version
     ).localCheckpoint()
-    glob = pf_merge(per_lang.select("metric", SKETCH_COL), ["metric"]).withColumn(
-        by, F.lit(None).cast(df.schema[by].dataType)
+    glob = _merge_count_stage(
+        per_lang.select("metric", SKETCH_COL), ["metric"], SKETCH_COL, version, "estimate"
+    ).withColumn(by, F.lit(None).cast(df.schema[by].dataType))
+    return per_lang.select(by, "metric", "estimate").unionByName(
+        glob.select(by, "metric", "estimate")
     )
-    all_rows = per_lang.unionByName(glob.select(by, "metric", SKETCH_COL))
-    return all_rows.select(
-        by, "metric", pf_count_col(SKETCH_COL, version).alias("estimate")
+
+
+def _merge_sketch_count_stage(
+    df: DataFrame, keys: list[str], version: int
+) -> DataFrame:
+    """Merge stage that emits (keys..., sketch, estimate) in ONE Python
+    stage — for reports that need both the mergeable sketch (global
+    re-merge) and its estimate (per-group rows)."""
+    from typing import Iterator
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from pfutil_spark.operators.hll_agg import (
+        _repartition_for_merge,
+        merge_record_batch,
     )
+
+    out_schema = StructType(
+        [df.schema[c] for c in keys]
+        + [
+            StructField(SKETCH_COL, BinaryType(), False),
+            StructField("estimate", LongType(), True),
+        ]
+    )
+    pruned = df.select(*keys, SKETCH_COL)
+    target = _repartition_for_merge(pruned, keys)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        try:
+            batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
+        except pa.lib.ArrowInvalid as e:  # int32 binary-offset overflow
+            raise ValueError(
+                "merge partition exceeds 2GB of sketch bytes; raise "
+                "spark.sql.shuffle.partitions"
+            ) from e
+        merged = merge_record_batch(batch, keys, SKETCH_COL)
+        est = hll.estimate_bytes_batch(
+            merged.column(SKETCH_COL).to_pylist(), version
+        )
+        yield pa.record_batch(
+            [merged.column(c) for c in keys]
+            + [merged.column(SKETCH_COL), pa.array(est, type=pa.int64())],
+            names=keys + [SKETCH_COL, "estimate"],
+        )
+
+    return target.mapInArrow(fn, out_schema)

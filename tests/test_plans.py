@@ -23,16 +23,29 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
 
 
 def test_column_pruning_in_sketch_scan(spark):
+    # JVM-scan path (pyscan disabled): pruning must reach the parquet scan
+    spark.conf.set("pfutil.pyscan.enabled", "false")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+            "ok", F.col("l_orderkey").cast("string")
+        )
+        df = pf_count_distinct(li, "ok", by=("l_returnflag",))
+        plan = plan_of(df)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        # only the key + the element source column are read, not all 11
+        assert cols == {"l_orderkey", "l_returnflag"}, cols
+    finally:
+        spark.conf.unset("pfutil.pyscan.enabled")
+    # python-native scan path (default here: small local parquet): the
+    # same pruning property holds on the pyscan side (test_pyscan.py
+    # asserts the column list); the Spark plan has no parquet scan at all
     li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
         "ok", F.col("l_orderkey").cast("string")
     )
     df = pf_count_distinct(li, "ok", by=("l_returnflag",))
-    plan = plan_of(df)
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m, plan
-    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
-    # only the key + the element source column are read, not all 11
-    assert cols == {"l_orderkey", "l_returnflag"}, cols
+    assert "Range" in plan_of(df, "simple")
 
 
 def test_broadcast_join_for_small_dimension(spark):
