@@ -44,15 +44,26 @@ from pfutil_spark.operators.sketch_agg import SKETCH_COL, kll_sketch
 
 
 def _iter_pair_chunks(sa: pd.Series, sb: pd.Series, max_bytes: int = 4 << 20):
-    """Shared batch-decode prologue of the pair evaluators (r5): the
-    non-null pairs' sketch bytes flatten into flat buffers parsed by
-    :func:`kll.parse_weighted_flat` (no Python ``decode`` per pair),
-    in PAIR-CONTIGUOUS CHUNKS of at most ``max_bytes`` per side —
-    parse scratch must stay arena-resident on this host (measured 2x
-    end-to-end win vs whole-batch parsing at 10^3-strata matrices; the
-    same allocation cliff ks_pairs_flat chunks for). Yields
-    ``(ids, parsed_a, parsed_b)`` per chunk."""
+    """Shared batch-decode prologue of the pair evaluators: the non-null
+    pairs' sketch bytes are parsed by :func:`kll.parse_weighted_flat`
+    (no Python ``decode`` per pair) and yielded in PAIR-CONTIGUOUS
+    CHUNKS of at most ``max_bytes`` per side — eval scratch must stay
+    arena-resident on this host (measured 2x end-to-end win vs
+    whole-batch work at 10^3-strata matrices; the same allocation cliff
+    ks_pairs_flat chunks for). Yields ``(ids, parsed_a, parsed_b)``.
+
+    r6: DEDUPLICATED parse. A pair matrix repeats each sketch in ~L
+    pairs, and profiling showed the parse (dominated by the
+    per-(pair,item) lexsort) at ~70% of end-to-end evaluator time —
+    O(pairs x items) work for O(uniques x items) information. When the
+    batch's distinct buffers are materially fewer than its pair sides
+    (and fit a bounded arena), each distinct buffer is parsed ONCE and
+    the per-pair arrays are numpy-gathered from the unique parse —
+    bit-identical, since the parse is row-local. Mostly-unique batches
+    keep the r5 per-chunk parse (dedup would only add a hash pass)."""
     import numpy as np
+
+    from pfutil_spark.kernel.sketch_common import flat_buffers
 
     va = [bytes(x) if x is not None else None for x in sa]
     vb = [bytes(x) if x is not None else None for x in sb]
@@ -66,7 +77,40 @@ def _iter_pair_chunks(sa: pd.Series, sb: pd.Series, max_bytes: int = 4 << 20):
     cuts = np.flatnonzero(np.diff(bucket, prepend=bucket[0])).tolist()
     cuts = [0] + cuts + ([len(ids)] if (not cuts or cuts[-1] != len(ids)) else [])
 
-    from pfutil_spark.kernel.sketch_common import flat_buffers
+    uniq: dict[bytes, int] = {}
+    ulist: list[bytes] = []
+
+    def _uid(b: bytes) -> int:
+        u = uniq.get(b)
+        if u is None:
+            u = uniq[b] = len(ulist)
+            ulist.append(b)
+        return u
+
+    ua = np.array([_uid(va[i]) for i in ids], dtype=np.int64)
+    ub = np.array([_uid(vb[i]) for i in ids], dtype=np.int64)
+    uniq_bytes = sum(len(b) for b in ulist)
+    # sharing factor = 2*pairs/uniques >= 2, and the one-shot unique
+    # parse must stay arena-sized (else the r5 chunked parse wins)
+    dedup = len(ulist) <= len(ids) and uniq_bytes <= (64 << 20)
+    if dedup:
+        pu = kll.parse_weighted_flat(*flat_buffers(ulist))
+        n_u, eps_u, it_u, wt_u, st_u = pu
+        cnt_u = np.diff(st_u)
+
+        def gather(sel: np.ndarray):
+            from pfutil_spark.kernel.sketch_common import segment_ranks
+
+            cnt = cnt_u[sel]
+            starts = np.zeros(len(sel) + 1, dtype=np.int64)
+            np.cumsum(cnt, out=starts[1:])
+            seg = np.repeat(np.arange(len(sel), dtype=np.int64), cnt)
+            src = st_u[sel][seg] + segment_ranks(seg)
+            return n_u[sel], eps_u[sel], it_u[src], wt_u[src], starts
+
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            yield ids[lo:hi], gather(ua[lo:hi]), gather(ub[lo:hi])
+        return
 
     def flat(vals, idx):
         return kll.parse_weighted_flat(*flat_buffers([vals[i] for i in idx]))
