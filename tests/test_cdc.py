@@ -162,7 +162,9 @@ class TestStreamingUpsertStore:
         q = attach_upsert_foreach_batch(
             stream, store, str(tmp_path / "ckpt"), trigger_once=True
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):  # ADVICE r5: a timeout must fail
+            q.stop()                      # loudly, never assert against a
+            raise TimeoutError("upsert stream did not finish in 120s")
         snap = {r["id"]: r["txt"] for r in store.snapshot().collect()}
         assert snap[5] == "c5-v2" and 6 not in snap and len(snap) == 19
 
