@@ -96,17 +96,11 @@ def _iter_pair_chunks(sa: pd.Series, sb: pd.Series, max_bytes: int = 4 << 20):
     if dedup:
         pu = kll.parse_weighted_flat(*flat_buffers(ulist))
         n_u, eps_u, it_u, wt_u, st_u = pu
-        cnt_u = np.diff(st_u)
 
         def gather(sel: np.ndarray):
-            from pfutil_spark.kernel.sketch_common import segment_ranks
-
-            cnt = cnt_u[sel]
-            starts = np.zeros(len(sel) + 1, dtype=np.int64)
-            np.cumsum(cnt, out=starts[1:])
-            seg = np.repeat(np.arange(len(sel), dtype=np.int64), cnt)
-            src = st_u[sel][seg] + segment_ranks(seg)
-            return n_u[sel], eps_u[sel], it_u[src], wt_u[src], starts
+            # the same segment-gather kernel psi_pairs_flat compacts with
+            items, wts, starts = kll._compact_valid_pairs(st_u, it_u, wt_u, sel)
+            return n_u[sel], eps_u[sel], items, wts, starts
 
         for lo, hi in zip(cuts[:-1], cuts[1:]):
             yield ids[lo:hi], gather(ua[lo:hi]), gather(ub[lo:hi])

@@ -321,7 +321,14 @@ def _repartition_for_merge(pruned: DataFrame, keys: list[str]) -> DataFrame:
     return pruned.repartition(*[F.col(c) for c in keys])
 
 
-def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataFrame:
+def _merge_stage(
+    df: DataFrame,
+    keys: list[str],
+    sketch_col: str,
+    emit_sketch: bool = True,
+    count_version: int | None = None,
+    estimate_col: str = "estimate",
+) -> DataFrame:
     """One hash-partitioned Arrow merge stage: repartition on ``keys``
     (the only Exchange — no per-partition Sort, unlike applyInPandas),
     then merge ALL groups of a partition in one vectorized pass:
@@ -336,13 +343,24 @@ def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataF
 
     Correct for any interleaving because register-max is associative /
     commutative / idempotent (HllByteBuffer.java:341-398 semantics).
+
+    ``count_version`` (r6) additionally FUSES the PFCOUNT estimate into
+    the same Python stage — the separate pf_count_col projection is a
+    second ArrowEvalPython round-trip over the merged sketches, and the
+    fused estimate is bit-identical (same ``estimate_bytes_batch`` over
+    the same canonical bytes). ``emit_sketch=False`` drops the sketch
+    column for count-only consumers. This ONE body backs
+    pf_merge / pf_count_distinct / the north report's sketch+estimate
+    stage, so the 2GB guard and merge semantics cannot drift apart.
     """
     import pyarrow as pa
 
-    out_schema = StructType(
-        [df.schema[c] for c in keys]
-        + [StructField(SKETCH_COL, BinaryType(), False)]
-    )
+    out_fields = [df.schema[c] for c in keys]
+    if emit_sketch:
+        out_fields.append(StructField(SKETCH_COL, BinaryType(), False))
+    if count_version is not None:
+        out_fields.append(StructField(estimate_col, LongType(), True))
+    out_schema = StructType(out_fields)
     pruned = df.select(*keys, sketch_col)  # only keys + sketch cross the shuffle
     target = _repartition_for_merge(pruned, keys)
 
@@ -359,9 +377,41 @@ def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataF
                 "merge partition exceeds 2GB of sketch bytes; raise "
                 "spark.sql.shuffle.partitions"
             ) from e
-        yield merge_record_batch(batch, keys, sketch_col)
+        merged = merge_record_batch(batch, keys, sketch_col)
+        if count_version is None:
+            yield merged
+            return
+        est = hll.estimate_bytes_batch(
+            merged.column(SKETCH_COL).to_pylist(), count_version
+        )
+        arrays = [merged.column(c) for c in keys]
+        names = list(keys)
+        if emit_sketch:
+            arrays.append(merged.column(SKETCH_COL))
+            names.append(SKETCH_COL)
+        arrays.append(pa.array(est, type=pa.int64()))
+        names.append(estimate_col)
+        yield pa.record_batch(arrays, names=names)
 
     return target.mapInArrow(fn, out_schema)
+
+
+def _merge_stage_arrow(df: DataFrame, keys: list[str], sketch_col: str) -> DataFrame:
+    return _merge_stage(df, keys, sketch_col)
+
+
+def _salted_premerge(
+    df: DataFrame, by: list[str], sketch_col: str, salt_buckets: int
+) -> DataFrame:
+    """The intermediate salted merge shared by pf_merge and
+    pf_count_distinct: key a first register-max fold by
+    ``(by..., pmod(xxhash64(sketch), S))`` so a hot group's partials are
+    reduced by S tasks before the final single-task merge (legal —
+    register max is associative + commutative)."""
+    salted = df.withColumn(
+        "__pf_salt", F.pmod(F.xxhash64(F.col(sketch_col)), F.lit(salt_buckets))
+    )
+    return _merge_stage(salted, by + ["__pf_salt"], sketch_col).drop("__pf_salt")
 
 
 def merge_record_batch(
@@ -664,15 +714,9 @@ def pf_merge(
     by = list(by)
     if engine == "arrow":
         if salt_buckets and salt_buckets > 1:
-            salted = df.withColumn(
-                "__pf_salt",
-                F.pmod(F.xxhash64(F.col(sketch_col)), F.lit(salt_buckets)),
-            )
-            df = _merge_stage_arrow(salted, by + ["__pf_salt"], sketch_col).drop(
-                "__pf_salt"
-            )
+            df = _salted_premerge(df, by, sketch_col, salt_buckets)
             sketch_col = SKETCH_COL
-        return _merge_stage_arrow(df, by, sketch_col)
+        return _merge_stage(df, by, sketch_col)
 
     schema = _out_schema(df, by)
 
@@ -759,43 +803,16 @@ def _merge_count_stage(
     version: int,
     estimate_col: str,
 ) -> DataFrame:
-    """Fused merge + PFCOUNT in ONE Python stage (round-6): the separate
-    ``pf_count_col`` projection after ``pf_merge`` is a second
-    ArrowEvalPython round-trip (JVM -> Python -> JVM) over the merged
-    sketches; estimating right after the in-task merge removes it.
-    Estimates are bit-identical — same ``estimate_bytes_batch`` over the
-    same canonical merged bytes the two-stage plan produces."""
-    import pyarrow as pa
-
-    out_schema = StructType(
-        [df.schema[c] for c in keys] + [StructField(estimate_col, LongType(), True)]
+    """Fused merge + PFCOUNT in ONE Python stage (round-6): see
+    :func:`_merge_stage` (``count_version``) for the rationale."""
+    return _merge_stage(
+        df,
+        keys,
+        sketch_col,
+        emit_sketch=False,
+        count_version=version,
+        estimate_col=estimate_col,
     )
-    pruned = df.select(*keys, sketch_col)
-    target = _repartition_for_merge(pruned, keys)
-
-    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        import pyarrow as pa
-
-        got = [b for b in batches if b.num_rows]
-        if not got:
-            return
-        try:
-            batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
-        except pa.lib.ArrowInvalid as e:  # int32 binary-offset overflow
-            raise ValueError(
-                "merge partition exceeds 2GB of sketch bytes; raise "
-                "spark.sql.shuffle.partitions"
-            ) from e
-        merged = merge_record_batch(batch, keys, sketch_col)
-        est = hll.estimate_bytes_batch(
-            merged.column(SKETCH_COL).to_pylist(), version
-        )
-        yield pa.record_batch(
-            [merged.column(c) for c in keys] + [pa.array(est, type=pa.int64())],
-            names=keys + [estimate_col],
-        )
-
-    return target.mapInArrow(fn, out_schema)
 
 
 def pf_count_distinct(
@@ -811,13 +828,7 @@ def pf_count_distinct(
     by = list(by)
     partials = pf_partial(df, element, by, version)
     if salt_buckets and salt_buckets > 1:
-        salted = partials.withColumn(
-            "__pf_salt",
-            F.pmod(F.xxhash64(F.col(SKETCH_COL)), F.lit(salt_buckets)),
-        )
-        partials = _merge_stage_arrow(salted, by + ["__pf_salt"], SKETCH_COL).drop(
-            "__pf_salt"
-        )
+        partials = _salted_premerge(partials, by, SKETCH_COL, salt_buckets)
     return _merge_count_stage(partials, by, SKETCH_COL, version, estimate_col)
 
 

@@ -267,47 +267,10 @@ def _merge_sketch_count_stage(
 ) -> DataFrame:
     """Merge stage that emits (keys..., sketch, estimate) in ONE Python
     stage — for reports that need both the mergeable sketch (global
-    re-merge) and its estimate (per-group rows)."""
-    from typing import Iterator
+    re-merge) and its estimate (per-group rows). One parameterization
+    of hll_agg's shared merge-stage body."""
+    from pfutil_spark.operators.hll_agg import _merge_stage
 
-    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
-
-    from pfutil_spark.operators.hll_agg import (
-        _repartition_for_merge,
-        merge_record_batch,
+    return _merge_stage(
+        df, keys, SKETCH_COL, emit_sketch=True, count_version=version
     )
-
-    out_schema = StructType(
-        [df.schema[c] for c in keys]
-        + [
-            StructField(SKETCH_COL, BinaryType(), False),
-            StructField("estimate", LongType(), True),
-        ]
-    )
-    pruned = df.select(*keys, SKETCH_COL)
-    target = _repartition_for_merge(pruned, keys)
-
-    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        import pyarrow as pa
-
-        got = [b for b in batches if b.num_rows]
-        if not got:
-            return
-        try:
-            batch = pa.Table.from_batches(got).combine_chunks().to_batches()[0]
-        except pa.lib.ArrowInvalid as e:  # int32 binary-offset overflow
-            raise ValueError(
-                "merge partition exceeds 2GB of sketch bytes; raise "
-                "spark.sql.shuffle.partitions"
-            ) from e
-        merged = merge_record_batch(batch, keys, SKETCH_COL)
-        est = hll.estimate_bytes_batch(
-            merged.column(SKETCH_COL).to_pylist(), version
-        )
-        yield pa.record_batch(
-            [merged.column(c) for c in keys]
-            + [merged.column(SKETCH_COL), pa.array(est, type=pa.int64())],
-            names=keys + [SKETCH_COL, "estimate"],
-        )
-
-    return target.mapInArrow(fn, out_schema)

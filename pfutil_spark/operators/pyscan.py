@@ -179,14 +179,39 @@ def try_parquet_pyscan(pruned: DataFrame, out_cols: list[str]) -> PyScanPlan | N
             "pfutil.pyscan.targetTasks", str(spark.sparkContext.defaultParallelism)
         )
     )
+    src_cols = {src for src, _ in columns.values()}
+    # codecs pyarrow decodes without extra plugins; anything else (LZO,
+    # custom) must fall back to the JVM scan
+    _OK_CODECS = {
+        "UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD", "LZ4", "LZ4_RAW", "BROTLI"
+    }
     rg_rows: list[tuple[int, int, int]] = []  # (file_idx, rg, rows)
     total_rows = 0
-    for fi, path in enumerate(files):
-        md = pq.ParquetFile(path).metadata
-        for rg in range(md.num_row_groups):
-            r = md.row_group(rg).num_rows
-            rg_rows.append((fi, rg, r))
-            total_rows += r
+    try:
+        for fi, path in enumerate(files):
+            pf = pq.ParquetFile(path)
+            # schema-evolved directories: a file missing one of the
+            # needed columns would KeyError on the worker where the JVM
+            # scan null-fills — only the JVM scan handles that correctly
+            names = set(pf.schema_arrow.names)
+            if not src_cols <= names:
+                return None
+            md = pf.metadata
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                if rg == 0:  # codec is per column chunk; files uniform
+                    for j in range(rgm.num_columns):
+                        col = rgm.column(j)
+                        if (
+                            col.path_in_schema.split(".")[0] in src_cols
+                            and col.compression not in _OK_CODECS
+                        ):
+                            return None
+                r = rgm.num_rows
+                rg_rows.append((fi, rg, r))
+                total_rows += r
+    except Exception:
+        return None  # unreadable footer: the JVM scan decides its fate
     # floor on rows/task: splitting a row group means every task decodes
     # the whole group's column chunks and slices — measured at 100k-row
     # events, a 32-way oversplit LOSES 0.2s to duplicated decode + task

@@ -162,6 +162,32 @@ def test_pyscan_falls_back_on_unsupported_plans(spark):
     assert pyscan.try_parquet_pyscan(li.select("ok"), ["ok"]) is None
 
 
+def test_pyscan_falls_back_on_schema_evolution(spark, tmp_path):
+    """A directory where one file predates a column (the JVM scan
+    null-fills it) must use the JVM scan — the pyarrow read would drop
+    the missing column and KeyError on the worker."""
+    d = str(tmp_path / "evolved")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"v": pa.array([1, 2], type=pa.int64())}), f"{d}/old.parquet"
+    )
+    pq.write_table(
+        pa.table(
+            {"v": pa.array([3, 4], type=pa.int64()), "k": pa.array(["a", "b"])}
+        ),
+        f"{d}/new.parquet",
+    )
+    df = (
+        spark.read.schema("v long, k string")
+        .parquet(d)
+        .withColumn("vs", F.col("v").cast("string"))
+    )
+    assert pyscan.try_parquet_pyscan(df.select("k", "vs"), ["k", "vs"]) is None
+    # and the end-to-end query (JVM fallback) still answers
+    got = _rows(pf_count_distinct(df, "vs", by=("k",)))
+    assert len(got) == 3  # k in {a, b, NULL}
+
+
 def test_pyscan_lineage_uses_jvm_scan(spark):
     part = pf_partial(_li(spark), "ok", by=(), lineage=True)
     assert "_partition_id" in part.columns
